@@ -90,6 +90,163 @@ object SparkEntry {
         .setHandleInvalid("keep")
         .transform(t(s, dir, "lineitem")).head
       out.groupBy("qty_bucket").agg(count(lit(1)).as("n")).orderBy("qty_bucket")
+    }),
+
+    // --- StandardScaler ---
+    "q_standard_scaler" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity").setOutputCol("features").setInputSizes(1)
+        .transform(li).head
+      val scaled = new graft.feature.StandardScaler()
+        .setInputCol("features").setOutputCol("scaled").setWithMean(true)
+        .fit(assembled).transform(assembled).head
+      scaled.select(col("l_orderkey"), col("l_linenumber"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("scaled")).getItem(0), 4)
+          .as("scaled_qty"))
+    }),
+
+    // --- MinMaxScaler ---
+    "q_minmax_scaler" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_extendedprice").setOutputCol("features").setInputSizes(1)
+        .transform(li).head
+      val scaled = new graft.feature.MinMaxScaler()
+        .setInputCol("features").setOutputCol("scaled")
+        .fit(assembled).transform(assembled).head
+      scaled.select(col("l_orderkey"), col("l_linenumber"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("scaled")).getItem(0), 6)
+          .as("scaled_price"))
+    }),
+
+    // --- MaxAbsScaler ---
+    "q_maxabs_scaler" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_discount").setOutputCol("features").setInputSizes(1)
+        .transform(li).head
+      val scaled = new graft.feature.MaxAbsScaler()
+        .setInputCol("features").setOutputCol("scaled")
+        .fit(assembled).transform(assembled).head
+      scaled.select(col("l_orderkey"), col("l_linenumber"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("scaled")).getItem(0), 6)
+          .as("scaled_disc"))
+    }),
+
+    // --- RobustScaler (approximate quantiles → rows-only check) ---
+    "q_robust_scaler" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_extendedprice").setOutputCol("features").setInputSizes(1)
+        .transform(li).head
+      val scaled = new graft.feature.RobustScaler()
+        .setInputCol("features").setOutputCol("scaled").setWithCentering(true)
+        .fit(assembled).transform(assembled).head
+      scaled.select(col("l_orderkey"), col("l_linenumber"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("scaled")).getItem(0), 6)
+          .as("scaled_price"))
+    }),
+
+    // --- Imputer (mean) ---
+    "q_imputer" -> ((s, dir) => {
+      val withNulls = new graft.feature.SQLTransformer().setStatement(
+        """SELECT o_orderkey,
+                  CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price
+           FROM __THIS__""")
+        .transform(t(s, dir, "orders")).head
+      val imputed = new graft.feature.Imputer()
+        .setInputCols("price").setOutputCols("price_filled")
+        .fit(withNulls).transform(withNulls).head
+      imputed.select(col("o_orderkey"), round(col("price_filled"), 4).as("price_filled"))
+    }),
+
+    // --- StringIndexer (frequencyDesc) ---
+    "q_string_indexer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val model = new graft.feature.StringIndexer()
+        .setInputCols("c_mktsegment").setOutputCols("seg_idx")
+        .setStringOrderType("frequencyDesc").fit(cust)
+      model.transform(cust).head
+        .select("c_mktsegment", "seg_idx").distinct()
+    }),
+
+    // --- OneHotEncoder ---
+    "q_onehot" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey").cast("double").as("rk"))
+      val model = new graft.feature.OneHotEncoder()
+        .setInputCols("rk").setOutputCols("hot").fit(nat)
+      val out = model.transform(nat).head
+      out.select(col("n_nationkey"),
+        (array_position(org.apache.spark.ml.functions.vector_to_array(col("hot")), 1.0) - 1)
+          .cast("long").as("hot_idx"))
+    }),
+
+    // --- CountVectorizer (vocabulary as term→index) ---
+    "q_count_vectorizer" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val model = new graft.feature.CountVectorizer()
+        .setVocabularySize(200).setInputCol("tokens").fit(toks)
+      val vocab = model.getModelData.head.head().getSeq[String](0)
+      import s.implicits._
+      vocab.zipWithIndex.map { case (term, i) => (term, i.toLong) }.toDF("term", "idx")
+    }),
+
+    // --- IDF (per-term idf over the learned vocabulary) ---
+    "q_idf" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val cv = new graft.feature.CountVectorizer()
+        .setVocabularySize(200).setInputCol("tokens").setOutputCol("tf").fit(toks)
+      val vecs = cv.transform(toks).head
+      val idfModel = new graft.feature.IDF().setInputCol("tf").fit(vecs)
+      val vocab = cv.getModelData.head.head().getSeq[String](0)
+      val idf = idfModel.getModelData.head.head()
+        .getAs[org.apache.spark.ml.linalg.Vector]("idf").toArray
+      import s.implicits._
+      vocab.zip(idf).map { case (term, w) =>
+        (term, math.rint(w * 1e6) / 1e6) }.toDF("term", "idf")
+    }),
+
+    // --- KBinsDiscretizer (uniform) ---
+    "q_kbins_uniform" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_extendedprice").setOutputCol("features").setInputSizes(1)
+        .transform(li).head
+      val model = new graft.feature.KBinsDiscretizer()
+        .setStrategy("uniform").setNumBins(5)
+        .setInputCol("features").setOutputCol("bins").fit(assembled)
+      model.transform(assembled).head
+        .select(org.apache.spark.ml.functions.vector_to_array(col("bins")).getItem(0).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n")).orderBy("bin")
+    }),
+
+    // --- VarianceThresholdSelector (selected dims) ---
+    "q_variance_selector" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1, 1)
+        .transform(li).head
+      val model = new graft.feature.VarianceThresholdSelector()
+        .setVarianceThreshold(1.0).setInputCol("features").fit(assembled)
+      val keep = model.getModelData.head.head().getSeq[Int](1)
+      import s.implicits._
+      keep.map(_.toLong).toDF("dim")
+    }),
+
+    // --- Functions: vectorToArray/arrayToVector round trip ---
+    "q_vector_functions" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql("""SELECT vec_id,
+                      vectorToArray(arrayToVector(CAST(embedding AS ARRAY<DOUBLE>))) AS emb
+               FROM graft_embeddings""")
     })
   )
 
@@ -134,6 +291,83 @@ object SparkEntry {
                   WHEN l_quantity >= 40 AND l_quantity <= 51 THEN 4.0
                   ELSE 5.0 END AS qty_bucket,
                 COUNT(*) AS n
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_standard_scaler" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND((l_quantity - AVG(l_quantity) OVER ()) / (STDDEV_SAMP(l_quantity) OVER ()), 4)
+                  AS scaled_qty
+         FROM lineitem""",
+
+    "q_minmax_scaler" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND((l_extendedprice - MIN(l_extendedprice) OVER ())
+                      / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6)
+                  AS scaled_price
+         FROM lineitem""",
+
+    "q_maxabs_scaler" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_discount / (MAX(ABS(l_discount)) OVER ()), 6) AS scaled_disc
+         FROM lineitem""",
+
+    "q_imputer" ->
+      """WITH x AS (SELECT o_orderkey,
+                           CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price
+                    FROM orders)
+         SELECT o_orderkey,
+                ROUND(COALESCE(price, AVG(price) OVER ()), 4) AS price_filled
+         FROM x""",
+
+    "q_string_indexer" ->
+      """SELECT c_mktsegment,
+                CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment ASC) - 1 AS DOUBLE)
+                  AS seg_idx
+         FROM customer GROUP BY c_mktsegment""",
+
+    "q_onehot" ->
+      """SELECT n_nationkey,
+                CASE WHEN n_regionkey = (SELECT MAX(n_regionkey) FROM nation)
+                     THEN -1 ELSE n_regionkey END AS hot_idx
+         FROM nation""",
+
+    "q_count_vectorizer" ->
+      """WITH toks AS (
+           SELECT doc_id, t AS term
+           FROM documents,
+                unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1)) AS u(t)
+         ),
+         counts AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term)
+         SELECT term, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) - 1 AS idx
+         FROM counts ORDER BY idx LIMIT 200""",
+
+    "q_idf" ->
+      """WITH toks AS (
+           SELECT doc_id, t AS term
+           FROM documents,
+                unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1)) AS u(t)
+         ),
+         counts AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         top AS (SELECT term, df, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) - 1 AS idx
+                 FROM counts ORDER BY idx LIMIT 200),
+         m AS (SELECT COUNT(*) AS numdocs FROM documents)
+         SELECT term, ROUND(LN((m.numdocs + 1.0) / (df + 1.0)), 6) AS idf
+         FROM top, m""",
+
+    "q_kbins_uniform" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+         SELECT LEAST(GREATEST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 5)), 0), 4) AS bin,
+                COUNT(*) AS n
+         FROM lineitem, b GROUP BY 1 ORDER BY 1""",
+
+    "q_variance_selector" ->
+      """SELECT dim FROM (
+           SELECT 0 AS dim, VAR_SAMP(l_quantity) AS v FROM lineitem
+           UNION ALL SELECT 1, VAR_SAMP(l_discount) FROM lineitem
+           UNION ALL SELECT 2, VAR_SAMP(l_tax) FROM lineitem
+         ) WHERE v > 1.0""",
+
+    "q_vector_functions" ->
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"""
   )
 }

@@ -1,0 +1,541 @@
+package graft.feature
+
+import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.param._
+import graft.util.ReadWrite
+
+// ---------------------------------------------------------------------------
+// Imputer
+// ---------------------------------------------------------------------------
+
+object ImputerStrategy {
+  val MEAN = "mean"
+  val MEDIAN = "median"
+  val MOST_FREQUENT = "most_frequent"
+}
+
+/**
+ * Imputer: fill missing values (missingValue or NaN or null) in numeric
+ * columns with the column mean / median / most frequent value.
+ * Reference: feature/imputer/Imputer.java:63 (strategy aggregators).
+ */
+class Imputer extends Estimator[Imputer, ImputerModel]
+    with HasInputCols[Imputer] with HasOutputCols[Imputer]
+    with HasRelativeError[Imputer] {
+
+  final val strategy: Param[String] =
+    param[String]("strategy", "Imputation strategy: mean|median|most_frequent",
+      ImputerStrategy.MEAN,
+      ParamValidators.inArray(ImputerStrategy.MEAN, ImputerStrategy.MEDIAN, ImputerStrategy.MOST_FREQUENT))
+  final val missingValue: Param[Double] =
+    param[Double]("missingValue", "The placeholder for missing values", Double.NaN)
+  def setStrategy(v: String): Imputer = set(strategy, v)
+  def setMissingValue(v: Double): Imputer = set(missingValue, v)
+  def getStrategy: String = get(strategy)
+  def getMissingValue: Double = get(missingValue)
+
+  override def fit(inputs: DataFrame*): ImputerModel = {
+    require(inputs.size == 1)
+    require(getInputCols.length == getOutputCols.length)
+    val df = inputs.head
+    val miss = getMissingValue
+    val cols = getInputCols
+
+    def valid(c: String) = {
+      val base = col(c).cast("double")
+      val notMissing = if (miss.isNaN) !isnan(base) else base =!= miss && !isnan(base)
+      when(base.isNotNull && notMissing, base)
+    }
+
+    val surrogates: Array[Double] = getStrategy match {
+      case ImputerStrategy.MEAN =>
+        val row = df.select(cols.map(c => avg(valid(c)).as(c)).toIndexedSeq: _*).head()
+        cols.indices.map(i => row.getDouble(i)).toArray
+      case ImputerStrategy.MEDIAN =>
+        val acc = math.max(1, (1.0 / getRelativeError).toInt)
+        val row = df.select(cols.map(c =>
+          percentile_approx(valid(c), lit(0.5), lit(acc)).as(c)).toIndexedSeq: _*).head()
+        cols.indices.map(i => row.getDouble(i)).toArray
+      case ImputerStrategy.MOST_FREQUENT =>
+        // one shuffle for all cols: (colIdx, value) counts; tie → smallest value
+        val counts = df.select(posexplode(array(cols.map(valid).toIndexedSeq: _*)).as(Seq("ci", "v")))
+          .where(col("v").isNotNull)
+          .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
+          .collect()
+        val byCol = counts.groupBy(_.getInt(0))
+        cols.indices.map { i =>
+          byCol(i).map(r => (r.getDouble(1), r.getLong(2))).minBy { case (v, c) => (-c, v) }._1
+        }.toArray
+    }
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val modelDf = cols.zip(surrogates).toSeq.toDF("columnName", "surrogate")
+    val m = new ImputerModel().setModelData(modelDf)
+    copyParamsTo(m)
+    m
+  }
+}
+object Imputer extends StageLoader[Imputer] {
+  def load(spark: SparkSession, path: String): Imputer = ReadWrite.applyParams(new Imputer, path)
+}
+
+class ImputerModel extends Model[ImputerModel]
+    with HasInputCols[ImputerModel] with HasOutputCols[ImputerModel] {
+
+  final val missingValue: Param[Double] =
+    param[Double]("missingValue", "The placeholder for missing values", Double.NaN)
+  def getMissingValue: Double = get(missingValue)
+
+  private var modelData: DataFrame = _
+  override def setModelData(data: DataFrame*): ImputerModel = { modelData = data.head; this }
+  override def getModelData: Array[DataFrame] = Array(modelData)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val surrogates = modelData.select("columnName", "surrogate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val miss = getMissingValue
+    var out = inputs.head
+    getInputCols.zip(getOutputCols).foreach { case (in, o) =>
+      val s = surrogates(in)
+      val base = col(in).cast("double")
+      val isMissing =
+        if (miss.isNaN) base.isNull || isnan(base)
+        else base.isNull || isnan(base) || base === miss
+      out = out.withColumn(o, when(isMissing, lit(s)).otherwise(base))
+    }
+    Array(out)
+  }
+}
+object ImputerModel extends StageLoader[ImputerModel] {
+  def load(spark: SparkSession, path: String): ImputerModel = {
+    val m = ReadWrite.applyParams(new ImputerModel, path)
+    m.setModelData(ReadWrite.loadModelData(spark, path))
+  }
+}
+
+// ---------------------------------------------------------------------------
+// OneHotEncoder
+// ---------------------------------------------------------------------------
+
+/**
+ * OneHotEncoder: category index columns → sparse indicator vectors.
+ * Model data = (colIdx, maxIndex); output vector size = maxIndex +
+ * (dropLast ? 0 : 1); an index equal to the vector size yields the
+ * all-zero vector. Reference: feature/onehotencoder/OneHotEncoder.java:74,
+ * OneHotEncoderModel.java (GenerateOutputsFunction).
+ */
+class OneHotEncoder extends Estimator[OneHotEncoder, OneHotEncoderModel]
+    with HasInputCols[OneHotEncoder] with HasOutputCols[OneHotEncoder] {
+
+  final val dropLast: Param[Boolean] =
+    param[Boolean]("dropLast", "Whether to drop the last category", true)
+  def setDropLast(v: Boolean): OneHotEncoder = set(dropLast, v)
+  def getDropLast: Boolean = get(dropLast)
+
+  override def fit(inputs: DataFrame*): OneHotEncoderModel = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    val cols = getInputCols
+    val row = df.select(cols.map(c => max(col(c).cast("double")).as(c)).toIndexedSeq: _*).head()
+    val maxIndices = cols.indices.map { i =>
+      val m = row.getDouble(i)
+      require(m == math.floor(m) && m >= 0, s"Value $m cannot be parsed as indexed integer.")
+      (i, m.toInt)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val modelDf = maxIndices.toDF("colIdx", "maxIndex")
+    val m = new OneHotEncoderModel().setModelData(modelDf)
+    copyParamsTo(m)
+    m
+  }
+}
+object OneHotEncoder extends StageLoader[OneHotEncoder] {
+  def load(spark: SparkSession, path: String): OneHotEncoder =
+    ReadWrite.applyParams(new OneHotEncoder, path)
+}
+
+class OneHotEncoderModel extends Model[OneHotEncoderModel]
+    with HasInputCols[OneHotEncoderModel] with HasOutputCols[OneHotEncoderModel] {
+
+  final val dropLast: Param[Boolean] =
+    param[Boolean]("dropLast", "Whether to drop the last category", true)
+  def getDropLast: Boolean = get(dropLast)
+
+  private var modelData: DataFrame = _
+  override def setModelData(data: DataFrame*): OneHotEncoderModel = { modelData = data.head; this }
+  override def getModelData: Array[DataFrame] = Array(modelData)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val maxIdx = modelData.select("colIdx", "maxIndex").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val offset = if (getDropLast) 0 else 1
+    var out = inputs.head
+    getInputCols.zip(getOutputCols).zipWithIndex.foreach { case ((in, o), i) =>
+      val size = maxIdx(i) + offset
+      val enc = udf { n: java.lang.Double =>
+        if (n == null) null
+        else {
+          require(n.doubleValue() == n.intValue().toDouble,
+            s"Value $n cannot be parsed as indexed integer.")
+          val idx = n.intValue()
+          if (idx == size) Vectors.sparse(size, Array.empty[Int], Array.empty[Double])
+          else Vectors.sparse(size, Array(idx), Array(1.0))
+        }
+      }
+      out = out.withColumn(o, enc(col(in).cast("double")))
+    }
+    Array(out)
+  }
+}
+object OneHotEncoderModel extends StageLoader[OneHotEncoderModel] {
+  def load(spark: SparkSession, path: String): OneHotEncoderModel = {
+    val m = ReadWrite.applyParams(new OneHotEncoderModel, path)
+    m.setModelData(ReadWrite.loadModelData(spark, path))
+  }
+}
+
+// ---------------------------------------------------------------------------
+// VectorIndexer
+// ---------------------------------------------------------------------------
+
+/**
+ * VectorIndexer: per-dimension categorical detection — dims with at
+ * most maxCategories distinct values are mapped to indices (ascending
+ * order, except 0.0 always maps to index 0 for sparsity); other dims
+ * pass through. Reference: feature/vectorindexer/VectorIndexer.java:91.
+ */
+class VectorIndexer extends Estimator[VectorIndexer, VectorIndexerModel]
+    with HasInputCol[VectorIndexer] with HasOutputCol[VectorIndexer]
+    with HasHandleInvalid[VectorIndexer] {
+
+  final val maxCategories: Param[Int] =
+    param[Int]("maxCategories", "Max distinct values for a categorical dim", 20, ParamValidators.gtEq(2))
+  def setMaxCategories(v: Int): VectorIndexer = set(maxCategories, v)
+  def getMaxCategories: Int = get(maxCategories)
+
+  override def fit(inputs: DataFrame*): VectorIndexerModel = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    val maxCat = getMaxCategories
+    // distinct values per dim, capped: one shuffle on (dim, value)
+    val distincts = df
+      .select(posexplode(org.apache.spark.ml.functions.vector_to_array(col(getInputCol)))
+        .as(Seq("dim", "value")))
+      .groupBy("dim").agg(collect_set("value").as("values"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+
+    val entries = distincts.flatMap { case (dim, values) =>
+      if (values.length <= maxCat) {
+        java.util.Arrays.sort(values)
+        // 0.0 (if present) moves to index 0; others keep ascending order
+        val zeroAt = java.util.Arrays.binarySearch(values, 0.0)
+        val ordered =
+          if (zeroAt >= 0) 0.0 +: (values.take(zeroAt) ++ values.drop(zeroAt + 1))
+          else values
+        ordered.zipWithIndex.map { case (v, i) => (dim, v, i) }
+      } else Array.empty[(Int, Double, Int)]
+    }
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val modelDf = entries.toSeq.toDF("dim", "value", "index")
+    val m = new VectorIndexerModel().setModelData(modelDf)
+    copyParamsTo(m)
+    m
+  }
+}
+object VectorIndexer extends StageLoader[VectorIndexer] {
+  def load(spark: SparkSession, path: String): VectorIndexer =
+    ReadWrite.applyParams(new VectorIndexer, path)
+}
+
+class VectorIndexerModel extends Model[VectorIndexerModel]
+    with HasInputCol[VectorIndexerModel] with HasOutputCol[VectorIndexerModel]
+    with HasHandleInvalid[VectorIndexerModel] {
+
+  private var modelData: DataFrame = _
+  override def setModelData(data: DataFrame*): VectorIndexerModel = { modelData = data.head; this }
+  override def getModelData: Array[DataFrame] = Array(modelData)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    val maps: Map[Int, Map[Double, Int]] = modelData.select("dim", "value", "index").collect()
+      .groupBy(_.getInt(0))
+      .map { case (d, rows) => d -> rows.map(r => r.getDouble(1) -> r.getInt(2)).toMap }
+    val bc = df.sparkSession.sparkContext.broadcast(maps)
+    val invalid = getHandleInvalid
+    val f = udf { v: Vector =>
+      if (v == null) null
+      else {
+        val m = bc.value
+        val a = v.toArray
+        val out = new Array[Double](a.length)
+        var bad = false
+        var i = 0
+        while (i < a.length) {
+          m.get(i) match {
+            case Some(cat) =>
+              cat.get(a(i)) match {
+                case Some(idx) => out(i) = idx.toDouble
+                case None => invalid match {
+                  case HandleInvalid.KEEP  => out(i) = cat.size.toDouble
+                  case HandleInvalid.SKIP  => bad = true
+                  case HandleInvalid.ERROR =>
+                    throw new RuntimeException(s"Found unseen value ${a(i)} in dimension $i.")
+                }
+              }
+            case None => out(i) = a(i) // continuous dim passes through
+          }
+          i += 1
+        }
+        if (bad) null else Vectors.dense(out)
+      }
+    }
+    var out = df.withColumn(getOutputCol, f(col(getInputCol)))
+    if (invalid == HandleInvalid.SKIP)
+      out = out.filter(col(getOutputCol).isNotNull || col(getInputCol).isNull)
+    Array(out)
+  }
+}
+object VectorIndexerModel extends StageLoader[VectorIndexerModel] {
+  def load(spark: SparkSession, path: String): VectorIndexerModel = {
+    val m = ReadWrite.applyParams(new VectorIndexerModel, path)
+    m.setModelData(ReadWrite.loadModelData(spark, path))
+  }
+}
+
+// ---------------------------------------------------------------------------
+// VarianceThresholdSelector
+// ---------------------------------------------------------------------------
+
+/**
+ * VarianceThresholdSelector: drop vector dims whose sample variance is
+ * <= varianceThreshold (strictly greater survive).
+ * Reference: feature/variancethresholdselector/VarianceThresholdSelector.java:65.
+ */
+class VarianceThresholdSelector
+    extends Estimator[VarianceThresholdSelector, VarianceThresholdSelectorModel]
+    with HasInputCol[VarianceThresholdSelector] with HasOutputCol[VarianceThresholdSelector] {
+
+  final val varianceThreshold: Param[Double] =
+    param[Double]("varianceThreshold", "Dims with variance <= threshold are removed", 0.0,
+      ParamValidators.gtEq(0))
+  def setVarianceThreshold(v: Double): VarianceThresholdSelector = set(varianceThreshold, v)
+  def getVarianceThreshold: Double = get(varianceThreshold)
+
+  override def fit(inputs: DataFrame*): VarianceThresholdSelectorModel = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    val stats = VectorStats.compute(df, getInputCol)
+    val std = stats.std
+    val keep = std.indices.filter(i => std(i) * std(i) > getVarianceThreshold).toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    val modelDf = Seq((stats.sum.length, keep)).toDF("numFeatures", "indices")
+    val m = new VarianceThresholdSelectorModel().setModelData(modelDf)
+    copyParamsTo(m)
+    m
+  }
+}
+object VarianceThresholdSelector extends StageLoader[VarianceThresholdSelector] {
+  def load(spark: SparkSession, path: String): VarianceThresholdSelector =
+    ReadWrite.applyParams(new VarianceThresholdSelector, path)
+}
+
+class VarianceThresholdSelectorModel extends Model[VarianceThresholdSelectorModel]
+    with HasInputCol[VarianceThresholdSelectorModel] with HasOutputCol[VarianceThresholdSelectorModel] {
+
+  private var modelData: DataFrame = _
+  override def setModelData(data: DataFrame*): VarianceThresholdSelectorModel = { modelData = data.head; this }
+  override def getModelData: Array[DataFrame] = Array(modelData)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val keep = modelData.select("indices").head().getSeq[Int](0).toArray
+    val slicer = udf { v: Vector =>
+      v match {
+        case null => null
+        case d: DenseVector => Vectors.dense(keep.map(d.apply))
+        case s: SparseVector =>
+          val pairs = keep.zipWithIndex.flatMap { case (orig, ni) =>
+            val x = s(orig); if (x != 0.0) Some((ni, x)) else None
+          }
+          Vectors.sparse(keep.length, pairs.map(_._1), pairs.map(_._2))
+      }
+    }
+    Array(inputs.head.withColumn(getOutputCol, slicer(col(getInputCol))))
+  }
+}
+object VarianceThresholdSelectorModel extends StageLoader[VarianceThresholdSelectorModel] {
+  def load(spark: SparkSession, path: String): VarianceThresholdSelectorModel = {
+    val m = ReadWrite.applyParams(new VarianceThresholdSelectorModel, path)
+    m.setModelData(ReadWrite.loadModelData(spark, path))
+  }
+}
+
+// ---------------------------------------------------------------------------
+// KBinsDiscretizer
+// ---------------------------------------------------------------------------
+
+object KBinsStrategy {
+  val UNIFORM = "uniform"
+  val QUANTILE = "quantile"
+  val KMEANS = "kmeans"
+}
+
+/**
+ * KBinsDiscretizer: bin each vector dimension into numBins buckets;
+ * strategy uniform (min/max widths), quantile (evenly spaced ranks on
+ * a subsample), kmeans (1-D k-means on a subsample). Constant dims get
+ * edges (-inf, +inf) → all zero. Duplicate bin edges are collapsed.
+ * Reference: feature/kbinsdiscretizer/KBinsDiscretizer.java:87.
+ */
+class KBinsDiscretizer extends Estimator[KBinsDiscretizer, KBinsDiscretizerModel]
+    with HasInputCol[KBinsDiscretizer] with HasOutputCol[KBinsDiscretizer]
+    with HasSeed[KBinsDiscretizer] {
+
+  final val numBins: Param[Int] =
+    param[Int]("numBins", "Number of bins to produce", 5, ParamValidators.gtEq(2))
+  final val strategy: Param[String] =
+    param[String]("strategy", "Bin width strategy: uniform|quantile|kmeans",
+      KBinsStrategy.QUANTILE,
+      ParamValidators.inArray(KBinsStrategy.UNIFORM, KBinsStrategy.QUANTILE, KBinsStrategy.KMEANS))
+  final val subSamples: Param[Int] =
+    param[Int]("subSamples", "Max samples used for quantile/kmeans strategies", 200000, ParamValidators.gtEq(2))
+  def setNumBins(v: Int): KBinsDiscretizer = set(numBins, v)
+  def setStrategy(v: String): KBinsDiscretizer = set(strategy, v)
+  def setSubSamples(v: Int): KBinsDiscretizer = set(subSamples, v)
+  def getNumBins: Int = get(numBins)
+  def getStrategy: String = get(strategy)
+  def getSubSamples: Int = get(subSamples)
+
+  override def fit(inputs: DataFrame*): KBinsDiscretizerModel = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    val k = getNumBins
+
+    val binEdges: Array[Array[Double]] = getStrategy match {
+      case KBinsStrategy.UNIFORM =>
+        val stats = VectorStats.compute(df, getInputCol)
+        stats.min.indices.map { d =>
+          val (lo, hi) = (stats.min(d), stats.max(d))
+          if (lo == hi) Array(Double.NegativeInfinity, Double.PositiveInfinity)
+          else {
+            val width = (hi - lo) / k
+            val e = new Array[Double](k + 1)
+            e(0) = lo
+            var i = 1; while (i <= k) { e(i) = e(i - 1) + width; i += 1 }
+            e
+          }
+        }.toArray
+      case s =>
+        val sample = df.select(col(getInputCol)).rdd
+          .map(_.getAs[Vector](0)).filter(_ != null)
+          .takeSample(withReplacement = false, getSubSamples, getSeed)
+        require(sample.nonEmpty, "The training set is empty.")
+        val dims = sample.head.size
+        Array.tabulate(dims) { d =>
+          val feats = sample.map(_(d)).sorted
+          if (feats.head == feats.last) Array(Double.NegativeInfinity, Double.PositiveInfinity)
+          else if (s == KBinsStrategy.QUANTILE) {
+            val raw =
+              if (feats.length > k) {
+                val width = feats.length.toDouble / k
+                Array.tabulate(k)(i => feats((i * width).toInt)) :+ feats.last
+              } else feats
+            val dedup = raw.distinct
+            if (dedup.length == 1) Array(dedup(0), dedup(0)) else dedup
+          } else { // kmeans on 1-D sample
+            KBinsDiscretizer.kmeans1D(feats, k)
+          }
+        }
+    }
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val modelDf = binEdges.zipWithIndex.map { case (e, d) => (d, e) }.toSeq.toDF("dim", "edges")
+    val m = new KBinsDiscretizerModel().setModelData(modelDf)
+    copyParamsTo(m)
+    m
+  }
+}
+object KBinsDiscretizer extends StageLoader[KBinsDiscretizer] {
+  def load(spark: SparkSession, path: String): KBinsDiscretizer =
+    ReadWrite.applyParams(new KBinsDiscretizer, path)
+
+  /** Lloyd's k-means on sorted 1-D data; bin edges = midpoints between
+    * adjacent final centroids (reference findBinEdgesWithKMeansStrategy). */
+  private[feature] def kmeans1D(sorted: Array[Double], k: Int): Array[Double] = {
+    val n = sorted.length
+    var centroids = Array.tabulate(k)(i => sorted(((i + 0.5) * n / k).toInt.min(n - 1)))
+    var iter = 0
+    var moved = true
+    while (iter < 100 && moved) {
+      val sums = new Array[Double](k); val counts = new Array[Long](k)
+      sorted.foreach { x =>
+        var best = 0; var bestD = math.abs(x - centroids(0))
+        var j = 1
+        while (j < k) { val d = math.abs(x - centroids(j)); if (d < bestD) { bestD = d; best = j }; j += 1 }
+        sums(best) += x; counts(best) += 1
+      }
+      val next = Array.tabulate(k)(j => if (counts(j) > 0) sums(j) / counts(j) else centroids(j))
+      moved = next.zip(centroids).exists { case (a, b) => math.abs(a - b) > 1e-12 }
+      centroids = next
+      iter += 1
+    }
+    java.util.Arrays.sort(centroids)
+    val mids = (0 until k - 1).map(j => (centroids(j) + centroids(j + 1)) / 2).toArray
+    (sorted.head +: mids :+ sorted.last).distinct
+  }
+}
+
+class KBinsDiscretizerModel extends Model[KBinsDiscretizerModel]
+    with HasInputCol[KBinsDiscretizerModel] with HasOutputCol[KBinsDiscretizerModel] {
+
+  private var modelData: DataFrame = _
+  override def setModelData(data: DataFrame*): KBinsDiscretizerModel = { modelData = data.head; this }
+  override def getModelData: Array[DataFrame] = Array(modelData)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    val edges = modelData.select("dim", "edges").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val bc = df.sparkSession.sparkContext.broadcast(edges)
+    val f = udf { v: Vector =>
+      if (v == null) null
+      else {
+        val e = bc.value
+        val a = v.toArray
+        val out = new Array[Double](a.length)
+        var d = 0
+        while (d < a.length) {
+          val ed = e(d)
+          var i = java.util.Arrays.binarySearch(ed, a(d))
+          if (i < 0) i = -i - 1 else if (i < ed.length) i += 1
+          // clamp into [1, len-1] then shift to bucket id
+          val bucket = math.min(math.max(i, 1), ed.length - 1) - 1
+          out(d) = bucket.toDouble
+          d += 1
+        }
+        Vectors.dense(out)
+      }
+    }
+    Array(df.withColumn(getOutputCol, f(col(getInputCol))))
+  }
+}
+object KBinsDiscretizerModel extends StageLoader[KBinsDiscretizerModel] {
+  def load(spark: SparkSession, path: String): KBinsDiscretizerModel = {
+    val m = ReadWrite.applyParams(new KBinsDiscretizerModel, path)
+    m.setModelData(ReadWrite.loadModelData(spark, path))
+  }
+}

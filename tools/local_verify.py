@@ -19,15 +19,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _norm_cell(v):
+    import numpy as np
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
+            return None
+        return round(float(v), 9)
+    if isinstance(v, np.integer):
+        return int(v)
+    return v
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize float noise
     for c in df.columns:
-        if df[c].dtype == "float64" or df[c].dtype == "float32":
-            df[c] = df[c].apply(lambda x: None if x is None or (isinstance(x, float) and math.isnan(x))
-                                else round(x, 9))
-        elif df[c].dtype == "object":
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list,)) else v)
+        if df[c].dtype in ("float64", "float32", "object"):
+            df[c] = df[c].apply(_norm_cell)
     df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort",
                         key=lambda s: s.map(lambda x: (x is None, x)))
     return df
