@@ -15,18 +15,22 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the SURVEY §7.2 minimum slice — VectorAssembler →
+    * StandardScaler → KMeans pipeline on sf0.001 lineitem; driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val li = t(spark, dir, "lineitem")
-    val assembled = new graft.feature.VectorAssembler()
-      .setInputCols("l_quantity", "l_extendedprice", "l_discount")
-      .setOutputCol("features").setInputSizes(1, 1, 1)
-      .transform(li).head
-    new graft.feature.SQLTransformer()
-      .setStatement("""SELECT l_returnflag, COUNT(*) AS n, ROUND(AVG(l_quantity), 4) AS avg_qty
-                       FROM __THIS__ GROUP BY l_returnflag""")
-      .transform(assembled).head
+    val pipeline = new graft.api.Pipeline(Seq(
+      new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_extendedprice", "l_discount")
+        .setOutputCol("raw").setInputSizes(1, 1, 1),
+      new graft.feature.StandardScaler()
+        .setInputCol("raw").setOutputCol("features"),
+      new graft.clustering.KMeans().setK(4).setMaxIter(5).setSeed(42L)))
+    val model = pipeline.fit(li)
+    model.transform(li).head
+      .groupBy("prediction").agg(count(lit(1)).as("n"), round(avg("l_quantity"), 4).as("avg_qty"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -247,6 +251,111 @@ object SparkEntry {
       s.sql("""SELECT vec_id,
                       vectorToArray(arrayToVector(CAST(embedding AS ARRAY<DOUBLE>))) AS emb
                FROM graft_embeddings""")
+    }),
+
+    // --- KMeans (train; deterministic given seed, cluster sizes) ---
+    "q_kmeans" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_extendedprice", "l_discount")
+        .setOutputCol("raw").setInputSizes(1, 1, 1)
+        .transform(li).head
+      val scaled = new graft.feature.StandardScaler()
+        .setInputCol("raw").setOutputCol("features")
+        .fit(assembled).transform(assembled).head
+      val model = new graft.clustering.KMeans()
+        .setK(4).setMaxIter(10).setSeed(42L).fit(scaled)
+      model.transform(scaled).head
+        .groupBy("prediction").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- LogisticRegressionModel inference with fixed coefficients ---
+    "q_logreg_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      import s.implicits._
+      val coeffs = Seq(Tuple1(Array(0.1, -2.0))).toDF("coefficient")
+        .select(org.apache.spark.ml.functions.array_to_vector(col("coefficient")).as("coefficient"))
+      val model = new graft.classification.LogisticRegressionModel().setModelData(coeffs)
+      model.transform(assembled).head
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("prediction"),
+          round(org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")).getItem(1), 6)
+            .as("prob"))
+    }),
+
+    // --- LinearRegressionModel inference with fixed coefficients ---
+    "q_linreg_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      import s.implicits._
+      val coeffs = Seq(Tuple1(Array(2.5, 100.0))).toDF("coefficient")
+        .select(org.apache.spark.ml.functions.array_to_vector(col("coefficient")).as("coefficient"))
+      val model = new graft.regression.LinearRegressionModel().setModelData(coeffs)
+      model.transform(assembled).head
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
+    // --- LinearSVCModel inference with fixed coefficients ---
+    "q_linsvc_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_extendedprice").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      import s.implicits._
+      val coeffs = Seq(Tuple1(Array(1.0, -0.001))).toDF("coefficient")
+        .select(org.apache.spark.ml.functions.array_to_vector(col("coefficient")).as("coefficient"))
+      val model = new graft.classification.LinearSVCModel().setModelData(coeffs)
+      model.transform(assembled).head
+        .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
+    }),
+
+    // --- LogisticRegression training end-to-end (rows-only smoke) ---
+    "q_logreg_train" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", (col("l_quantity") > 25).cast("double"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      val model = new graft.classification.LogisticRegression()
+        .setMaxIter(20).setGlobalBatchSize(1024).fit(assembled)
+      model.transform(assembled).head
+        .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- NaiveBayes train+predict (rows-only smoke) ---
+    "q_naive_bayes" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_linenumber", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      val model = new graft.classification.NaiveBayes().fit(assembled)
+      model.transform(assembled).head
+        .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- Knn predict (rows-only smoke; brute-force top-k) ---
+    "q_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("features"),
+          col("label").cast("double").as("label"), col("vec_id"))
+      val train = emb.where(col("vec_id") % 10 =!= 0)
+      val test = emb.where(col("vec_id") % 10 === 0).limit(500)
+      val model = new graft.classification.Knn().setK(5).fit(train)
+      model.transform(test).head
+        .groupBy("prediction").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -368,6 +477,23 @@ object SparkEntry {
          ) WHERE v > 1.0""",
 
     "q_vector_functions" ->
-      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"""
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings""",
+
+    "q_logreg_predict" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN 0.1 * l_quantity - 2.0 * l_discount >= 0 THEN 1.0 ELSE 0.0 END AS prediction,
+                ROUND(1.0 - 1.0 / (1.0 + EXP(0.1 * l_quantity - 2.0 * l_discount)), 6) AS prob
+         FROM lineitem""",
+
+    "q_linreg_predict" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(2.5 * l_quantity + 100.0 * l_tax, 6) AS prediction
+         FROM lineitem""",
+
+    "q_linsvc_predict" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN 1.0 * l_quantity - 0.001 * l_extendedprice >= 0 THEN 1.0 ELSE 0.0 END
+                  AS prediction
+         FROM lineitem"""
   )
 }
