@@ -245,12 +245,37 @@ object SparkEntry {
     }),
 
     // --- Functions: vectorToArray/arrayToVector round trip ---
+    // (project a hashable scalar — the driver's pandas comparer cannot
+    // hash a raw array column)
     "q_vector_functions" -> ((s, dir) => {
       graft.functions.Functions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
       s.sql("""SELECT vec_id,
-                      vectorToArray(arrayToVector(CAST(embedding AS ARRAY<DOUBLE>))) AS emb
+                      ROUND(aggregate(
+                        vectorToArray(arrayToVector(CAST(embedding AS ARRAY<DOUBLE>))),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x), 4) AS emb_sum,
+                      size(vectorToArray(arrayToVector(CAST(embedding AS ARRAY<DOUBLE>))))
+                        AS emb_len
                FROM graft_embeddings""")
+    }),
+
+    // --- PolynomialExpansion (degree 2 on a vector with zero elements) ---
+    "q_polynomial" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_discount", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      val out = new graft.feature.PolynomialExpansion()
+        .setInputCol("features").setOutputCol("poly").setDegree(2)
+        .transform(assembled).head
+      val poly = org.apache.spark.ml.functions.vector_to_array(col("poly"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(poly.getItem(0), 6).as("p_x"),
+        round(poly.getItem(1), 6).as("p_x2"),
+        round(poly.getItem(2), 6).as("p_y"),
+        round(poly.getItem(3), 6).as("p_xy"),
+        round(poly.getItem(4), 6).as("p_y2"))
     }),
 
     // --- KMeans (train; deterministic given seed, cluster sizes) ---
@@ -477,7 +502,19 @@ object SparkEntry {
          ) WHERE v > 1.0""",
 
     "q_vector_functions" ->
-      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings""",
+      """SELECT vec_id,
+                ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS emb_sum,
+                len(embedding) AS emb_len
+         FROM embeddings""",
+
+    "q_polynomial" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_discount, 6) AS p_x,
+                ROUND(l_discount * l_discount, 6) AS p_x2,
+                ROUND(l_tax, 6) AS p_y,
+                ROUND(l_discount * l_tax, 6) AS p_xy,
+                ROUND(l_tax * l_tax, 6) AS p_y2
+         FROM lineitem""",
 
     "q_logreg_predict" ->
       """SELECT l_orderkey, l_linenumber,

@@ -296,26 +296,28 @@ object PolynomialExpansion extends StageLoader[PolynomialExpansion] {
 
   private def expandDense(values: Array[Double], lastIdx: Int, degree: Int,
       multiplier: Double, out: Array[Double], curOut: Int): Int = {
-    var cur = curOut
     if (multiplier == 0.0) {
-      // do nothing
+      // do nothing — the output slots stay 0
     } else if (degree == 0 || lastIdx < 0) {
-      if (cur >= 0) out(cur) = multiplier
+      if (curOut >= 0) out(curOut) = multiplier
     } else {
       val v = values(lastIdx)
       val lastIdx1 = lastIdx - 1
       var alpha = multiplier
       var i = 0
-      var curStart = cur
+      var curStart = curOut
       while (i <= degree && alpha != 0.0) {
         curStart = expandDense(values, lastIdx1, degree - i, alpha, out, curStart)
         i += 1
         alpha *= v
       }
-      cur = curStart
-      return cur
     }
-    cur + (if (degree == 0 || lastIdx < 0) 1 else polySize(lastIdx + 1, degree))
+    // Always advance the cursor by the full block size regardless of the
+    // alpha==0 early exit above — a zero element still owns its slots
+    // (they remain 0.0); returning the partial cursor would left-shift
+    // every later term. polySize(n, 0) == polySize(0, d) == 1, so this
+    // also covers the leaf cases.
+    curOut + polySize(lastIdx + 1, degree)
   }
 
   private[feature] def expand(v: Vector, degree: Int): Vector = {

@@ -104,6 +104,19 @@ class VectorTransformersSpec extends SparkSpec {
     assert(e3 == Vectors.dense(2.0, 4.0, 8.0, 3.0, 6.0, 12.0, 9.0, 18.0, 27.0))
   }
 
+  test("PolynomialExpansion with zero elements keeps term positions") {
+    // zero elements must not left-shift later terms (ADVICE round-2 high)
+    assert(PolynomialExpansion.expand(Vectors.dense(0.0, 2.0), 2) ==
+      Vectors.dense(0.0, 0.0, 2.0, 0.0, 4.0))
+    assert(PolynomialExpansion.expand(Vectors.dense(2.0, 0.0), 2) ==
+      Vectors.dense(2.0, 4.0, 0.0, 0.0, 0.0))
+    assert(PolynomialExpansion.expand(Vectors.dense(0.0, 0.0, 3.0), 2) ==
+      Vectors.dense(0.0, 0.0, 0.0, 0.0, 0.0, 3.0, 0.0, 0.0, 9.0))
+    // sparse input goes through the same dense path
+    assert(PolynomialExpansion.expand(Vectors.sparse(2, Array(1), Array(2.0)), 2) ==
+      Vectors.dense(0.0, 0.0, 2.0, 0.0, 4.0))
+  }
+
   test("DCT forward/inverse round trip and known values") {
     val x = Array(1.0, 2.0, 3.0, 4.0)
     val y = DCT.dct2(x)
