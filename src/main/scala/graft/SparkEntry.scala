@@ -278,6 +278,36 @@ object SparkEntry {
         round(poly.getItem(4), 6).as("p_y2"))
     }),
 
+    // --- MinHashLSH approxSimilarityJoin: near-duplicate document pairs ---
+    // 3-word shingles → exact vocabulary indices → banded MinHash
+    // signatures → equi-join on (table, signature) → true-Jaccard
+    // filter. With 10 hash tables the miss probability for a pair at
+    // distance ≤0.5 is ≤ 0.5^10 ≈ 1e-3 per pair (the planted near-dups
+    // sit at distance ≤0.1 → miss ≤ 1e-10), so the approximate join
+    // recovers exactly the exact-Jaccard pair set the oracle computes.
+    "q_minhash_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(docs).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val cv = new graft.feature.CountVectorizer()
+        .setVocabularySize(1 << 17).setInputCol("shingles").setOutputCol("tf")
+        .fit(grams)
+      val vecs = cv.transform(grams).head.select("doc_id", "tf")
+      val model = new graft.feature.MinHashLSH()
+        .setInputCol("tf").setOutputCol("hashes")
+        .setSeed(2022L).setNumHashTables(10)
+        .fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.5, "doc_id")
+        .where(col("datasetA_id") < col("datasetB_id"))
+        .select(col("datasetA_id").as("id_a"), col("datasetB_id").as("id_b"),
+          round(col("distCol"), 6).as("jaccard_dist"))
+    }),
+
     // --- KMeans (train; deterministic given seed, cluster sizes) ---
     "q_kmeans" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -515,6 +545,27 @@ object SparkEntry {
                 ROUND(l_discount * l_tax, 6) AS p_xy,
                 ROUND(l_tax * l_tax, 6) AS p_y2
          FROM lineitem""",
+
+    "q_minhash_join" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 FOR i IN range(1, len(ws) - 1)]) AS sg
+           FROM toks WHERE len(ws) >= 3
+         ),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  1.0 - CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sg, b.sg))) AS dist
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b, ROUND(dist, 6) AS jaccard_dist
+         FROM pairs WHERE dist <= 0.5""",
 
     "q_logreg_predict" ->
       """SELECT l_orderkey, l_linenumber,
