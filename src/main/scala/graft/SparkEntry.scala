@@ -308,6 +308,27 @@ object SparkEntry {
           round(col("distCol"), 6).as("jaccard_dist"))
     }),
 
+    // --- MinHash near-dup dedup: LSH join → connected components → canonical doc ---
+    "q_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(docs).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val cv = new graft.feature.CountVectorizer()
+        .setVocabularySize(1 << 17).setInputCol("shingles").setOutputCol("tf")
+        .fit(grams)
+      val vecs = cv.transform(grams).head.select("doc_id", "tf")
+      new graft.dedup.MinHashDeduplicator()
+        .setIdCol("doc_id").setInputCol("tf")
+        .setSeed(2022L).setNumHashTables(10).setThreshold(0.5)
+        .transform(vecs).head
+        .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
+    }),
+
     // --- KMeans (train; deterministic given seed, cluster sizes) ---
     "q_kmeans" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -566,6 +587,32 @@ object SparkEntry {
          )
          SELECT id_a, id_b, ROUND(dist, 6) AS jaccard_dist
          FROM pairs WHERE dist <= 0.5""",
+
+    "q_dedup" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 FOR i IN range(1, len(ws) - 1)]) AS sg
+           FROM toks WHERE len(ws) >= 3
+         ),
+         edges AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+           WHERE 1.0 - CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sg, b.sg))) <= 0.5
+         ),
+         reach(s, d) AS (
+           SELECT doc_id, doc_id FROM sh
+           UNION
+           SELECT r.s, e.v FROM reach r JOIN edges e ON r.d = e.u
+         )
+         SELECT s AS doc_id, MIN(d) AS canonical_id, MIN(d) <> s AS is_duplicate
+         FROM reach GROUP BY s""",
 
     "q_logreg_predict" ->
       """SELECT l_orderkey, l_linenumber,

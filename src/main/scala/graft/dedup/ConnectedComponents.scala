@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed connected components over an edge list, used to group
+ * near-duplicate pairs into clusters.
+ *
+ * Algorithm: iterative min-label propagation on the symmetrized edge
+ * list. Each round every vertex takes the minimum label among itself
+ * and its neighbors; convergence after O(cluster diameter) rounds.
+ * Near-duplicate clusters are dense (most members pair with most
+ * others), so the diameter is tiny in practice — typically ≤ 3 — and
+ * each round is a single shuffle-join plus a map-side-combined min
+ * aggregate on the EDGE table only, never the full document table.
+ *
+ * Scale notes (100 TB design): the edge list produced by an LSH
+ * similarity join is orders of magnitude smaller than the corpus
+ * (only colliding pairs under the distance threshold). Lineage is
+ * truncated with localCheckpoint every few rounds so the plan does
+ * not grow unboundedly with iterations.
+ */
+object ConnectedComponents {
+
+  /**
+   * @param edges DataFrame with two columns naming vertex pairs; any
+   *              orderable vertex type (long ids, strings, ...).
+   * @return DataFrame (id, component) — one row per vertex that
+   *         appears in `edges`; `component` is the minimum vertex id
+   *         reachable from `id` (a canonical cluster representative).
+   */
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min neighbor label per vertex (partial aggregation map-side)
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min("component").as("nbrMin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"),
+          (coalesce(col("nbrMin"), col("component")) < col("component")).as("changed"))
+      val mat =
+        if ((iter + 1) % 5 == 0) next.localCheckpoint(true)
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
+      converged = mat.where(col("changed")).isEmpty
+      labels.unpersist()
+      labels = mat.select("id", "component")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

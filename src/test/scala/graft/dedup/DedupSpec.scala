@@ -1,0 +1,33 @@
+package graft.dedup
+
+import org.apache.spark.ml.linalg.Vectors
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("ConnectedComponents: chain and singleton clusters get min-id labels") {
+    import spark.implicits._
+    // 1-2-3 chain, 10-11 pair, 20-20 self loop (degenerate, dropped)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("MinHashDeduplicator groups near-identical shingle sets and flags non-canonical members") {
+    import spark.implicits._
+    val shared = (0 until 19).toArray
+    val df = Seq(
+      (5L, Vectors.sparse(100, shared :+ 30, Array.fill(20)(1.0))),
+      (7L, Vectors.sparse(100, shared :+ 40, Array.fill(20)(1.0))), // dist to 5 = 1-19/21 ≈ 0.095
+      (9L, Vectors.sparse(100, Array(50, 51, 52), Array.fill(3)(1.0)))
+    ).toDF("doc_id", "vec")
+    val out = new MinHashDeduplicator()
+      .setIdCol("doc_id").setInputCol("vec")
+      .setSeed(2022L).setNumHashTables(10).setThreshold(0.2)
+      .transform(df).head
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((5L, 5L, false), (7L, 5L, true), (9L, 9L, false)))
+  }
+}
