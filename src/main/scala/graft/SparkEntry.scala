@@ -308,6 +308,64 @@ object SparkEntry {
           round(col("distCol"), 6).as("jaccard_dist"))
     }),
 
+    // --- BinaryClassificationEvaluator: all four metrics on a tie-free score ---
+    // (ties in the score would make the per-record trapezoid walk
+    // order-dependent; the added epsilon term keyed on the unique
+    // (orderkey, linenumber) makes every score distinct on both sides)
+    "q_auc" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        .withColumn("score", col("l_extendedprice") +
+          (col("l_orderkey") * 10 + col("l_linenumber")) * lit(1e-9))
+      new graft.evaluation.BinaryClassificationEvaluator()
+        .setMetricsNames("areaUnderROC", "areaUnderPR", "areaUnderLorenz", "ks")
+        .setRawPredictionCol("score")
+        .transform(li).head
+        .select(round(col("areaUnderROC"), 6).as("areaUnderROC"),
+          round(col("areaUnderPR"), 6).as("areaUnderPR"),
+          round(col("areaUnderLorenz"), 6).as("areaUnderLorenz"),
+          round(col("ks"), 6).as("ks"))
+    }),
+
+    // --- ChiSqTest (statistic + dof vs SQL contingency; pValue is unit-tested) ---
+    "q_chisq" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_linenumber", "l_quantity").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      new graft.stats.ChiSqTest().setFlatten(true).transform(assembled).head
+        .select(col("featureIndex"), col("degreeOfFreedom"),
+          round(col("statistic"), 4).as("statistic"))
+    }),
+
+    // --- ANOVATest (F statistic + dof vs SQL group sums) ---
+    "q_anova" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", col("l_linenumber").cast("double"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_extendedprice", "l_discount").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      new graft.stats.ANOVATest().setFlatten(true).transform(assembled).head
+        .select(col("featureIndex"), col("degreeOfFreedom"),
+          round(col("fValue"), 6).as("fValue"))
+    }),
+
+    // --- FValueTest (regression F vs SQL correlation) ---
+    "q_fvalue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", col("l_extendedprice"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1, 1)
+        .transform(li).head
+      new graft.stats.FValueTest().setFlatten(true).transform(assembled).head
+        .select(col("featureIndex"), col("degreeOfFreedom"),
+          round(col("fValue"), 6).as("fValue"))
+    }),
+
     // --- MinHash near-dup dedup: LSH join → connected components → canonical doc ---
     "q_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -587,6 +645,103 @@ object SparkEntry {
          )
          SELECT id_a, id_b, ROUND(dist, 6) AS jaccard_dist
          FROM pairs WHERE dist <= 0.5""",
+
+    "q_auc" ->
+      """WITH d AS (
+           SELECT l_extendedprice + (l_orderkey * 10 + l_linenumber) * 1e-9 AS score,
+                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem
+         ),
+         t AS (SELECT SUM(y) AS tp, SUM(1 - y) AS tn, COUNT(*) AS n FROM d),
+         w AS (
+           SELECT y,
+                  SUM(y) OVER (ORDER BY score DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+                  SUM(1 - y) OVER (ORDER BY score DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                  ROW_NUMBER() OVER (ORDER BY score DESC) AS rn
+           FROM d
+         ),
+         m AS (
+           SELECT cp / t.tp AS tpr, cn / t.tn AS fpr,
+                  cp / (cp + cn) AS prec, (cp + cn) / t.n AS rate,
+                  LAG(cp / t.tp, 1, 0.0) OVER (ORDER BY rn) AS ptpr,
+                  LAG(cn / t.tn, 1, 0.0) OVER (ORDER BY rn) AS pfpr,
+                  LAG(cp / (cp + cn), 1, 1.0) OVER (ORDER BY rn) AS pprec,
+                  LAG((cp + cn) / t.n, 1, 0.0) OVER (ORDER BY rn) AS prate
+           FROM w, t
+         )
+         SELECT ROUND(SUM((fpr - pfpr) * (tpr + ptpr) / 2), 6) AS areaUnderROC,
+                ROUND(SUM((tpr - ptpr) * (prec + pprec) / 2), 6) AS areaUnderPR,
+                ROUND(SUM((rate - prate) * (tpr + ptpr) / 2), 6) AS areaUnderLorenz,
+                ROUND(MAX(ABS(fpr - tpr)), 6) AS ks
+         FROM m""",
+
+    "q_chisq" ->
+      """WITH d AS (
+           SELECT 0 AS fidx, CAST(l_linenumber AS DOUBLE) AS v,
+                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS lab FROM lineitem
+           UNION ALL
+           SELECT 1, CAST(l_quantity AS DOUBLE),
+                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END FROM lineitem
+         ),
+         tot AS (SELECT fidx, CAST(COUNT(*) AS DOUBLE) AS t FROM d GROUP BY fidx),
+         rs AS (SELECT fidx, v, CAST(COUNT(*) AS DOUBLE) AS rv FROM d GROUP BY fidx, v),
+         cs AS (SELECT fidx, lab, CAST(COUNT(*) AS DOUBLE) AS cl FROM d GROUP BY fidx, lab),
+         obs AS (SELECT fidx, v, lab, CAST(COUNT(*) AS DOUBLE) AS o FROM d GROUP BY fidx, v, lab),
+         cells AS (
+           SELECT rs.fidx, rs.v, cs.lab, rs.rv * cs.cl / tot.t AS e, COALESCE(obs.o, 0.0) AS o
+           FROM rs JOIN cs ON rs.fidx = cs.fidx JOIN tot ON tot.fidx = rs.fidx
+           LEFT JOIN obs ON obs.fidx = rs.fidx AND obs.v = rs.v AND obs.lab = cs.lab
+         ),
+         dims AS (SELECT fidx, COUNT(DISTINCT v) AS nv, COUNT(DISTINCT lab) AS nl
+                  FROM d GROUP BY fidx)
+         SELECT c.fidx AS featureIndex,
+                CAST((dims.nv - 1) * (dims.nl - 1) AS BIGINT) AS degreeOfFreedom,
+                ROUND(SUM((c.o - c.e) * (c.o - c.e) / c.e), 4) AS statistic
+         FROM cells c JOIN dims ON dims.fidx = c.fidx
+         GROUP BY c.fidx, dims.nv, dims.nl""",
+
+    "q_anova" ->
+      """WITH d AS (
+           SELECT 0 AS fidx, CAST(l_linenumber AS DOUBLE) AS lab, l_extendedprice AS x FROM lineitem
+           UNION ALL
+           SELECT 1, CAST(l_linenumber AS DOUBLE), l_discount FROM lineitem
+         ),
+         g AS (SELECT fidx, lab, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s, SUM(x * x) AS ss
+               FROM d GROUP BY fidx, lab),
+         tots AS (SELECT fidx, SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+                         CAST(COUNT(*) AS DOUBLE) AS k
+                  FROM g GROUP BY fidx),
+         calc AS (
+           SELECT g.fidx,
+                  SUM(g.n * POWER(g.s / g.n - tots.s / tots.n, 2)) AS ssb,
+                  ANY_VALUE(tots.ss) - ANY_VALUE(tots.n) * POWER(ANY_VALUE(tots.s) / ANY_VALUE(tots.n), 2) AS sstot,
+                  ANY_VALUE(tots.n) AS n, ANY_VALUE(tots.k) AS k
+           FROM g JOIN tots ON g.fidx = tots.fidx GROUP BY g.fidx
+         )
+         SELECT fidx AS featureIndex,
+                CAST((k - 1) + (n - k) AS BIGINT) AS degreeOfFreedom,
+                ROUND((ssb / (k - 1)) / ((sstot - ssb) / (n - k)), 6) AS fValue
+         FROM calc""",
+
+    "q_fvalue" ->
+      """WITH d AS (
+           SELECT 0 AS fidx, CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y FROM lineitem
+           UNION ALL SELECT 1, l_discount, l_extendedprice FROM lineitem
+           UNION ALL SELECT 2, l_tax, l_extendedprice FROM lineitem
+         ),
+         g AS (SELECT fidx, CAST(COUNT(*) AS DOUBLE) AS n,
+                      AVG(x) AS xm, STDDEV_SAMP(x) AS xs,
+                      AVG(y) AS ym, STDDEV_SAMP(y) AS ys,
+                      SUM(x * y) AS sxy
+               FROM d GROUP BY fidx)
+         SELECT fidx AS featureIndex,
+                CAST(n - 2 AS BIGINT) AS degreeOfFreedom,
+                ROUND(POWER(((sxy - n * xm * ym) / (n - 1)) / (ys * xs), 2)
+                      / (1 - POWER(((sxy - n * xm * ym) / (n - 1)) / (ys * xs), 2))
+                      * (n - 2), 6) AS fValue
+         FROM g""",
 
     "q_dedup" ->
       """WITH RECURSIVE toks AS (

@@ -148,8 +148,13 @@ class FValueTest extends AlgoOperator[FValueTest] with OneToOne[FValueTest]
       val cov = (sxy - n * xm * ym) / (n - 1)
       val corr = cov / (ys * xs)
       val dof = n - 2
-      val f = corr * corr / (1 - corr * corr) * dof
-      val p = 1.0 - new FDistribution(1.0, dof.toDouble).cumulativeProbability(f)
+      // clamp r² at 1: float noise can push |corr| past 1, which would
+      // flip the denominator sign; a perfectly correlated feature gets
+      // F = +∞, p = 0 instead of NaN
+      val r2 = math.min(corr * corr, 1.0)
+      val f = if (r2 == 1.0) Double.PositiveInfinity else r2 / (1 - r2) * dof
+      val p = if (f.isPosInfinity) 0.0
+        else 1.0 - new FDistribution(1.0, dof.toDouble).cumulativeProbability(f)
       (fidx, p, dof, f)
     }.toSeq
 
