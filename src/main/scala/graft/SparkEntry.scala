@@ -138,14 +138,17 @@ object SparkEntry {
           .as("scaled_disc"))
     }),
 
-    // --- RobustScaler (approximate quantiles → rows-only check) ---
+    // --- RobustScaler (exact-mode quantiles vs SQL rank oracle) ---
     "q_robust_scaler" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_extendedprice").setOutputCol("features").setInputSizes(1)
         .transform(li).head
+      // relativeError 1e-7 ⇒ accuracy 1e7 ≫ n: the GK sketch degenerates
+      // to exact quantiles, so a SQL rank-select oracle applies
       val scaled = new graft.feature.RobustScaler()
         .setInputCol("features").setOutputCol("scaled").setWithCentering(true)
+        .setRelativeError(1e-7)
         .fit(assembled).transform(assembled).head
       scaled.select(col("l_orderkey"), col("l_linenumber"),
         round(org.apache.spark.ml.functions.vector_to_array(col("scaled")).getItem(0), 6)
@@ -479,17 +482,33 @@ object SparkEntry {
         .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
     }),
 
-    // --- Knn predict (rows-only smoke; brute-force top-k) ---
+    // --- Knn predict (brute-force top-5 majority vote vs SQL rank oracle) ---
     "q_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(org.apache.spark.ml.functions.array_to_vector(
           col("embedding").cast("array<double>")).as("features"),
           col("label").cast("double").as("label"), col("vec_id"))
       val train = emb.where(col("vec_id") % 10 =!= 0)
-      val test = emb.where(col("vec_id") % 10 === 0).limit(500)
+      val test = emb.where(col("vec_id") % 10 === 0)
       val model = new graft.classification.Knn().setK(5).fit(train)
-      model.transform(test).head
-        .groupBy("prediction").agg(count(lit(1)).as("n"))
+      model.transform(test).head.select("vec_id", "prediction")
+    }),
+
+    // --- KMeansModel inference with fixed centroids ---
+    "q_kmeans_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      import s.implicits._
+      val cents = Seq((0, Array(10.0, 0.02)), (1, Array(25.0, 0.05)), (2, Array(40.0, 0.08)))
+        .toDF("centroidId", "arr")
+        .select(col("centroidId"),
+          org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"))
+      val model = new graft.clustering.KMeansModel().setModelData(cents)
+      model.transform(assembled).head
+        .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
     })
   )
 
@@ -784,6 +803,99 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
                 CASE WHEN 1.0 * l_quantity - 0.001 * l_extendedprice >= 0 THEN 1.0 ELSE 0.0 END
                   AS prediction
-         FROM lineitem"""
+         FROM lineitem""",
+
+    "q_knn" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                             CAST(label AS DOUBLE) AS label
+                      FROM embeddings),
+         tr AS (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+         te AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
+         pairs AS (
+           SELECT te.vec_id, tr.label, list_distance(te.e, tr.e) AS dist
+           FROM te CROSS JOIN tr
+         ),
+         top AS (
+           SELECT vec_id, label FROM (
+             SELECT vec_id, label,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist) AS rk
+             FROM pairs)
+           WHERE rk <= 5
+         ),
+         votes AS (SELECT vec_id, label, COUNT(*) AS c FROM top GROUP BY vec_id, label)
+         SELECT vec_id, label AS prediction FROM (
+           SELECT vec_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, label ASC) AS rk
+           FROM votes)
+         WHERE rk = 1""",
+
+    "q_kmeans_predict" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber,
+                           CAST(l_quantity AS DOUBLE) AS x, l_discount AS y,
+                           (CAST(l_quantity AS DOUBLE) - 10.0) * (CAST(l_quantity AS DOUBLE) - 10.0)
+                             + (l_discount - 0.02) * (l_discount - 0.02) AS d0,
+                           (CAST(l_quantity AS DOUBLE) - 25.0) * (CAST(l_quantity AS DOUBLE) - 25.0)
+                             + (l_discount - 0.05) * (l_discount - 0.05) AS d1,
+                           (CAST(l_quantity AS DOUBLE) - 40.0) * (CAST(l_quantity AS DOUBLE) - 40.0)
+                             + (l_discount - 0.08) * (l_discount - 0.08) AS d2
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                     WHEN d1 <= d2 THEN 1 ELSE 2 END AS prediction
+         FROM d""",
+
+    "q_naive_bayes" ->
+      """WITH d AS (SELECT CAST(l_linenumber AS DOUBLE) AS f0, l_tax AS f1,
+                           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label
+                    FROM lineitem),
+         expl AS (SELECT label, 0 AS j, f0 AS v FROM d
+                  UNION ALL SELECT label, 1, f1 FROM d),
+         cnt AS (SELECT label, j, v, CAST(COUNT(*) AS DOUBLE) AS c FROM expl GROUP BY label, j, v),
+         doc AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS n FROM d GROUP BY label),
+         dist AS (SELECT j, CAST(COUNT(DISTINCT v) AS DOUBLE) AS cj FROM expl GROUP BY j),
+         vals AS (SELECT DISTINCT j, v FROM expl),
+         theta AS (
+           SELECT doc.label, vals.j, vals.v,
+                  ln(COALESCE(cnt.c, 0) + 1.0) - ln(doc.n + 1.0 * dist.cj) AS th
+           FROM doc CROSS JOIN vals
+           JOIN dist ON dist.j = vals.j
+           LEFT JOIN cnt ON cnt.label = doc.label AND cnt.j = vals.j AND cnt.v = vals.v
+         ),
+         consts AS (SELECT SUM(n) AS bign, CAST(COUNT(*) AS DOUBLE) AS l, 2.0 AS f FROM doc),
+         pi AS (SELECT doc.label, ln(doc.n * consts.f + 1.0)
+                       - ln(consts.bign * consts.f + consts.l * 1.0) AS pi
+                FROM doc, consts),
+         rows_ AS (SELECT *, ROW_NUMBER() OVER () AS rid FROM d),
+         scored AS (
+           SELECT r.rid, r.label AS truth, pi.label AS cand, pi.pi + t0.th + t1.th AS p
+           FROM rows_ r
+           CROSS JOIN pi
+           JOIN theta t0 ON t0.label = pi.label AND t0.j = 0 AND t0.v = r.f0
+           JOIN theta t1 ON t1.label = pi.label AND t1.j = 1 AND t1.v = r.f1
+         ),
+         pred AS (
+           SELECT rid, truth, cand AS prediction FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY rid ORDER BY p DESC, cand ASC) AS rk
+             FROM scored)
+           WHERE rk = 1
+         )
+         SELECT truth AS label, prediction, COUNT(*) AS n FROM pred GROUP BY truth, prediction""",
+
+    "q_robust_scaler" ->
+      """WITH ranks AS (
+           SELECT l_extendedprice AS value,
+                  ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM lineitem
+         ),
+         q AS (
+           SELECT MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS lo,
+                  MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS med,
+                  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS hi
+           FROM ranks
+         )
+         SELECT l_orderkey, l_linenumber,
+                ROUND((l_extendedprice - q.med) / (q.hi - q.lo), 6) AS scaled_price
+         FROM lineitem, q"""
   )
 }
