@@ -311,6 +311,172 @@ object SparkEntry {
           round(col("distCol"), 6).as("jaccard_dist"))
     }),
 
+    // --- Normalizer (L2) ---
+    "q_normalizer" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1, 1)
+        .transform(li).head
+      val out = new graft.feature.Normalizer()
+        .setInputCol("features").setOutputCol("norm").setP(2.0)
+        .transform(assembled).head
+      val na = org.apache.spark.ml.functions.vector_to_array(col("norm"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(na.getItem(0), 6).as("nx"),
+        round(na.getItem(1), 6).as("ny"),
+        round(na.getItem(2), 6).as("nz"))
+    }),
+
+    // --- DCT (orthogonal DCT-II over 3 dims) ---
+    "q_dct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1, 1)
+        .transform(li).head
+      val out = new graft.feature.DCT()
+        .setInputCol("features").setOutputCol("dct")
+        .transform(assembled).head
+      val da = org.apache.spark.ml.functions.vector_to_array(col("dct"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(da.getItem(0), 6).as("d0"),
+        round(da.getItem(1), 6).as("d1"),
+        round(da.getItem(2), 6).as("d2"))
+    }),
+
+    // --- ElementwiseProduct ---
+    "q_elementwise" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_extendedprice").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      val out = new graft.feature.ElementwiseProduct()
+        .setScalingVec(org.apache.spark.ml.linalg.Vectors.dense(0.5, 0.01))
+        .setInputCol("features").setOutputCol("prod")
+        .transform(assembled).head
+      val pa = org.apache.spark.ml.functions.vector_to_array(col("prod"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(pa.getItem(0), 6).as("half_qty"),
+        round(pa.getItem(1), 6).as("cent_price"))
+    }),
+
+    // --- Interaction ((q, d) × (t) → (q·t, d·t)) ---
+    "q_interaction" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a1 = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount").setOutputCol("v1")
+        .setInputSizes(1, 1).transform(li).head
+      val a2 = new graft.feature.VectorAssembler()
+        .setInputCols("l_tax").setOutputCol("v2").setInputSizes(1)
+        .transform(a1).head
+      val out = new graft.feature.Interaction()
+        .setInputCols("v1", "v2").setOutputCol("inter")
+        .transform(a2).head
+      val ia = org.apache.spark.ml.functions.vector_to_array(col("inter"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(ia.getItem(0), 6).as("qt"),
+        round(ia.getItem(1), 6).as("dt"))
+    }),
+
+    // --- VectorSlicer (reorder-slice (2, 0) of a 3-dim vector) ---
+    "q_vector_slicer" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1, 1)
+        .transform(li).head
+      val out = new graft.feature.VectorSlicer()
+        .setIndices(2, 0).setInputCol("features").setOutputCol("sliced")
+        .transform(assembled).head
+      val sa = org.apache.spark.ml.functions.vector_to_array(col("sliced"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(sa.getItem(0), 6).as("s_tax"),
+        round(sa.getItem(1), 6).as("s_qty"))
+    }),
+
+    // --- VectorIndexer (categorical dims → ascending value indices, 0.0 first) ---
+    "q_vector_indexer" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_linenumber", "l_tax").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      val model = new graft.feature.VectorIndexer()
+        .setMaxCategories(20).setInputCol("features").setOutputCol("indexed")
+        .fit(assembled)
+      val out = model.transform(assembled).head
+      val xa = org.apache.spark.ml.functions.vector_to_array(col("indexed"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        xa.getItem(0).as("ln_idx"), xa.getItem(1).as("tax_idx"))
+    }),
+
+    // --- StopWordsRemover (english defaults) ---
+    "q_stopwords" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val out = new graft.feature.StopWordsRemover()
+        .setInputCols("tokens").setOutputCols("filtered")
+        .transform(toks).head
+      out.select(col("doc_id"), size(col("filtered")).cast("long").as("n_tokens"))
+    }),
+
+    // --- StringIndexer → IndexToString round trip ---
+    "q_index_to_string" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val model = new graft.feature.StringIndexer()
+        .setInputCols("c_mktsegment").setOutputCols("seg_idx")
+        .setStringOrderType("frequencyDesc").fit(cust)
+      val indexed = model.transform(cust).head
+      val back = new graft.feature.IndexToStringModel()
+        .setModelData(model.getModelData: _*)
+        .setInputCols("seg_idx").setOutputCols("seg_back")
+        .transform(indexed).head
+      back.select(col("c_mktsegment"), col("seg_back")).distinct()
+    }),
+
+    // --- RandomSplitter (splits partition the input: no row lost or duplicated) ---
+    "q_random_splitter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val splits = new graft.feature.RandomSplitter()
+        .setWeights(0.8, 0.2).setSeed(42L)
+        .transform(li)
+      import s.implicits._
+      val counts = splits.map(_.count())
+      Seq((counts.sum, counts.length)).toDF("total_rows", "n_splits")
+    }),
+
+    // --- HashingTF (murmur3 bucket per distinct term; literal-pinned oracle) ---
+    "q_hashing_tf" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val terms = toks.select(explode(col("tokens")).as("term")).distinct()
+        .withColumn("arr", array(col("term")))
+      val tf = new graft.feature.HashingTF()
+        .setNumFeatures(1 << 18).setInputCol("arr").setOutputCol("vec")
+        .transform(terms).head
+      tf.select(col("term"),
+        (array_position(org.apache.spark.ml.functions.vector_to_array(col("vec")), 1.0) - 1)
+          .cast("long").as("idx"))
+    }),
+
+    // --- FeatureHasher (string + numeric columns; literal-pinned oracle) ---
+    "q_feature_hasher" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .withColumn("nk1", col("n_nationkey") + 1)
+      val out = new graft.feature.FeatureHasher()
+        .setNumFeatures(1 << 18).setInputCols("n_name", "nk1").setOutputCol("vec")
+        .transform(nat).head
+      out.select(col("n_nationkey"),
+        posexplode(org.apache.spark.ml.functions.vector_to_array(col("vec")))
+          .as(Seq("idx", "val")))
+        .where(col("val") =!= 0.0)
+        .select(col("n_nationkey"), col("idx").cast("long").as("idx"), col("val"))
+    }),
+
     // --- BinaryClassificationEvaluator: all four metrics on a tie-free score ---
     // (ties in the score would make the per-record trapezoid walk
     // order-dependent; the added epsilon term keyed on the unique
@@ -664,6 +830,97 @@ object SparkEntry {
          )
          SELECT id_a, id_b, ROUND(dist, 6) AS jaccard_dist
          FROM pairs WHERE dist <= 0.5""",
+
+    "q_normalizer" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_quantity * (1.0 / sqrt(l_quantity * l_quantity
+                      + l_discount * l_discount + l_tax * l_tax)), 6) AS nx,
+                ROUND(l_discount * (1.0 / sqrt(l_quantity * l_quantity
+                      + l_discount * l_discount + l_tax * l_tax)), 6) AS ny,
+                ROUND(l_tax * (1.0 / sqrt(l_quantity * l_quantity
+                      + l_discount * l_discount + l_tax * l_tax)), 6) AS nz
+         FROM lineitem""",
+
+    "q_dct" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND((l_quantity * cos(pi() * 0.5 * 0 / 3)
+                       + l_discount * cos(pi() * 1.5 * 0 / 3)
+                       + l_tax * cos(pi() * 2.5 * 0 / 3)) * sqrt(1.0 / 3), 6) AS d0,
+                ROUND((l_quantity * cos(pi() * 0.5 * 1 / 3)
+                       + l_discount * cos(pi() * 1.5 * 1 / 3)
+                       + l_tax * cos(pi() * 2.5 * 1 / 3)) * sqrt(2.0 / 3), 6) AS d1,
+                ROUND((l_quantity * cos(pi() * 0.5 * 2 / 3)
+                       + l_discount * cos(pi() * 1.5 * 2 / 3)
+                       + l_tax * cos(pi() * 2.5 * 2 / 3)) * sqrt(2.0 / 3), 6) AS d2
+         FROM lineitem""",
+
+    "q_elementwise" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_quantity * 0.5, 6) AS half_qty,
+                ROUND(l_extendedprice * 0.01, 6) AS cent_price
+         FROM lineitem""",
+
+    "q_interaction" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_quantity * l_tax, 6) AS qt,
+                ROUND(l_discount * l_tax, 6) AS dt
+         FROM lineitem""",
+
+    "q_vector_slicer" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_tax, 6) AS s_tax,
+                ROUND(l_quantity, 6) AS s_qty
+         FROM lineitem""",
+
+    "q_vector_indexer" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(DENSE_RANK() OVER (ORDER BY l_linenumber) - 1 AS DOUBLE) AS ln_idx,
+                CAST(DENSE_RANK() OVER (ORDER BY l_tax) - 1 AS DOUBLE) AS tax_idx
+         FROM lineitem""",
+
+    "q_stopwords" ->
+      """SELECT doc_id,
+                len(list_filter(
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1),
+                  t -> t NOT IN ('a', 'the'))) AS n_tokens
+         FROM documents""",
+
+    "q_index_to_string" ->
+      """SELECT DISTINCT c_mktsegment, c_mktsegment AS seg_back FROM customer""",
+
+    // murmur3_32(seed 0) buckets pinned as literals (the oracle engine
+    // has no murmur3); guards against hash/mod regressions
+    "q_hashing_tf" ->
+      """SELECT * FROM (VALUES
+           ('a', 119066), ('agg', 86463), ('batch', 154047), ('big', 164857),
+           ('column', 244414), ('customer', 228414), ('data', 258302), ('dup', 159249),
+           ('fast', 229187), ('filter', 113002), ('group', 253378), ('hash', 18370),
+           ('join', 79088), ('key', 209372), ('line', 7401), ('merge', 236478),
+           ('order', 208133), ('part', 246112), ('query', 190797), ('row', 198308),
+           ('scan', 45778), ('slow', 82307), ('small', 97087), ('sort', 18941),
+           ('spark', 222490), ('stream', 181221), ('table', 172456), ('the', 30901),
+           ('value', 250123), ('vector', 136637), ('window', 55655)
+         ) t(term, idx)""",
+
+    "q_feature_hasher" ->
+      """SELECT * FROM (VALUES
+           (0, 128406, 1.0), (0, 231009, 1.0), (1, 55164, 1.0), (1, 231009, 2.0),
+           (2, 96511, 1.0), (2, 231009, 3.0), (3, 9046, 1.0), (3, 231009, 4.0),
+           (4, 69970, 1.0), (4, 231009, 5.0), (5, 199752, 1.0), (5, 231009, 6.0),
+           (6, 87432, 1.0), (6, 231009, 7.0), (7, 24314, 1.0), (7, 231009, 8.0),
+           (8, 115530, 1.0), (8, 231009, 9.0), (9, 18198, 1.0), (9, 231009, 10.0),
+           (10, 83858, 1.0), (10, 231009, 11.0), (11, 143484, 1.0), (11, 231009, 12.0),
+           (12, 213290, 1.0), (12, 231009, 13.0), (13, 32863, 1.0), (13, 231009, 14.0),
+           (14, 14515, 1.0), (14, 231009, 15.0), (15, 217583, 1.0), (15, 231009, 16.0),
+           (16, 189693, 1.0), (16, 231009, 17.0), (17, 81003, 1.0), (17, 231009, 18.0),
+           (18, 184401, 1.0), (18, 231009, 19.0), (19, 117297, 1.0), (19, 231009, 20.0),
+           (20, 231009, 21.0), (20, 247721, 1.0), (21, 3763, 1.0), (21, 231009, 22.0),
+           (22, 231009, 23.0), (22, 241650, 1.0), (23, 223189, 1.0), (23, 231009, 24.0),
+           (24, 152305, 1.0), (24, 231009, 25.0)
+         ) t(n_nationkey, idx, val)""",
+
+    "q_random_splitter" ->
+      """SELECT COUNT(*) AS total_rows, 2 AS n_splits FROM lineitem""",
 
     "q_auc" ->
       """WITH d AS (
