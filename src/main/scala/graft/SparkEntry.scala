@@ -281,6 +281,23 @@ object SparkEntry {
         round(poly.getItem(4), 6).as("p_y2"))
     }),
 
+    // --- UnivariateFeatureSelector (continuous/continuous → FValue ranking) ---
+    "q_univariate_selector" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", col("l_extendedprice"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount", "l_tax", "l_linenumber")
+        .setOutputCol("features").setInputSizes(1, 1, 1, 1)
+        .transform(li).head
+      val model = new graft.feature.UnivariateFeatureSelector()
+        .setFeatureType("continuous").setLabelType("continuous")
+        .setSelectionMode("numTopFeatures").setSelectionThreshold(2)
+        .fit(assembled)
+      model.getModelData.head
+        .select(explode(col("indices")).as("dim"))
+        .select(col("dim").cast("long").as("dim"))
+    }),
+
     // --- MinHashLSH approxSimilarityJoin: near-duplicate document pairs ---
     // 3-word shingles → exact vocabulary indices → banded MinHash
     // signatures → equi-join on (table, signature) → true-Jaccard
@@ -809,6 +826,27 @@ object SparkEntry {
                 ROUND(l_discount * l_tax, 6) AS p_xy,
                 ROUND(l_tax * l_tax, 6) AS p_y2
          FROM lineitem""",
+
+    "q_univariate_selector" ->
+      """WITH d AS (
+           SELECT 0 AS fidx, CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y FROM lineitem
+           UNION ALL SELECT 1, l_discount, l_extendedprice FROM lineitem
+           UNION ALL SELECT 2, l_tax, l_extendedprice FROM lineitem
+           UNION ALL SELECT 3, CAST(l_linenumber AS DOUBLE), l_extendedprice FROM lineitem
+         ),
+         g AS (SELECT fidx, CAST(COUNT(*) AS DOUBLE) AS n,
+                      AVG(x) AS xm, STDDEV_SAMP(x) AS xs,
+                      AVG(y) AS ym, STDDEV_SAMP(y) AS ys,
+                      SUM(x * y) AS sxy
+               FROM d GROUP BY fidx),
+         f AS (SELECT fidx,
+                      POWER(((sxy - n * xm * ym) / (n - 1)) / (ys * xs), 2)
+                      / (1 - POWER(((sxy - n * xm * ym) / (n - 1)) / (ys * xs), 2))
+                      * (n - 2) AS fv
+               FROM g)
+         SELECT CAST(fidx AS BIGINT) AS dim FROM (
+           SELECT fidx, ROW_NUMBER() OVER (ORDER BY fv DESC, fidx ASC) AS rk FROM f)
+         WHERE rk <= 2""",
 
     "q_minhash_join" ->
       """WITH toks AS (
