@@ -34,13 +34,20 @@ class NaiveBayes extends Estimator[NaiveBayes, NaiveBayesModel]
     val sm = getSmoothing
 
     // one shuffle: (label, featureIdx, value) → count; everything after
-    // operates on the (small) contingency table
+    // operates on the (small) contingency table. The limit bounds driver
+    // memory: a continuous feature fed as categorical would otherwise
+    // make the contingency collect O(rows)
     val counts = df.select(col(getLabelCol).cast("double").as("label"),
         posexplode(org.apache.spark.ml.functions.vector_to_array(col(getFeaturesCol)))
           .as(Seq("fidx", "value")))
       .groupBy("label", "fidx", "value").agg(count(lit(1)).as("cnt"))
+      .limit(NaiveBayes.MaxContingencyCells + 1)
       .collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    require(counts.length <= NaiveBayes.MaxContingencyCells,
+      s"NaiveBayes contingency table exceeds ${NaiveBayes.MaxContingencyCells} " +
+        "(label, feature, value) cells; features must be categorical — " +
+        "discretize continuous columns (e.g. Bucketizer/KBinsDiscretizer) first")
 
     val labels = counts.map(_._1).distinct.sorted
     val numFeatures = counts.map(_._2).max + 1
@@ -75,6 +82,9 @@ class NaiveBayes extends Estimator[NaiveBayes, NaiveBayesModel]
   }
 }
 object NaiveBayes extends StageLoader[NaiveBayes] {
+  /** Driver-memory bound on collected (label, feature, value) cells (~100 MB of rows). */
+  val MaxContingencyCells: Int = 1 << 22
+
   def load(spark: SparkSession, path: String): NaiveBayes =
     ReadWrite.applyParams(new NaiveBayes, path)
 }
@@ -98,7 +108,9 @@ class NaiveBayesModel extends Model[NaiveBayesModel]
       if (v == null) null
       else {
         val (ls, th) = bc.value
-        var bestLabel = 0.0
+        // start from the first model label so an all-minus-infinity
+        // posterior never yields a label the model does not contain
+        var bestLabel = ls.head._1
         var bestProb = Double.NegativeInfinity
         ls.foreach { case (label, pi) =>
           var p = pi

@@ -50,15 +50,18 @@ class Imputer extends Estimator[Imputer, ImputerModel]
       when(base.isNotNull && notMissing, base)
     }
 
+    def requireComputable(i: Int, ok: Boolean): Unit = require(ok,
+      s"Imputer surrogate cannot be computed: input column '${cols(i)}' contains no valid values")
+
     val surrogates: Array[Double] = getStrategy match {
       case ImputerStrategy.MEAN =>
         val row = df.select(cols.map(c => avg(valid(c)).as(c)).toIndexedSeq: _*).head()
-        cols.indices.map(i => row.getDouble(i)).toArray
+        cols.indices.map { i => requireComputable(i, !row.isNullAt(i)); row.getDouble(i) }.toArray
       case ImputerStrategy.MEDIAN =>
         val acc = math.max(1, (1.0 / getRelativeError).toInt)
         val row = df.select(cols.map(c =>
           percentile_approx(valid(c), lit(0.5), lit(acc)).as(c)).toIndexedSeq: _*).head()
-        cols.indices.map(i => row.getDouble(i)).toArray
+        cols.indices.map { i => requireComputable(i, !row.isNullAt(i)); row.getDouble(i) }.toArray
       case ImputerStrategy.MOST_FREQUENT =>
         // one shuffle for all cols: (colIdx, value) counts; tie → smallest value
         val counts = df.select(posexplode(array(cols.map(valid).toIndexedSeq: _*)).as(Seq("ci", "v")))
@@ -67,6 +70,7 @@ class Imputer extends Estimator[Imputer, ImputerModel]
           .collect()
         val byCol = counts.groupBy(_.getInt(0))
         cols.indices.map { i =>
+          requireComputable(i, byCol.contains(i))
           byCol(i).map(r => (r.getDouble(1), r.getLong(2))).minBy { case (v, c) => (-c, v) }._1
         }.toArray
     }
@@ -178,13 +182,19 @@ class OneHotEncoderModel extends Model[OneHotEncoderModel]
     val offset = if (getDropLast) 0 else 1
     var out = inputs.head
     getInputCols.zip(getOutputCols).zipWithIndex.foreach { case ((in, o), i) =>
-      val size = maxIdx(i) + offset
+      val max = maxIdx(i)
+      val size = max + offset
       val enc = udf { n: java.lang.Double =>
         if (n == null) null
         else {
           require(n.doubleValue() == n.intValue().toDouble,
             s"Value $n cannot be parsed as indexed integer.")
           val idx = n.intValue()
+          // only the dropped-last category (dropLast=true, idx == max ==
+          // size) maps to the all-zero vector; anything past the fitted
+          // range is an unseen category and fails loudly
+          require(idx >= 0 && idx <= max,
+            s"Index $idx is out of the fitted range [0, $max] for column '$in'.")
           if (idx == size) Vectors.sparse(size, Array.empty[Int], Array.empty[Double])
           else Vectors.sparse(size, Array(idx), Array(1.0))
         }

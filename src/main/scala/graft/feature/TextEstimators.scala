@@ -246,26 +246,31 @@ class StringIndexer extends Estimator[StringIndexer, StringIndexerModel]
     val df = inputs.head
     val order = getStringOrderType
 
-    // one shuffle for all columns: (colIdx, value) → count
+    // one shuffle for all columns: (colIdx, value) → count. Ordering and
+    // the maxIndexNum cap both stay distributed: a capped column becomes
+    // orderBy+limit (TakeOrdered — per-partition bounded heaps, driver
+    // receives only `cap` rows), an uncapped one a range-partitioned sort
+    // whose collect is O(vocabulary) — the size the model must hold anyway.
     val cols = getInputCols
-    val pairs = df.select(posexplode(array(
+    val counted = df.select(posexplode(array(
       cols.map(c => col(c).cast("string")).toIndexedSeq: _*)).as(Seq("colIdx", "value")))
       .where(col("value").isNotNull)
       .groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val byCol = pairs.groupBy(_.getInt(0))
+    val sortExprs: Seq[org.apache.spark.sql.Column] = order match {
+      case StringOrderType.FREQUENCY_DESC => Seq(col("cnt").desc, col("value").asc)
+      case StringOrderType.FREQUENCY_ASC  => Seq(col("cnt").asc, col("value").asc)
+      case StringOrderType.ALPHABET_DESC  => Seq(col("value").desc)
+      case _                              => Seq(col("value").asc) // alphabetAsc + arbitrary
+    }
+    val cap = getMaxIndexNum
     val arrays: Array[Array[String]] = cols.indices.map { i =>
-      val vs = byCol.getOrElse(i, Array.empty[Row]).map(r => (r.getString(1), r.getLong(2)))
-      val sorted = order match {
-        case StringOrderType.FREQUENCY_DESC => vs.sortBy { case (t, c) => (-c, t) }
-        case StringOrderType.FREQUENCY_ASC  => vs.sortBy { case (t, c) => (c, t) }
-        case StringOrderType.ALPHABET_DESC  => vs.sortBy(_._1)(Ordering[String].reverse)
-        case StringOrderType.ALPHABET_ASC   => vs.sortBy(_._1)
-        case _                              => vs.sortBy(_._1) // arbitrary → deterministic choice
-      }
-      sorted.take(getMaxIndexNum).map(_._1).toArray
+      val sorted = counted.where(col("colIdx") === i).orderBy(sortExprs: _*)
+      val capped = if (cap < Int.MaxValue) sorted.limit(cap) else sorted
+      capped.select("value").collect().map(_.getString(0))
     }.toArray
+    counted.unpersist(blocking = false)
 
     val spark = df.sparkSession
     import spark.implicits._

@@ -43,13 +43,18 @@ class ChiSqTest extends AlgoOperator[ChiSqTest] with OneToOne[ChiSqTest]
 
   override protected def transformOne(df: DataFrame): DataFrame = {
     // one shuffle: (featureIdx, value, label) → count; the contingency
-    // tables are O(distinct) and finish on the driver
+    // tables are O(distinct) and finish on the driver. The limit bounds
+    // driver memory against continuous columns fed as categorical
     val counts = df.select(col(getLabelCol).cast("double").as("label"),
         posexplode(org.apache.spark.ml.functions.vector_to_array(col(getFeaturesCol)))
           .as(Seq("fidx", "value")))
       .groupBy("fidx", "value", "label").agg(count(lit(1)).as("cnt"))
+      .limit(graft.classification.NaiveBayes.MaxContingencyCells + 1)
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    require(counts.length <= graft.classification.NaiveBayes.MaxContingencyCells,
+      s"ChiSqTest contingency table exceeds ${graft.classification.NaiveBayes.MaxContingencyCells} " +
+        "(feature, value, label) cells; both features and label must be categorical")
 
     val results = counts.groupBy(_._1).map { case (fidx, cells) =>
       val values = cells.map(_._2).distinct.sorted
@@ -87,14 +92,19 @@ class ANOVATest extends AlgoOperator[ANOVATest] with OneToOne[ANOVATest]
     with HasFeaturesCol[ANOVATest] with HasLabelCol[ANOVATest] with HasFlatten[ANOVATest] {
 
   override protected def transformOne(df: DataFrame): DataFrame = {
-    // one shuffle: per (featureIdx, label): n, sum, sumSq
+    // one shuffle: per (featureIdx, label): n, sum, sumSq. The limit
+    // bounds driver memory against a continuous label column
     val grouped = df.select(col(getLabelCol).cast("double").as("label"),
         posexplode(org.apache.spark.ml.functions.vector_to_array(col(getFeaturesCol)))
           .as(Seq("fidx", "value")))
       .groupBy("fidx", "label")
       .agg(count(lit(1)).as("n"), sum("value").as("s"), sum(col("value") * col("value")).as("ss"))
+      .limit(graft.classification.NaiveBayes.MaxContingencyCells + 1)
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    require(grouped.length <= graft.classification.NaiveBayes.MaxContingencyCells,
+      s"ANOVATest group table exceeds ${graft.classification.NaiveBayes.MaxContingencyCells} " +
+        "(feature, label) cells; the label must be categorical")
 
     val results = grouped.groupBy(_._1).map { case (fidx, classes) =>
       val n = classes.map(_._3).sum

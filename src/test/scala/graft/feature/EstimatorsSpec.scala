@@ -167,6 +167,28 @@ class EstimatorsSpec extends SparkSpec {
     assert(out2(2) == Vectors.sparse(3, Array(2), Array(1.0)))
   }
 
+  test("OneHotEncoder rejects unseen category indices") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.0).map(Tuple1(_)).toDF("c")
+    val model = new OneHotEncoder().setInputCols("c").setOutputCols("v")
+      .setDropLast(false).fit(df)
+    val bad = Seq(3.0).map(Tuple1(_)).toDF("c")
+    intercept[org.apache.spark.SparkException] {
+      model.transform(bad).head.collect()
+    }
+  }
+
+  test("Imputer fails loudly on an all-missing column") {
+    import spark.implicits._
+    val df = Seq(Some(Double.NaN), None, Some(Double.NaN)).map(Tuple1(_)).toDF("a")
+    Seq("mean", "median", "most_frequent").foreach { strategy =>
+      val e = intercept[IllegalArgumentException] {
+        new Imputer().setInputCols("a").setOutputCols("ao").setStrategy(strategy).fit(df)
+      }
+      assert(e.getMessage.contains("no valid values"), s"strategy=$strategy")
+    }
+  }
+
   test("VectorIndexer maps categorical dims (0 first), passes continuous") {
     import spark.implicits._
     val df = Seq(
