@@ -281,6 +281,21 @@ object SparkEntry {
         round(poly.getItem(4), 6).as("p_y2"))
     }),
 
+    // --- Swing item-recall (packed top-k parsed back into rows) ---
+    "q_swing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val behavior = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      val out = new graft.recommendation.Swing().setK(10)
+        .transform(behavior).head
+      val entry = split(col("entry"), ",")
+      out.select(col("item"), explode(split(col("output"), ";")).as("entry"))
+        .select(col("item"),
+          entry.getItem(0).cast("long").as("sim_item"),
+          round(entry.getItem(1).cast("double"), 6).as("score"))
+    }),
+
     // --- UnivariateFeatureSelector (continuous/continuous → FValue ranking) ---
     "q_univariate_selector" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -826,6 +841,27 @@ object SparkEntry {
                 ROUND(l_discount * l_tax, 6) AS p_xy,
                 ROUND(l_tax * l_tax, 6) AS p_y2
          FROM lineitem""",
+
+    "q_swing" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ui AS (SELECT u, list_sort(list(i)) AS items, COUNT(*) AS c FROM p GROUP BY u),
+         v AS (SELECT * FROM ui WHERE c BETWEEN 10 AND 1000),
+         vp AS (SELECT p.i, p.u, v.items, v.c FROM p JOIN v ON p.u = v.u),
+         up AS (SELECT a.i, a.items AS it1, b.items AS it2, a.c AS c1, b.c AS c2
+                FROM vp a JOIN vp b ON a.i = b.i AND a.u < b.u),
+         inter AS (SELECT i, list_intersect(it1, it2) AS xs, c1, c2 FROM up),
+         contrib AS (
+           SELECT i, unnest(list_filter(xs, x -> x <> i)) AS sim,
+                  (1.0 / POWER(15 + c1, 0.3)) * (1.0 / POWER(15 + c2, 0.3))
+                    / (0 + len(xs)) AS s
+           FROM inter),
+         scores AS (SELECT i, sim, SUM(s) AS score FROM contrib GROUP BY i, sim),
+         ranked AS (SELECT i, sim, score,
+                           ROW_NUMBER() OVER (PARTITION BY i ORDER BY score DESC, sim ASC) AS rk
+                    FROM scores)
+         SELECT i AS item, sim AS sim_item, ROUND(score, 6) AS score
+         FROM ranked WHERE rk <= 10""",
 
     "q_univariate_selector" ->
       """WITH d AS (

@@ -1,0 +1,143 @@
+package graft.recommendation
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.api.{AlgoOperator, StageLoader}
+import graft.param._
+import graft.util.ReadWrite
+
+/**
+ * Swing item-recall: items i and j are similar when many user pairs
+ * (u, v) bought both, weighted down by how active u and v are and by
+ * how much else they share:
+ *   w(i,j) = Σ_{u,v ∈ U_i∩U_j} 1/(α₁+|I_u|)^β · 1/(α₁+|I_v|)^β · 1/(α₂+|I_u∩I_v|)
+ * Output per item: "sim,score;sim,score;…" — top-k by score, exactly
+ * the reference's packed format.
+ * Reference: recommendation/swing/Swing.java:89 (semantics),
+ * :304-345 (per-item pair loop), :403-420 (purchaser cap),
+ * SwingParams.java:44-96 (defaults).
+ *
+ * Scale shape (100 TB design): the reference keys by item and loops
+ * user pairs in operator state; here every step is a shuffle-parallel
+ * DataFrame op — user filtering is one groupBy, the user-pair
+ * generation is a self-equi-join on item, and the per-pair
+ * intersection walks two pre-sorted arrays. The maxUserNumPerItem cap
+ * bounds the quadratic pair blow-up per hot item; it is applied as a
+ * deterministic hash-ranked top-N per item (the reference uses
+ * seed-dependent reservoir sampling over arrival order, which is
+ * equally arbitrary but not reproducible across shuffles).
+ */
+class Swing extends AlgoOperator[Swing]
+    with HasOutputCol[Swing] with HasSeed[Swing] {
+
+  final val userCol: Param[String] = param[String]("userCol", "User column name.", "user")
+  final val itemCol: Param[String] = param[String]("itemCol", "Item column name.", "item")
+  final val k: Param[Int] =
+    param[Int]("k", "The max number of similar items to output for each item.", 100,
+      ParamValidators.gt(0))
+  final val maxUserNumPerItem: Param[Int] =
+    param[Int]("maxUserNumPerItem", "The max number of users used by each item.", 1000,
+      ParamValidators.gt(0))
+  final val minUserBehavior: Param[Int] =
+    param[Int]("minUserBehavior", "The min number of items a user must interact with.", 10,
+      ParamValidators.gt(0))
+  final val maxUserBehavior: Param[Int] =
+    param[Int]("maxUserBehavior", "The max number of items a user may interact with.", 1000,
+      ParamValidators.gt(0))
+  final val alpha1: Param[Int] =
+    param[Int]("alpha1", "Smooth factor for the per-user weight.", 15, ParamValidators.gtEq(0))
+  final val alpha2: Param[Int] =
+    param[Int]("alpha2", "Smooth factor for the pair intersection size.", 0, ParamValidators.gtEq(0))
+  final val beta: Param[Double] =
+    param[Double]("beta", "Decay factor for the per-user weight.", 0.3, ParamValidators.gtEq(0))
+
+  def setUserCol(v: String): Swing = set(userCol, v)
+  def setItemCol(v: String): Swing = set(itemCol, v)
+  def setK(v: Int): Swing = set(k, v)
+  def setMaxUserNumPerItem(v: Int): Swing = set(maxUserNumPerItem, v)
+  def setMinUserBehavior(v: Int): Swing = set(minUserBehavior, v)
+  def setMaxUserBehavior(v: Int): Swing = set(maxUserBehavior, v)
+  def setAlpha1(v: Int): Swing = set(alpha1, v)
+  def setAlpha2(v: Int): Swing = set(alpha2, v)
+  def setBeta(v: Double): Swing = set(beta, v)
+  def getUserCol: String = get(userCol)
+  def getItemCol: String = get(itemCol)
+  def getK: Int = get(k)
+  def getMaxUserNumPerItem: Int = get(maxUserNumPerItem)
+  def getMinUserBehavior: Int = get(minUserBehavior)
+  def getMaxUserBehavior: Int = get(maxUserBehavior)
+  def getAlpha1: Int = get(alpha1)
+  def getAlpha2: Int = get(alpha2)
+  def getBeta: Double = get(beta)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    if (df.schema(getUserCol).dataType != LongType || df.schema(getItemCol).dataType != LongType)
+      throw new IllegalArgumentException("The types of user and item must be Long.")
+    if (getMaxUserBehavior < getMinUserBehavior)
+      throw new IllegalArgumentException(
+        s"The maxUserBehavior must be greater than or equal to minUserBehavior. " +
+          s"The current setting: maxUserBehavior=$getMaxUserBehavior, minUserBehavior=$getMinUserBehavior.")
+
+    val notNull = (c: String) => when(col(c).isNull,
+      raise_error(lit("Data of user and item column must not be null."))).otherwise(col(c))
+    val pairs = df.select(notNull(getUserCol).as("u"), notNull(getItemCol).as("i")).distinct()
+
+    // one shuffle: per-user item set (sorted for the merge-intersection),
+    // filtered to [minUserBehavior, maxUserBehavior]
+    val userItems = pairs.groupBy("u")
+      .agg(sort_array(collect_list("i")).as("items"), count(lit(1)).as("cnt"))
+      .where(col("cnt").between(getMinUserBehavior, getMaxUserBehavior))
+
+    // valid (user, item) pairs with the user's item set riding along;
+    // purchasers of a hot item capped to a deterministic hash-ranked top-N
+    val vp = pairs.join(userItems, "u")
+    val capWindow = Window.partitionBy("i").orderBy(xxhash64(col("u"), lit(getSeed)), col("u"))
+    val capped = vp.withColumn("rn", row_number().over(capWindow))
+      .where(col("rn") <= getMaxUserNumPerItem).drop("rn")
+
+    // all unordered purchaser pairs per item — an equi-join on item, the
+    // shuffle-parallel analog of the reference's per-item nested loop
+    val left = capped.select(col("i"), col("u").as("u1"), col("items").as("it1"), col("cnt").as("c1"))
+    val right = capped.select(col("i"), col("u").as("u2"), col("items").as("it2"), col("cnt").as("c2"))
+    val userPairs = left.join(right, Seq("i")).where(col("u1") < col("u2"))
+
+    // sorted-merge intersection: size includes the main item (reference
+    // interactionSize), the emitted sim list excludes it
+    val intersect = udf { (a: Seq[Long], b: Seq[Long], main: Long) =>
+      var i = 0; var j = 0; var size = 0
+      val sims = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { size += 1; if (a(i) != main) sims += a(i); i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      (size, sims.toSeq)
+    }
+    val a1 = getAlpha1; val a2 = getAlpha2; val bt = getBeta
+    val contrib = userPairs
+      .withColumn("inter", intersect(col("it1"), col("it2"), col("i")))
+      .select(col("i"),
+        explode(col("inter._2")).as("sim"),
+        ((lit(1.0) / pow(lit(a1) + col("c1"), lit(bt)))
+          * (lit(1.0) / pow(lit(a1) + col("c2"), lit(bt)))
+          / (lit(a2) + col("inter._1"))).as("s"))
+
+    val scores = contrib.groupBy("i", "sim").agg(sum("s").as("score"))
+    val rankWindow = Window.partitionBy("i").orderBy(col("score").desc, col("sim").asc)
+    val topk = scores.withColumn("rk", row_number().over(rankWindow)).where(col("rk") <= getK)
+
+    val pack = udf { rows: Seq[Row] =>
+      rows.sortBy(_.getInt(0)).map(r => s"${r.getLong(1)},${r.getDouble(2)}").mkString(";")
+    }
+    val out = topk.groupBy(col("i").as(getItemCol))
+      .agg(pack(collect_list(struct(col("rk"), col("sim"), col("score")))).as(getOutputCol))
+    Array(out)
+  }
+}
+object Swing extends StageLoader[Swing] {
+  def load(spark: SparkSession, path: String): Swing = ReadWrite.applyParams(new Swing, path)
+}
