@@ -281,6 +281,120 @@ object SparkEntry {
         round(poly.getItem(4), 6).as("p_y2"))
     }),
 
+    // --- Text quality statistics (pure-codegen projection) ---
+    "q_text_stats" -> ((s, dir) => {
+      val out = new graft.text.TextQualityScorer().setInputCol("text")
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("mean_token_len"), 6).as("mean_token_len"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("quality_score"), 6).as("quality_score"))
+    }),
+
+    // --- Language identification (stopword profiles) ---
+    "q_lang_id" -> ((s, dir) => {
+      val out = new graft.text.LanguageDetector().setInputCol("text")
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("detected_lang"), col("lang_hits_en"))
+    }),
+
+    // --- Token counting (whitespace / BPE-ish / chars-per-token estimate) ---
+    "q_token_count" -> ((s, dir) => {
+      val out = new graft.text.TokenCounter().setInputCol("text")
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"), col("n_est_tokens"))
+    }),
+
+    // --- Exact dedup by normalized content hash ---
+    "q_exact_dedup" -> ((s, dir) => {
+      val out = new graft.text.ExactDeduplicator()
+        .setIdCol("doc_id").setInputCol("text")
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("content_fingerprint"),
+        col("canonical_id"), col("is_exact_duplicate"))
+    }),
+
+    // --- SimHash near-dup pairs (banded Hamming join over 3-gram shingles) ---
+    // The oracle is the exact-Jaccard pair set: on this corpus the
+    // planted near-dups (distance ≤ 0.1) sit within ~10 SimHash bits
+    // while unrelated docs are ~32 bits apart, so a Hamming cut at 15
+    // (16 bands × 4 bits — wide recall, weaker per-band pruning; use
+    // fewer bands for tighter thresholds) recovers exactly the
+    // Jaccard ≤ 0.5 pairs.
+    "q_simhash" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val hasher = new graft.dedup.SimHasher()
+        .setInputCol("shingles").setOutputCol("fp")
+      val hashed = hasher.transform(grams).head
+      val candidates = hasher.similarityJoin(hashed, "doc_id", maxHamming = 15, numBands = 16)
+      // exact-Jaccard verification of the Hamming candidates (same
+      // candidates → true-distance shape as the MinHash join; SimHash
+      // of very short docs is noisy, so the cheap exact check on the
+      // tiny candidate set removes hash-coincidence pairs)
+      val sets = grams.select(col("doc_id"), array_distinct(col("shingles")).as("sg"))
+      val jac = udf { (a: Seq[String], b: Seq[String]) =>
+        val sa = a.toSet; val sb = b.toSet
+        1.0 - sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+      candidates
+        .join(sets.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), "id_b")
+        .where(jac(col("sg_a"), col("sg_b")) <= 0.5)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // --- Brute-force cosine top-k neighbors over embeddings ---
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val data = emb.where(col("vec_id") % 10 =!= 0)
+      val queries = emb.where(col("vec_id") % 10 === 0)
+      new graft.ann.BruteForceCosineKnn().setIdCol("vec_id").setVecCol("vec").setK(5)
+        .transform(data, queries).head
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("similarity"), 6).as("similarity"))
+    }),
+
+    // --- LSH-bucketed cosine neighbors (approximate scale path; rows-only) ---
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val data = emb.where(col("vec_id") % 10 =!= 0)
+      val queries = emb.where(col("vec_id") % 10 === 0)
+      new graft.ann.CosineLshKnn().setIdCol("vec_id").setVecCol("vec")
+        .setK(5).setSeed(2022L).setNumPlanes(8)
+        .transform(data, queries).head
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("similarity"), 6).as("similarity"))
+    }),
+
+    // --- Multimodal: binary payload decode stub + frame sampling ---
+    "q_multimodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      val decoded = new graft.multimodal.BinaryDecodeStub()
+        .setInputCol("payload").setOutputCol("meta")
+        .transform(docs).head
+      val framed = new graft.multimodal.FrameSampler()
+        .setFrameBytes(64).setEveryNth(2)
+        .setInputCol("payload").setOutputCol("frames")
+        .transform(decoded).head
+      framed.select(col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.digest").as("digest"),
+        size(col("frames")).cast("long").as("n_frames"))
+    }),
+
     // --- Swing item-recall (packed top-k parsed back into rows) ---
     "q_swing" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -841,6 +955,119 @@ object SparkEntry {
                 ROUND(l_discount * l_tax, 6) AS p_xy,
                 ROUND(l_tax * l_tax, 6) AS p_y2
          FROM lineitem""",
+
+    "q_text_stats" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+                  length(text) AS n_chars,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS non_space,
+                  CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                  CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                  'that','for','on','with','as','was','at','by','be','this')))
+                       AS DOUBLE) AS stop_hits
+           FROM documents
+         ),
+         r AS (
+           SELECT doc_id, n_chars, n_tokens,
+                  non_space / n_tokens AS mean_token_len,
+                  alpha / n_chars AS alpha_ratio,
+                  punct / n_chars AS punct_ratio,
+                  stop_hits / n_tokens AS stopword_ratio
+           FROM s
+         )
+         SELECT doc_id, n_chars, n_tokens,
+                ROUND(mean_token_len, 6) AS mean_token_len,
+                ROUND(alpha_ratio, 6) AS alpha_ratio,
+                ROUND(punct_ratio, 6) AS punct_ratio,
+                ROUND(stopword_ratio, 6) AS stopword_ratio,
+                ROUND((CASE WHEN n_tokens BETWEEN 5 AND 2000 THEN 1.0 ELSE 0.0 END
+                       + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.0 END
+                       + (1.0 - LEAST(punct_ratio * 4.0, 1.0))
+                       + LEAST(stopword_ratio * 5.0, 1.0)) / 4.0, 6) AS quality_score
+         FROM r""",
+
+    "q_lang_id" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
+                  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS h_de,
+                  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      t -> t IN ('le','la','les','et','est','une','pour','dans','que','pas'))) AS h_fr,
+                  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      t -> t IN ('el','la','los','y','es','una','para','en','que','no'))) AS h_es
+           FROM documents
+         )
+         SELECT doc_id,
+                CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+                     WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+                     WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+                     WHEN h_es > 0 THEN 'es'
+                     ELSE 'und' END AS detected_lang,
+                h_en AS lang_hits_en
+         FROM h""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
+         FROM documents""",
+
+    "q_exact_dedup" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fingerprint
+           FROM documents
+         )
+         SELECT doc_id, content_fingerprint,
+                MIN(doc_id) OVER (PARTITION BY content_fingerprint) AS canonical_id,
+                doc_id <> MIN(doc_id) OVER (PARTITION BY content_fingerprint) AS is_exact_duplicate
+         FROM f""",
+
+    "q_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 FOR i IN range(1, len(ws) - 1)]) AS sg
+           FROM toks WHERE len(ws) >= 3
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE 1.0 - CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sg, b.sg))) <= 0.5""",
+
+    "q_ann_cosine" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         tr AS (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+         te AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
+         pairs AS (
+           SELECT te.vec_id AS q, tr.vec_id AS n,
+                  list_dot_product(te.e, tr.e)
+                    / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(tr.e, tr.e)))
+                    AS sim
+           FROM te CROSS JOIN tr
+         )
+         SELECT q AS query_id, n AS neighbor_id, ROUND(sim, 6) AS similarity FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
+           FROM pairs)
+         WHERE rk <= 5""",
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                md5(text) AS digest,
+                CAST(ceil(ceil(length(text) / 64.0) / 2.0) AS BIGINT) AS n_frames
+         FROM documents""",
 
     "q_swing" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i

@@ -1,0 +1,89 @@
+package graft.dedup
+
+import com.google.common.hash.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{StageLoader, Transformer}
+import graft.param._
+import graft.util.ReadWrite
+
+/**
+ * 64-bit SimHash near-duplicate fingerprinting: each distinct token
+ * votes its murmur3_128 hash bits up or down; the fingerprint keeps
+ * the majority sign per bit. Documents within Hamming distance d have
+ * highly overlapping token sets.
+ *
+ * Candidate pairs come from a banded equi-join (numBands × 64/numBands
+ * bit chunks): by pigeonhole, any pair with Hamming distance <
+ * numBands matches exactly in at least one band, so recall is 1.0 for
+ * distances below the band count — no all-pairs comparison anywhere.
+ * The final filter is an exact bit_count(a XOR b) on the two 64-bit
+ * fingerprints, a codegen-friendly integer op.
+ */
+object SimHash {
+  def hash64(s: CharSequence): Long =
+    Hashing.murmur3_128(0).hashUnencodedChars(s).asLong()
+
+  /** Majority-vote fingerprint of the distinct tokens. */
+  def fingerprint(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.distinct.foreach { t =>
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** Appends a 64-bit SimHash fingerprint of a token-array column. */
+class SimHasher extends Transformer[SimHasher]
+    with HasInputCol[SimHasher] with HasOutputCol[SimHasher] {
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val fp = udf { tokens: Seq[String] =>
+      if (tokens == null) null else java.lang.Long.valueOf(SimHash.fingerprint(tokens))
+    }
+    Array(inputs.head.withColumn(getOutputCol, fp(col(getInputCol))))
+  }
+
+  /**
+   * All id pairs (a < b) whose fingerprints are within `maxHamming`
+   * bits. `df` must already carry the fingerprint column (outputCol).
+   * Guaranteed full recall while maxHamming < numBands.
+   */
+  def similarityJoin(df: DataFrame, idCol: String, maxHamming: Int,
+      numBands: Int = 4): DataFrame = {
+    require(maxHamming < numBands,
+      s"banding with $numBands bands only guarantees recall for Hamming distance < $numBands")
+    val bits = 64 / numBands
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"), shiftrightunsigned(col(getOutputCol), b * bits)
+        .bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
+    }
+    val exploded = df.select(col(idCol).as("id"), col(getOutputCol).as("fp"),
+        explode(array(bands: _*)).as("bc"))
+      .select(col("id"), col("fp"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = exploded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("chunk"))
+    val b = exploded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}
+object SimHasher extends StageLoader[SimHasher] {
+  def load(spark: SparkSession, path: String): SimHasher =
+    ReadWrite.applyParams(new SimHasher, path)
+}
