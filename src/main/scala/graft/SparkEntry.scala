@@ -427,6 +427,21 @@ object SparkEntry {
         .select(col("dim").cast("long").as("dim"))
     }),
 
+    // --- AgglomerativeClustering (single linkage, 1-D, distance threshold) ---
+    // With single linkage on one dimension, threshold clustering equals
+    // splitting the sorted values at gaps > threshold — which the SQL
+    // oracle recomputes with window functions.
+    "q_agglomerative" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("s_acctbal").setOutputCol("features").setInputSizes(1)
+        .transform(sup).head
+      new graft.clustering.AgglomerativeClustering()
+        .setLinkage("single").setDistanceThreshold(400.0)
+        .transform(assembled).head
+        .select(col("s_suppkey"), col("prediction"))
+    }),
+
     // --- MinHashLSH approxSimilarityJoin: near-duplicate document pairs ---
     // 3-word shingles → exact vocabulary indices → banded MinHash
     // signatures → equi-join on (table, signature) → true-Jaccard
@@ -1089,6 +1104,26 @@ object SparkEntry {
                     FROM scores)
          SELECT i AS item, sim AS sim_item, ROUND(score, 6) AS score
          FROM ranked WHERE rk <= 10""",
+
+    "q_agglomerative" ->
+      """WITH o AS (
+           SELECT s_suppkey, s_acctbal,
+                  LAG(s_acctbal) OVER (ORDER BY s_acctbal, s_suppkey) AS prev
+           FROM supplier
+         ),
+         g AS (
+           SELECT s_suppkey,
+                  SUM(CASE WHEN prev IS NULL OR s_acctbal - prev > 400.0 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY s_acctbal, s_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM o
+         ),
+         r AS (
+           SELECT grp, ROW_NUMBER() OVER (ORDER BY MIN(s_suppkey)) - 1 AS cid
+           FROM g GROUP BY grp
+         )
+         SELECT g.s_suppkey, CAST(r.cid AS INT) AS prediction
+         FROM g JOIN r ON g.grp = r.grp""",
 
     "q_univariate_selector" ->
       """WITH d AS (
