@@ -427,6 +427,68 @@ object SparkEntry {
         .select(col("dim").cast("long").as("dim"))
     }),
 
+    // --- OnlineStandardScaler: model stream over event-time windows ---
+    "q_online_scaler" -> ((s, dir) => {
+      // the events parquet stores TIMESTAMP(NANOS), which vanilla Spark
+      // rejects; read it as raw long nanoseconds (integer division —
+      // nanos exceed double precision)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .select(expr("ts div 1000000").as("tsm"), col("value"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("value").setOutputCol("features").setInputSizes(1)
+        .transform(ev).head
+      val model = new graft.streaming.OnlineStandardScaler()
+        .setInputCol("features").setTimeCol("tsm")
+        .setWindows(graft.streaming.EventTimeTumblingWindows(3600000L))
+        .fit(assembled)
+      model.getModelData.head.select(col("version"), col("windowEndMs"), col("count"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("mean")).getItem(0), 6).as("mean"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("std")).getItem(0), 6).as("std"))
+    }),
+
+    // --- OnlineKMeans: one decayed mini-batch step from fixed centroids ---
+    "q_online_kmeans" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      import s.implicits._
+      val init = Seq((0, Array(10.0, 0.02)), (1, Array(25.0, 0.05)), (2, Array(40.0, 0.08)))
+        .toDF("centroidId", "arr")
+        .select(col("centroidId"),
+          org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"),
+          lit(1.0).as("weight"))
+      val model = new graft.streaming.OnlineKMeans()
+        .setK(3).setDecayFactor(0.5).setGlobalBatchSize(60000)
+        .setInitialModelData(init)
+        .fit(assembled)
+      model.getModelData.head.select(col("centroidId"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("centroid")).getItem(0), 6).as("cx"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("centroid")).getItem(1), 6).as("cy"),
+        round(col("weight"), 6).as("weight"))
+    }),
+
+    // --- OnlineLogisticRegression: one FTRL step from zero state ---
+    "q_online_logreg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(li).head
+      val model = new graft.streaming.OnlineLogisticRegression()
+        .setAlpha(0.1).setBeta(1.0).setReg(0.0).setElasticNet(0.0)
+        .setGlobalBatchSize(60000)
+        .setInitialModelData(graft.streaming.OnlineLogisticRegressionModel.zeroInit(s, 2))
+        .fit(assembled)
+      model.getModelData.head.select(
+        posexplode(org.apache.spark.ml.functions.vector_to_array(col("coefficient")))
+          .as(Seq("dim", "coef")))
+        .select(col("dim"), round(col("coef"), 6).as("coef"))
+    }),
+
     // --- AgglomerativeClustering (single linkage, 1-D, distance threshold) ---
     // With single linkage on one dimension, threshold clustering equals
     // splitting the sorted values at gaps > threshold — which the SQL
@@ -1104,6 +1166,67 @@ object SparkEntry {
                     FROM scores)
          SELECT i AS item, sim AS sim_item, ROUND(score, 6) AS score
          FROM ranked WHERE rk <= 10""",
+
+    "q_online_scaler" ->
+      """WITH d AS (SELECT epoch_ms(ts) AS tsm, value FROM events),
+         w AS (SELECT tsm // 3600000 AS win, value FROM d),
+         p AS (SELECT win, COUNT(*) AS n, SUM(value) AS s, SUM(value * value) AS ss
+               FROM w GROUP BY win),
+         c AS (SELECT win, (win + 1) * 3600000 AS windowEndMs,
+                      SUM(n) OVER (ORDER BY win) AS cn,
+                      SUM(s) OVER (ORDER BY win) AS cs,
+                      SUM(ss) OVER (ORDER BY win) AS css
+               FROM p)
+         SELECT ROW_NUMBER() OVER (ORDER BY win) - 1 AS version,
+                windowEndMs, cn AS count,
+                ROUND(cs / cn, 6) AS mean,
+                ROUND(CASE WHEN cn > 1
+                      THEN sqrt(greatest((css - cn * (cs / cn) * (cs / cn)) / (cn - 1), 0.0))
+                      ELSE 0.0 END, 6) AS std
+         FROM c""",
+
+    "q_online_kmeans" ->
+      """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x, l_discount AS y,
+                           ROW_NUMBER() OVER () - 1 AS idx
+                    FROM lineitem),
+         b AS (SELECT x, y FROM r WHERE idx < 60000),
+         a AS (SELECT x, y,
+                      CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                           WHEN d1 <= d2 THEN 1 ELSE 2 END AS cid
+               FROM (SELECT x, y,
+                            (x - 10.0) * (x - 10.0) + (y - 0.02) * (y - 0.02) AS d0,
+                            (x - 25.0) * (x - 25.0) + (y - 0.05) * (y - 0.05) AS d1,
+                            (x - 40.0) * (x - 40.0) + (y - 0.08) * (y - 0.08) AS d2
+                     FROM b)),
+         g AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS c, SUM(x) AS sx, SUM(y) AS sy
+               FROM a GROUP BY cid),
+         init AS (SELECT * FROM (VALUES (0, 10.0, 0.02), (1, 25.0, 0.05), (2, 40.0, 0.08))
+                  t(cid, cx, cy)),
+         m AS (SELECT init.cid,
+                      CASE WHEN g.c IS NULL THEN init.cx
+                           ELSE (1.0 - g.c / (0.5 + g.c)) * init.cx
+                                + (g.c / (0.5 + g.c)) / g.c * g.sx END AS cx,
+                      CASE WHEN g.c IS NULL THEN init.cy
+                           ELSE (1.0 - g.c / (0.5 + g.c)) * init.cy
+                                + (g.c / (0.5 + g.c)) / g.c * g.sy END AS cy,
+                      CASE WHEN g.c IS NULL THEN 0.5 ELSE 0.5 + g.c END AS weight
+               FROM init LEFT JOIN g ON init.cid = g.cid)
+         SELECT cid AS centroidId, ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy,
+                ROUND(weight, 6) AS weight
+         FROM m""",
+
+    "q_online_logreg" ->
+      """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x0, l_discount AS x1,
+                           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+                           ROW_NUMBER() OVER () - 1 AS idx
+                    FROM lineitem),
+         b AS (SELECT * FROM r WHERE idx < 60000),
+         g AS (SELECT 0 AS dim, SUM((0.5 - y) * x0) / COUNT(*) AS gv FROM b
+               UNION ALL SELECT 1, SUM((0.5 - y) * x1) / COUNT(*) FROM b)
+         SELECT dim,
+                ROUND(CASE WHEN gv = 0 THEN 0.0
+                      ELSE -gv / ((1.0 + sqrt(gv * gv)) / 0.1) END, 6) AS coef
+         FROM g""",
 
     "q_agglomerative" ->
       """WITH o AS (

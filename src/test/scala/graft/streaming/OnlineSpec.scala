@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.functions.col
+import graft.SparkSpec
+
+class OnlineSpec extends SparkSpec {
+
+  private val eps = 1e-9
+
+  test("Windows param codec round trip") {
+    val cases: Seq[Windows] = Seq(GlobalWindows, CountTumblingWindows(100),
+      EventTimeTumblingWindows(60000), EventTimeSessionWindows(5000))
+    cases.foreach { w =>
+      assert(Windows.codec.decode(Windows.codec.encode(w)) === w)
+    }
+  }
+
+  private def scalerInput = {
+    import spark.implicits._
+    Seq((0L, 1.0), (1000L, 2.0), (1000L, 4.0), (2500L, 3.0), (2500L, 5.0), (2500L, 7.0))
+      .toDF("ts", "x")
+      .select(col("ts"), org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("x"))).as("vec"))
+  }
+
+  test("OnlineStandardScaler event-time windows emit cumulative model versions") {
+    val model = new OnlineStandardScaler()
+      .setInputCol("vec").setTimeCol("ts")
+      .setWindows(EventTimeTumblingWindows(1000))
+      .fit(scalerInput)
+    val versions = model.getModelData.head
+      .orderBy("version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        r.getAs[Vector]("mean")(0), r.getAs[Vector]("std")(0)))
+    assert(versions.length == 3)
+    val (v0, n0, m0, s0) = versions(0)
+    assert(v0 == 0 && n0 == 1 && math.abs(m0 - 1.0) < eps && s0 == 0.0)
+    val (_, n1, m1, s1) = versions(1)
+    assert(n1 == 3 && math.abs(m1 - 7.0 / 3) < eps && math.abs(s1 - math.sqrt(7.0 / 3)) < eps)
+    val (_, n2, m2, s2) = versions(2)
+    assert(n2 == 6 && math.abs(m2 - 22.0 / 6) < eps
+      && math.abs(s2 - math.sqrt(23.0 + 1.0 / 3) / math.sqrt(5.0)) < 1e-6)
+    // transform scales by the latest version and records it
+    val out = model.setOutputCol("scaled").transform(scalerInput).head
+      .select("scaled", "version").head()
+    assert(out.getLong(1) == 2)
+    assert(math.abs(out.getAs[Vector](0)(0) - (1.0 - m2) / s2) < eps)
+  }
+
+  test("OnlineStandardScaler count and session windows produce the right version counts") {
+    val count = new OnlineStandardScaler().setInputCol("vec")
+      .setWindows(CountTumblingWindows(2)).fit(scalerInput)
+    assert(count.getModelData.head.count() == 3)
+    val global = new OnlineStandardScaler().setInputCol("vec")
+      .setWindows(GlobalWindows).fit(scalerInput)
+    assert(global.getModelData.head.count() == 1)
+    import spark.implicits._
+    val sessionInput = Seq((0L, 1.0), (100L, 2.0), (5000L, 3.0), (5100L, 4.0))
+      .toDF("ts", "x")
+      .select(col("ts"), org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("x"))).as("vec"))
+    val session = new OnlineStandardScaler().setInputCol("vec").setTimeCol("ts")
+      .setWindows(EventTimeSessionWindows(1000)).fit(sessionInput)
+    assert(session.getModelData.head.count() == 2)
+  }
+
+  test("OnlineKMeans decay update (hand-computed fixture)") {
+    import spark.implicits._
+    val init = Seq((0, Array(0.0, 0.0), 1.0), (1, Array(10.0, 0.0), 1.0))
+      .toDF("centroidId", "arr", "weight")
+      .select(col("centroidId"),
+        org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"),
+        col("weight"))
+    val batch = Seq(Array(1.0, 0.0), Array(9.0, 0.0), Array(11.0, 0.0))
+      .map(Tuple1(_)).toDF("arr")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("arr")).as("features"))
+    val model = new OnlineKMeans().setK(2).setDecayFactor(0.5).setGlobalBatchSize(3)
+      .setInitialModelData(init).fit(batch)
+    val got = model.getModelData.head.orderBy("centroidId").collect()
+      .map(r => (r.getAs[Vector](1)(0), r.getDouble(2)))
+    // c0: w=0.5·1+1=1.5, λ=2/3 → (2/3, 0); c1: w=0.5+2=2.5, mean (10,0) stays
+    assert(math.abs(got(0)._1 - 2.0 / 3) < eps && math.abs(got(0)._2 - 1.5) < eps)
+    assert(math.abs(got(1)._1 - 10.0) < eps && math.abs(got(1)._2 - 2.5) < eps)
+    // inference assigns to nearest updated centroid
+    val pred = model.transform(batch).head.select("prediction").collect().map(_.getInt(0))
+    assert(pred.toSeq == Seq(0, 1, 1))
+  }
+
+  test("OnlineKMeansModel.update drives from Structured Streaming foreachBatch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val init = Seq((0, Array(0.0, 0.0), 1.0), (1, Array(10.0, 0.0), 1.0))
+      .toDF("centroidId", "arr", "weight")
+      .select(col("centroidId"),
+        org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"),
+        col("weight"))
+    @volatile var model = new OnlineKMeansModel().setDecayFactor(0.5).setModelData(init)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Double, Double)]
+    val query = stream.toDF()
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("_1"), col("_2"))).as("features"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        model = model.update(df, "features")
+      }
+      .start()
+    stream.addData((1.0, 0.0), (9.0, 0.0), (11.0, 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = model.getModelData.head.orderBy("centroidId").collect()
+      .map(r => (r.getAs[Vector](1)(0), r.getDouble(2)))
+    assert(math.abs(got(0)._1 - 2.0 / 3) < eps && math.abs(got(0)._2 - 1.5) < eps)
+    assert(math.abs(got(1)._1 - 10.0) < eps && math.abs(got(1)._2 - 2.5) < eps)
+  }
+
+  test("OnlineLogisticRegression FTRL steps (hand-computed fixture)") {
+    import spark.implicits._
+    val init = OnlineLogisticRegressionModel.zeroInit(spark, 1)
+    val batch = Seq((Array(1.0), 1.0)).toDF("arr", "label")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("arr")).as("features"),
+        col("label"))
+    val est = new OnlineLogisticRegression()
+      .setAlpha(0.1).setBeta(1.0).setReg(0.0).setElasticNet(0.0)
+      .setGlobalBatchSize(1).setInitialModelData(init)
+    val m1 = est.fit(batch)
+    val w1 = m1.getModelData.head.select("coefficient").head().getAs[Vector](0)(0)
+    // g=−0.5, σ=5, z=−0.5, n=0.25 → w = 0.5/((1+0.5)/0.1) = 1/30
+    assert(math.abs(w1 - 0.5 / 15) < eps)
+    val m2 = m1.update(batch.withColumn("w", org.apache.spark.sql.functions.lit(1.0)),
+      "features", "label", "w")
+    val w2 = m2.getModelData.head.select("coefficient").head().getAs[Vector](0)(0)
+    assert(math.abs(w2 - 0.062234) < 1e-5)
+    // prediction crosses 0.5 with a positive coefficient and x=1
+    val out = m2.transform(batch).head.select("prediction").head().getDouble(0)
+    assert(out == 1.0)
+  }
+}
