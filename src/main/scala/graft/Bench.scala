@@ -35,9 +35,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // like-for-like subtotal over the round-1 query set, so round-over-
+    // round comparisons aren't distorted by coverage growth
+    val r1Queries = Set(
+      "q_sql_pricing", "q_tokenizer", "q_regex_tokenizer", "q_ngram", "q_binarizer",
+      "q_bucketizer", "q_standard_scaler", "q_minmax_scaler", "q_maxabs_scaler",
+      "q_robust_scaler", "q_imputer", "q_string_indexer", "q_onehot",
+      "q_count_vectorizer", "q_idf", "q_kbins_uniform", "q_variance_selector",
+      "q_vector_functions", "q_kmeans", "q_logreg_predict", "q_linreg_predict",
+      "q_linsvc_predict", "q_logreg_train", "q_naive_bayes", "q_knn")
+    val coreTotal = results.collect { case (k, v) if r1Queries(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core_r1_total":$coreTotal,"num_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
     spark.stop()
     // print after spark.stop() so no executor/log line can interleave
     println(line)

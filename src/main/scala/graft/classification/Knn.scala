@@ -9,9 +9,11 @@ import graft.util.ReadWrite
 
 /**
  * Brute-force k-nearest-neighbors classifier: "fit" materializes the
- * training matrix; predict broadcasts it and runs a per-row bounded
- * top-k scan, label = majority among the k nearest by Euclidean
- * distance. Reference: classification/knn/Knn.java:61, KnnModel.java:73.
+ * training matrix; predict broadcasts the PROBE batch and streams the
+ * training matrix through per-partition bounded top-k heaps, label =
+ * majority among the k nearest by Euclidean distance.
+ * Reference: classification/knn/Knn.java:61, KnnModel.java:73 (which
+ * broadcasts the train side instead — unbounded in training-set size).
  */
 class Knn extends Estimator[Knn, KnnModel]
     with HasFeaturesCol[Knn] with HasLabelCol[Knn] with HasPredictionCol[Knn] {
@@ -48,38 +50,63 @@ class KnnModel extends Model[KnnModel]
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
     val df = inputs.head
-    // train set is O(model): collected once, broadcast with cached norms
-    val train = modelData.select("features", "label").collect()
-      .map(r => (r.getAs[Vector](0), r.getDouble(1)))
-    val trainArr = train.map { case (v, l) =>
-      (v, graft.linalg.BLAS.dot(v, v), l)
-    }
-    val bc = df.sparkSession.sparkContext.broadcast(trainArr)
+    val spark = df.sparkSession
     val kk = getK
-
-    val predict = udf { v: Vector =>
-      if (v == null) null
-      else {
-        val data = bc.value
-        // bounded max-heap of (dist², label)
-        val heap = new java.util.PriorityQueue[(Double, Double)](
-          kk, (a: (Double, Double), b: (Double, Double)) => java.lang.Double.compare(b._1, a._1))
-        val vNorm2 = graft.linalg.BLAS.dot(v, v)
-        var i = 0
-        while (i < data.length) {
-          val (t, tNorm2, label) = data(i)
-          val d2 = vNorm2 + tNorm2 - 2 * graft.linalg.BLAS.dot(v, t)
-          if (heap.size < kk) heap.add((d2, label))
-          else if (d2 < heap.peek()._1) { heap.poll(); heap.add((d2, label)) }
-          i += 1
-        }
-        // majority vote; tie → smallest label (deterministic)
-        val votes = scala.collection.mutable.HashMap.empty[Double, Int]
-        heap.forEach(t => votes(t._2) = votes.getOrElse(t._2, 0) + 1)
-        java.lang.Double.valueOf(votes.toSeq.minBy { case (l, c) => (-c, l) }._1)
+    // Scale shape: the PROBE batch (transform input) is the small side —
+    // collected and broadcast — while the train matrix (the model, the
+    // side that grows with the corpus) streams through per-partition
+    // bounded heaps; the global merge and majority vote then run over
+    // only partitions × probes × k candidate rows. This inverts the
+    // reference's broadcast-the-train-set plan, whose driver/executor
+    // memory grows with training data. For huge probe sets use
+    // MinHashLSHModel.approxNearestNeighbors / ann.CosineLshKnn instead.
+    val probed = df.withColumn("__knn_probe_id", monotonically_increasing_id())
+    val probes = probed.select(col("__knn_probe_id"), col(getFeaturesCol)).collect()
+      .flatMap { r =>
+        Option(r.getAs[Vector](1)).map(v => (r.getLong(0), v, graft.linalg.BLAS.dot(v, v)))
       }
-    }
-    Array(df.withColumn(getPredictionCol, predict(col(getFeaturesCol))))
+    val bc = spark.sparkContext.broadcast(probes)
+
+    import spark.implicits._
+    val partials = modelData.select("features", "label").rdd
+      .mapPartitions { it =>
+        val queries = bc.value
+        // bounded max-heaps of (dist², label), one per probe
+        val heaps = queries.map(_ => new java.util.PriorityQueue[(Double, Double)](
+          kk, (a: (Double, Double), b: (Double, Double)) => java.lang.Double.compare(b._1, a._1)))
+        it.foreach { r =>
+          val t = r.getAs[Vector](0)
+          val label = r.getDouble(1)
+          val tNorm2 = graft.linalg.BLAS.dot(t, t)
+          var qi = 0
+          while (qi < queries.length) {
+            val (_, v, vNorm2) = queries(qi)
+            val d2 = vNorm2 + tNorm2 - 2 * graft.linalg.BLAS.dot(v, t)
+            val heap = heaps(qi)
+            if (heap.size < kk) heap.add((d2, label))
+            else if (d2 < heap.peek()._1) { heap.poll(); heap.add((d2, label)) }
+            qi += 1
+          }
+        }
+        queries.iterator.zip(heaps.iterator).flatMap { case ((id, _, _), heap) =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala
+            .map { case (d2, l) => (id, d2, l) }
+        }
+      }.toDF("__knn_probe_id", "d2", "label")
+
+    // exact global top-k per probe, then majority vote (tie → smallest label)
+    val topkWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("__knn_probe_id").orderBy(col("d2").asc, col("label").asc)
+    val voteWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("__knn_probe_id").orderBy(col("n").desc, col("label").asc)
+    val predictions = partials
+      .withColumn("rk", row_number().over(topkWindow)).where(col("rk") <= kk)
+      .groupBy("__knn_probe_id", "label").agg(count(lit(1)).as("n"))
+      .withColumn("vrk", row_number().over(voteWindow)).where(col("vrk") === 1)
+      .select(col("__knn_probe_id"), col("label").as(getPredictionCol))
+
+    Array(probed.join(predictions, Seq("__knn_probe_id"), "left")
+      .drop("__knn_probe_id"))
   }
 }
 object KnnModel extends StageLoader[KnnModel] {

@@ -27,6 +27,15 @@ private[graft] object LinearTraining {
     withW.rdd.map(r => LabeledPointWithWeight(r.getAs[Vector](0), r.getDouble(1), r.getDouble(2)))
   }
 
+  /** Persisted training points plus their dimension: the dimension read
+    * doubles as the cache-warming first job instead of a throwaway scan
+    * (SGD's persist of the same RDD is a no-op; its unpersist releases it). */
+  def pointsWithDim(df: DataFrame, featuresCol: String, labelCol: String, weightCol: String) = {
+    val pts = points(df, featuresCol, labelCol, weightCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (pts, pts.first().features.size)
+  }
+
   def coefficientDf(spark: SparkSession, coeff: Array[Double]): DataFrame = {
     import spark.implicits._
     Seq(Tuple1(coeff)).toDF("coefficient")
@@ -53,8 +62,7 @@ class LogisticRegression extends Estimator[LogisticRegression, LogisticRegressio
   override def fit(inputs: DataFrame*): LogisticRegressionModel = {
     require(inputs.size == 1)
     val df = inputs.head
-    val pts = LinearTraining.points(df, getFeaturesCol, getLabelCol, getWeightCol)
-    val dim = pts.first().features.size
+    val (pts, dim) = LinearTraining.pointsWithDim(df, getFeaturesCol, getLabelCol, getWeightCol)
     val (coeff, _) = SGD.optimize(pts, new Array[Double](dim), BinaryLogisticLoss, sgdParams)
     val m = new LogisticRegressionModel()
       .setModelData(LinearTraining.coefficientDf(df.sparkSession, coeff))
@@ -123,8 +131,7 @@ class LinearSVC extends Estimator[LinearSVC, LinearSVCModel]
   override def fit(inputs: DataFrame*): LinearSVCModel = {
     require(inputs.size == 1)
     val df = inputs.head
-    val pts = LinearTraining.points(df, getFeaturesCol, getLabelCol, getWeightCol)
-    val dim = pts.first().features.size
+    val (pts, dim) = LinearTraining.pointsWithDim(df, getFeaturesCol, getLabelCol, getWeightCol)
     val (coeff, _) = SGD.optimize(pts, new Array[Double](dim), HingeLoss, sgdParams)
     val m = new LinearSVCModel()
       .setModelData(LinearTraining.coefficientDf(df.sparkSession, coeff))
