@@ -233,6 +233,49 @@ object SparkEntry {
         .groupBy("bin").agg(count(lit(1)).as("n")).orderBy("bin")
     }),
 
+    // --- KBinsDiscretizer (quantile; sample ≥ n ⇒ exact rank edges) ---
+    "q_kbins_quantile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_extendedprice").setOutputCol("features").setInputSizes(1)
+        .transform(li).head
+      val model = new graft.feature.KBinsDiscretizer()
+        .setStrategy("quantile").setNumBins(5)
+        .setInputCol("features").setOutputCol("bins").fit(assembled)
+      model.transform(assembled).head
+        .select(org.apache.spark.ml.functions.vector_to_array(col("bins")).getItem(0).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n")).orderBy("bin")
+    }),
+
+    // --- Imputer (median, exact-mode quantile) ---
+    "q_imputer_median" -> ((s, dir) => {
+      val withNulls = new graft.feature.SQLTransformer().setStatement(
+        """SELECT o_orderkey,
+                  CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price
+           FROM __THIS__""")
+        .transform(t(s, dir, "orders")).head
+      val imputed = new graft.feature.Imputer()
+        .setInputCols("price").setOutputCols("price_filled")
+        .setStrategy("median").setRelativeError(1e-7)
+        .fit(withNulls).transform(withNulls).head
+      imputed.select(col("o_orderkey"), round(col("price_filled"), 4).as("price_filled"))
+    }),
+
+    // --- Imputer (most_frequent) ---
+    "q_imputer_mode" -> ((s, dir) => {
+      val withNulls = new graft.feature.SQLTransformer().setStatement(
+        """SELECT l_orderkey, l_linenumber,
+                  CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END AS qty
+           FROM __THIS__""")
+        .transform(t(s, dir, "lineitem")).head
+      val imputed = new graft.feature.Imputer()
+        .setInputCols("qty").setOutputCols("qty_filled")
+        .setStrategy("most_frequent")
+        .fit(withNulls).transform(withNulls).head
+      imputed.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("qty_filled"), 4).as("qty_filled"))
+    }),
+
     // --- VarianceThresholdSelector (selected dims) ---
     "q_variance_selector" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1010,6 +1053,50 @@ object SparkEntry {
          SELECT LEAST(GREATEST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 5)), 0), 4) AS bin,
                 COUNT(*) AS n
          FROM lineitem, b GROUP BY 1 ORDER BY 1""",
+
+    "q_kbins_quantile" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+         r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+         e AS (SELECT
+                 MAX(CASE WHEN rn = 1 THEN x END) AS e0,
+                 MAX(CASE WHEN rn = 12001 THEN x END) AS e1,
+                 MAX(CASE WHEN rn = 24001 THEN x END) AS e2,
+                 MAX(CASE WHEN rn = 36001 THEN x END) AS e3,
+                 MAX(CASE WHEN rn = 48001 THEN x END) AS e4,
+                 MAX(CASE WHEN rn = 60000 THEN x END) AS e5
+               FROM r)
+         SELECT bin, COUNT(*) AS n FROM (
+           SELECT LEAST(GREATEST(
+                    (CASE WHEN x >= e0 THEN 1 ELSE 0 END) + (CASE WHEN x >= e1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN x >= e2 THEN 1 ELSE 0 END) + (CASE WHEN x >= e3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN x >= e4 THEN 1 ELSE 0 END) + (CASE WHEN x >= e5 THEN 1 ELSE 0 END),
+                  1), 5) - 1.0 AS bin
+           FROM v, e)
+         GROUP BY bin ORDER BY bin""",
+
+    "q_imputer_median" ->
+      """WITH x AS (SELECT o_orderkey,
+                           CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price
+                    FROM orders),
+         v AS (SELECT price, ROW_NUMBER() OVER (ORDER BY price) AS rn,
+                      COUNT(*) OVER () AS n
+               FROM x WHERE price IS NOT NULL),
+         med AS (SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN price END) AS m
+                 FROM v)
+         SELECT o_orderkey, ROUND(COALESCE(price, med.m), 4) AS price_filled
+         FROM x, med""",
+
+    "q_imputer_mode" ->
+      """WITH x AS (SELECT l_orderkey, l_linenumber,
+                           CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END AS qty
+                    FROM lineitem),
+         m AS (SELECT qty AS mode_v FROM (
+                 SELECT qty, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, qty ASC) AS rk
+                 FROM x WHERE qty IS NOT NULL GROUP BY qty)
+               WHERE rk = 1)
+         SELECT l_orderkey, l_linenumber,
+                ROUND(COALESCE(qty, m.mode_v), 4) AS qty_filled
+         FROM x, m""",
 
     "q_variance_selector" ->
       """SELECT dim FROM (
