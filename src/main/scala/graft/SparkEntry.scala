@@ -305,6 +305,17 @@ object SparkEntry {
                FROM graft_embeddings""")
     }),
 
+    // --- Native codegen cosineSimilarity expression (SQL-registered) ---
+    "q_cosine_fn" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_cos")
+      s.sql("""SELECT vec_id,
+                      ROUND(cosineSimilarity(CAST(embedding AS ARRAY<DOUBLE>),
+                                             reverse(CAST(embedding AS ARRAY<DOUBLE>))), 6)
+                        AS cos_rev
+               FROM graft_emb_cos""")
+    }),
+
     // --- PolynomialExpansion (degree 2 on a vector with zero elements) ---
     "q_polynomial" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1109,6 +1120,17 @@ object SparkEntry {
       """SELECT vec_id,
                 ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS emb_sum,
                 len(embedding) AS emb_len
+         FROM embeddings""",
+
+    "q_cosine_fn" ->
+      """SELECT vec_id,
+                ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       list_reverse(CAST(embedding AS DOUBLE[])))
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(list_reverse(CAST(embedding AS DOUBLE[])),
+                                                 list_reverse(CAST(embedding AS DOUBLE[]))))), 6)
+                  AS cos_rev
          FROM embeddings""",
 
     "q_polynomial" ->

@@ -19,6 +19,13 @@ object Functions {
   def vectorToArray(c: Column): Column = mlF.vector_to_array(c)
   def arrayToVector(c: Column): Column = mlF.array_to_vector(c)
 
+  /** Codegen'd cosine similarity of two array<double> columns (native
+    * Catalyst expression, fuses into whole-stage codegen — see
+    * [[CosineSimilarity]]). Requires `register(spark)` (or the
+    * [[GraftExtensions]] session extension) on the session first. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosineSimilarity", a, b)
+
   private val vectorToArrayUdf = udf { v: Vector => if (v == null) null else v.toArray }
   private val arrayToVectorUdf = udf { a: Seq[Double] => if (a == null) null else Vectors.dense(a.toArray) }
 
@@ -26,5 +33,23 @@ object Functions {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("vectorToArray", vectorToArrayUdf)
     spark.udf.register("arrayToVector", arrayToVectorUdf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosineSimilarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/**
+ * Session extension registering the native functions at session build
+ * time — the no-code-change route:
+ * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+ */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosineSimilarity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosineSimilarity"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
   }
 }
