@@ -115,6 +115,29 @@ class OnlineSpec extends SparkSpec {
     assert(math.abs(got(1)._1 - 10.0) < eps && math.abs(got(1)._2 - 2.5) < eps)
   }
 
+  test("StreamingStats: watermarked windowed aggregation over a real stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = StreamingStats.windowedMoments(
+      stream.toDF().toDF("ts", "value"), "ts", "value", "10 seconds", "5 seconds")
+    val query = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_stats").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    stream.addData((ts(1), 2.0), (ts(3), 4.0), (ts(12), 10.0))
+    query.processAllAvailable()
+    // watermark has not passed the first window's end yet → nothing emitted
+    assert(spark.table("win_stats").count() == 0)
+    stream.addData((ts(100), 1.0)) // advances the watermark past both windows
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("win_stats").orderBy("window_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 2 && math.abs(rows(0).getDouble(3) - 3.0) < eps)
+    assert(rows(1).getLong(2) == 1 && rows(1).getDouble(6) == 10.0)
+  }
+
   test("OnlineLogisticRegression FTRL steps (hand-computed fixture)") {
     import spark.implicits._
     val init = OnlineLogisticRegressionModel.zeroInit(spark, 1)
