@@ -138,6 +138,26 @@ class OnlineSpec extends SparkSpec {
     assert(rows(1).getLong(2) == 1 && rows(1).getDouble(6) == 10.0)
   }
 
+  test("KeyedRunningStats: per-key state persists across micro-batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val stats = KeyedRunningStats.runningMoments(stream.toDF().toDF("k", "v"), "k", "v")
+    val query = stats.writeStream.outputMode("update")
+      .format("memory").queryName("key_stats").start()
+    stream.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+    query.processAllAvailable()
+    stream.addData(("a", 5.0)) // second micro-batch updates a's existing state
+    query.processAllAvailable()
+    query.stop()
+    val last = spark.table("key_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    // a: n=3 over both batches, mean 3, var ((1-3)²+(3-3)²+(5-3)²)/2 = 4
+    assert(last("a") == ("a", 3L, 3.0, 4.0))
+    assert(last("b") == ("b", 1L, 10.0, 0.0))
+  }
+
   test("OnlineLogisticRegression FTRL steps (hand-computed fixture)") {
     import spark.implicits._
     val init = OnlineLogisticRegressionModel.zeroInit(spark, 1)
