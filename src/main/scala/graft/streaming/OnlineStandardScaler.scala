@@ -54,21 +54,63 @@ class OnlineStandardScaler extends Estimator[OnlineStandardScaler, OnlineStandar
           (((col(getTimeCol).cast("long") / sizeMs).cast("long") + 1) * sizeMs).as("winEnd"),
           col(getInputCol))
       case EventTimeSessionWindows(gapMs) =>
-        // session ids: gap-split over the distinct sorted event times —
-        // the single-task sort runs over the (small) distinct-timestamp
-        // table, then broadcasts back onto the rows
-        val w = Window.orderBy("t")
-        val sessions = df.select(col(getTimeCol).cast("long").as("t")).distinct()
-          .withColumn("newSession",
-            when(lag("t", 1).over(w).isNull || col("t") - lag("t", 1).over(w) > gapMs, 1L)
-              .otherwise(0L))
-          .withColumn("win", sum("newSession").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .select("t", "win")
+        // Scalable global sessionization: range-partition the distinct
+        // event times, gap-split locally inside each sorted partition,
+        // then stitch sessions across partition boundaries on the
+        // driver from an O(partitions) summary — no single-task sort
+        // of the full distinct-timestamp table.
+        val spark2 = df.sparkSession
+        import spark2.implicits._
+        val distinctTs = df.select(col(getTimeCol).cast("long").as("t")).distinct()
+          .as[Long].rdd
+        val parts = math.max(1, distinctTs.sparkContext.defaultParallelism)
+        val sorted = distinctTs.sortBy(identity, ascending = true, numPartitions = parts)
+        // pass 1: per-partition (firstT, lastT, localSessionCount)
+        val summaries = sorted.mapPartitionsWithIndex { (pid, it) =>
+          var first = Long.MinValue; var last = Long.MinValue
+          var n = 0L; var prev = Long.MinValue
+          it.foreach { t =>
+            if (n == 0L) { first = t; n = 1L }
+            else if (t - prev > gapMs) n += 1L
+            prev = t; last = t
+          }
+          if (n == 0L) Iterator.empty else Iterator.single((pid, first, last, n))
+        }.collect().sortBy(_._1)
+        // driver scan: global id offset per partition; a partition's
+        // first local session merges into the previous non-empty
+        // partition's last session when the boundary gap is <= gapMs
+        val offsets = new Array[Long](parts)
+        var nextId = 0L; var prevLast = Long.MinValue; var havePrev = false
+        summaries.foreach { case (pid, first, _last, n) =>
+          val merged = havePrev && first - prevLast <= gapMs
+          offsets(pid) = if (merged) nextId - 1L else nextId
+          nextId = offsets(pid) + n
+          prevLast = _last; havePrev = true
+        }
+        val offsetsB = sorted.sparkContext.broadcast(offsets)
+        // pass 2: assign global session ids inside each partition
+        val sessions = sorted.mapPartitionsWithIndex { (pid, it) =>
+          val base = offsetsB.value(pid)
+          var sid = base - 1L; var prev = Long.MinValue; var started = false
+          it.map { t =>
+            if (!started || t - prev > gapMs) { sid += 1L; started = true }
+            prev = t
+            (t, sid)
+          }
+        }.toDF("t", "win")
+        // session end = max event time in the session + gap; computed on
+        // the (small) per-session summary, then joined back on t. AQE
+        // broadcasts these when they fit; no unpartitioned sort anywhere.
+        val winEnds = sessions.groupBy("win").agg((max("t") + gapMs).as("winEnd"))
+        val labeled = sessions.join(winEnds, "win")
         df.select(col(getTimeCol).cast("long").as("t"), col(getInputCol))
-          .join(broadcast(sessions), "t")
-          .withColumn("winEnd", max("t").over(Window.partitionBy("win")) + gapMs)
+          .join(labeled, "t")
           .select(col("win"), col("winEnd"), col(getInputCol))
+      case ProcessingTimeTumblingWindows(_) | ProcessingTimeSessionWindows(_) =>
+        // bounded replay runs "instantly" in processing time: one
+        // window (see Windows.scala scaladoc); streaming callers get
+        // per-trigger updates via foreachBatch + model.update
+        df.select(lit(0L).as("win"), lit(Long.MaxValue).as("winEnd"), col(getInputCol))
     }
 
     val exploded = perWindow.select(col("win"), col("winEnd"),
@@ -115,9 +157,20 @@ object OnlineStandardScaler extends StageLoader[OnlineStandardScaler] {
 }
 
 /**
- * Scales rows with the latest model version (batch analog of "always
- * use the freshest model"); `modelVersionCol` records the version
- * applied. Reference OnlineStandardScalerModel.java.
+ * Scales rows against the model-version stream. By default each row
+ * uses the latest version (batch analog of "always use the freshest
+ * model"); with `maxAllowedModelDelayMs >= 0` set, each row is
+ * scored by the EARLIEST model version whose `windowEndMs >=
+ * rowTime - maxAllowedModelDelayMs` — the batch equivalent of the
+ * reference's buffering rule (OnlineStandardScalerModel.java:215-223:
+ * a point is predicted once `dataTs - maxAllowedModelDelayMs <=
+ * modelTs` first holds). `modelVersionCol` records the version
+ * applied. Reference OnlineStandardScalerModel.java,
+ * HasMaxAllowedModelDelayMs.java.
+ *
+ * Scale shape: the model stream is O(#windows) rows by construction,
+ * so the as-of lookup is a broadcast binary search per row — no
+ * shuffle, no range-join explosion.
  */
 class OnlineStandardScalerModel extends Model[OnlineStandardScalerModel]
     with HasInputCol[OnlineStandardScalerModel] with HasOutputCol[OnlineStandardScalerModel] {
@@ -127,6 +180,18 @@ class OnlineStandardScalerModel extends Model[OnlineStandardScalerModel]
   def getModelVersionCol: String = get(modelVersionCol)
   def setModelVersionCol(v: String): OnlineStandardScalerModel = set(modelVersionCol, v)
 
+  final val maxAllowedModelDelayMs: Param[Long] =
+    param[Long]("maxAllowedModelDelayMs",
+      "If >= 0, rows are scored by the earliest model version with windowEndMs >= rowTime - delay " +
+        "(reference HasMaxAllowedModelDelayMs); if < 0, the latest version scores everything.", -1L)
+  def getMaxAllowedModelDelayMs: Long = get(maxAllowedModelDelayMs)
+  def setMaxAllowedModelDelayMs(v: Long): OnlineStandardScalerModel = set(maxAllowedModelDelayMs, v)
+
+  final val timeCol: Param[String] =
+    param[String]("timeCol", "Event-time column (milliseconds, long) for versioned scoring.", "ts")
+  def getTimeCol: String = get(timeCol)
+  def setTimeCol(v: String): OnlineStandardScalerModel = set(timeCol, v)
+
   private var modelData: DataFrame = _
   override def setModelData(data: DataFrame*): OnlineStandardScalerModel = {
     modelData = data.head; this
@@ -135,6 +200,11 @@ class OnlineStandardScalerModel extends Model[OnlineStandardScalerModel]
 
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
+    if (getMaxAllowedModelDelayMs >= 0L) transformVersioned(inputs.head)
+    else transformLatest(inputs.head)
+  }
+
+  private def transformLatest(input: DataFrame): Array[DataFrame] = {
     val latest = modelData.orderBy(col("version").desc).head()
     val version = latest.getLong(0)
     val mean = latest.getAs[Vector]("mean").toArray
@@ -152,9 +222,62 @@ class OnlineStandardScalerModel extends Model[OnlineStandardScalerModel]
         Vectors.dense(out): Vector
       }
     }
-    Array(inputs.head
+    Array(input
       .withColumn(getOutputCol, scale(col(getInputCol)))
       .withColumn(getModelVersionCol, lit(version)))
+  }
+
+  /**
+   * As-of scoring: binary-search the (windowEndMs-sorted) model
+   * stream per row. Rows earlier than every qualifying version — the
+   * ones the reference would buffer forever on a bounded stream —
+   * get a null output and version -1.
+   */
+  private def transformVersioned(input: DataFrame): Array[DataFrame] = {
+    val delay = getMaxAllowedModelDelayMs
+    // model stream is O(#windows); sorted driver copy for binary search
+    val versions = modelData
+      .select(col("windowEndMs").cast("long"), col("version"), col("mean"), col("std"))
+      .orderBy("windowEndMs")
+      .collect()
+    val ends = versions.map(_.getLong(0))
+    val vers = versions.map(_.getLong(1))
+    val means = versions.map(_.getAs[Vector]("mean").toArray)
+    val stds = versions.map(_.getAs[Vector]("std").toArray)
+    val spark = input.sparkSession
+    val bEnds = spark.sparkContext.broadcast(ends)
+    val bVers = spark.sparkContext.broadcast(vers)
+    val bMeans = spark.sparkContext.broadcast(means)
+    val bStds = spark.sparkContext.broadcast(stds)
+
+    val scaleVersioned = udf { (v: Vector, ts: Long) =>
+      val es = bEnds.value
+      // lower bound: first index with es(i) >= ts - delay
+      var lo = 0; var hi = es.length
+      val key = ts - delay
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (es(mid) >= key) hi = mid else lo = mid + 1
+      }
+      if (lo == es.length || v == null) (null: Vector, -1L)
+      else {
+        val mean = bMeans.value(lo); val std = bStds.value(lo)
+        val a = v.toArray
+        val out = new Array[Double](a.length)
+        var i = 0
+        while (i < a.length) {
+          out(i) = if (std(i) == 0.0) 0.0 else (a(i) - mean(i)) / std(i)
+          i += 1
+        }
+        (Vectors.dense(out): Vector, bVers.value(lo))
+      }
+    }
+    val applied = input.withColumn("__scaled",
+      scaleVersioned(col(getInputCol), col(getTimeCol).cast("long")))
+    Array(applied
+      .withColumn(getOutputCol, col("__scaled._1"))
+      .withColumn(getModelVersionCol, col("__scaled._2"))
+      .drop("__scaled"))
   }
 }
 object OnlineStandardScalerModel extends StageLoader[OnlineStandardScalerModel] {

@@ -32,6 +32,33 @@ final case class EventTimeSessionWindows(gapMs: Long) extends Windows {
   require(gapMs > 0, "session gap must be positive")
 }
 
+/**
+ * Processing-time tumbling windows (reference
+ * common/window/ProcessingTimeTumblingWindows.java). A bounded batch
+ * replay is processed "instantly" in processing time, so every row
+ * lands in the same wall-clock window and the batch simulation
+ * degenerates to [[GlobalWindows]] (one model version over all
+ * input). In true Structured Streaming the analog is one model
+ * update per micro-batch trigger interval — drive `model.update`
+ * from `foreachBatch` with a processing-time trigger of `sizeMs`.
+ */
+final case class ProcessingTimeTumblingWindows(sizeMs: Long) extends Windows {
+  require(sizeMs > 0, "window size must be positive")
+}
+
+/**
+ * Processing-time session windows (reference
+ * common/window/ProcessingTimeSessionWindows.java). A bounded batch
+ * replay has no idle gaps in processing time — rows arrive
+ * back-to-back — so every batch collapses into a single session: the
+ * batch simulation degenerates to [[GlobalWindows]] (one model
+ * version covering all input). Documented rather than hidden so
+ * callers porting reference configs see the same window type names.
+ */
+final case class ProcessingTimeSessionWindows(gapMs: Long) extends Windows {
+  require(gapMs > 0, "session gap must be positive")
+}
+
 object Windows {
   /** JSON codec so window params persist like any other param. */
   implicit val codec: ParamCodec[Windows] = new ParamCodec[Windows] {
@@ -43,6 +70,10 @@ object Windows {
         JObject("type" -> JString("eventTimeTumbling"), "sizeMs" -> JLong(ms))
       case EventTimeSessionWindows(ms) =>
         JObject("type" -> JString("eventTimeSession"), "gapMs" -> JLong(ms))
+      case ProcessingTimeTumblingWindows(ms) =>
+        JObject("type" -> JString("processingTimeTumbling"), "sizeMs" -> JLong(ms))
+      case ProcessingTimeSessionWindows(ms) =>
+        JObject("type" -> JString("processingTimeSession"), "gapMs" -> JLong(ms))
     }
     def decode(j: JValue): Windows = {
       def long(field: String): Long = j \ field match {
@@ -53,6 +84,8 @@ object Windows {
         case JString("countTumbling") => CountTumblingWindows(long("size"))
         case JString("eventTimeTumbling") => EventTimeTumblingWindows(long("sizeMs"))
         case JString("eventTimeSession") => EventTimeSessionWindows(long("gapMs"))
+        case JString("processingTimeTumbling") => ProcessingTimeTumblingWindows(long("sizeMs"))
+        case JString("processingTimeSession") => ProcessingTimeSessionWindows(long("gapMs"))
         case other => sys.error(s"unknown window type $other")
       }
     }

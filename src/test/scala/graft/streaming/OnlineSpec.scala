@@ -10,7 +10,8 @@ class OnlineSpec extends SparkSpec {
 
   test("Windows param codec round trip") {
     val cases: Seq[Windows] = Seq(GlobalWindows, CountTumblingWindows(100),
-      EventTimeTumblingWindows(60000), EventTimeSessionWindows(5000))
+      EventTimeTumblingWindows(60000), EventTimeSessionWindows(5000),
+      ProcessingTimeTumblingWindows(1000), ProcessingTimeSessionWindows(2000))
     cases.foreach { w =>
       assert(Windows.codec.decode(Windows.codec.encode(w)) === w)
     }
@@ -66,6 +67,42 @@ class OnlineSpec extends SparkSpec {
     assert(session.getModelData.head.count() == 2)
   }
 
+  test("OnlineStandardScaler processing-time windows degenerate to one version on bounded replay") {
+    Seq(ProcessingTimeTumblingWindows(1000), ProcessingTimeSessionWindows(1000)).foreach { w =>
+      val m = new OnlineStandardScaler().setInputCol("vec").setWindows(w).fit(scalerInput)
+      assert(m.getModelData.head.count() == 1)
+    }
+  }
+
+  test("OnlineStandardScalerModel versioned scoring: earliest qualifying version per row") {
+    import spark.implicits._
+    // versions: 0 (winEnd 1000), 1 (winEnd 2000), 2 (winEnd 3000)
+    val model = new OnlineStandardScaler()
+      .setInputCol("vec").setTimeCol("ts")
+      .setWindows(EventTimeTumblingWindows(1000))
+      .fit(scalerInput)
+      .setOutputCol("scaled").setModelVersionCol("ver")
+      .setMaxAllowedModelDelayMs(0L)
+    val probes = Seq((0L, 6.0), (2500L, 6.0), (9999L, 6.0)).toDF("ts", "x")
+      .select(col("ts"), org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("x"))).as("vec"))
+    val rows = model.transform(probes).head.orderBy("ts")
+      .select("ver", "scaled").collect()
+    // ts=0 → version 0 (std 0 → output 0); ts=2500 → version 2; ts=9999 → no
+    // qualifying version (the reference would buffer forever): null + -1
+    assert(rows(0).getLong(0) == 0L && rows(0).getAs[Vector](1)(0) == 0.0)
+    assert(rows(1).getLong(0) == 2L)
+    val m2 = 22.0 / 6
+    val s2 = math.sqrt((23.0 + 1.0 / 3) / 5.0)
+    assert(math.abs(rows(1).getAs[Vector](1)(0) - (6.0 - m2) / s2) < eps)
+    assert(rows(2).getLong(0) == -1L && rows(2).get(1) == null)
+    // a larger delay lets a late row use an OLDER version: ts=2500, delay=1500
+    val relaxed = model.setMaxAllowedModelDelayMs(1500L)
+      .transform(probes).head.orderBy("ts").select("ver").collect()
+    assert(relaxed(1).getLong(0) == 0L)
+    assert(relaxed(2).getLong(0) == -1L) // key = 9999-1500 = 8499 > every windowEnd
+  }
+
   test("OnlineKMeans decay update (hand-computed fixture)") {
     import spark.implicits._
     val init = Seq((0, Array(0.0, 0.0), 1.0), (1, Array(10.0, 0.0), 1.0))
@@ -113,6 +150,35 @@ class OnlineSpec extends SparkSpec {
       .map(r => (r.getAs[Vector](1)(0), r.getDouble(2)))
     assert(math.abs(got(0)._1 - 2.0 / 3) < eps && math.abs(got(0)._2 - 1.5) < eps)
     assert(math.abs(got(1)._1 - 10.0) < eps && math.abs(got(1)._2 - 2.5) < eps)
+  }
+
+  test("OnlineLogisticRegressionModel.update drives from Structured Streaming foreachBatch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val init = OnlineLogisticRegressionModel.zeroInit(spark, 1)
+    val batch = Seq((Array(1.0), 1.0)).toDF("arr", "label")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("arr")).as("features"),
+        col("label"))
+    @volatile var model = new OnlineLogisticRegression()
+      .setAlpha(0.1).setBeta(1.0).setReg(0.0).setElasticNet(0.0)
+      .setGlobalBatchSize(1).setInitialModelData(init)
+      .fit(batch)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Double, Double)]
+    val query = stream.toDF()
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("_1"))).as("features"),
+        col("_2").as("label"),
+        org.apache.spark.sql.functions.lit(1.0).as("w"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        model = model.update(df, "features", "label", "w")
+      }
+      .start()
+    stream.addData((1.0, 1.0)) // same point as the hand-computed second FTRL step
+    query.processAllAvailable()
+    query.stop()
+    val w2 = model.getModelData.head.select("coefficient").head().getAs[Vector](0)(0)
+    assert(math.abs(w2 - 0.062234) < 1e-5)
   }
 
   test("StreamingStats: watermarked windowed aggregation over a real stream") {
