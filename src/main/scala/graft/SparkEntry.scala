@@ -862,19 +862,27 @@ object SparkEntry {
     }),
 
     // --- KMeans (train; deterministic given seed, cluster sizes) ---
+    // deterministic training: fixed initial centroids (warm start) +
+    // maxIter=2 lets the DuckDB oracle replay Lloyd's two rounds
+    // exactly; centroid coords chosen off every integer/step midpoint
+    // so no point ever ties between two centroids
     "q_kmeans" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val assembled = new graft.feature.VectorAssembler()
-        .setInputCols("l_quantity", "l_extendedprice", "l_discount")
-        .setOutputCol("raw").setInputSizes(1, 1, 1)
+        .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+        .setInputSizes(1, 1)
         .transform(li).head
-      val scaled = new graft.feature.StandardScaler()
-        .setInputCol("raw").setOutputCol("features")
-        .fit(assembled).transform(assembled).head
+      import s.implicits._
+      val init = Seq((0, Array(5.2, 0.095)), (1, Array(10.1, 0.013)),
+          (2, Array(24.7, 0.047)), (3, Array(39.3, 0.081)))
+        .toDF("centroidId", "arr")
+        .select(col("centroidId"),
+          org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"))
       val model = new graft.clustering.KMeans()
-        .setK(4).setMaxIter(10).setSeed(42L).fit(scaled)
-      model.transform(scaled).head
-        .groupBy("prediction").agg(count(lit(1)).as("n"))
+        .setK(4).setMaxIter(2).setInitialModelData(init).fit(assembled)
+      model.getModelData.head.select(col("centroidId"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("centroid")).getItem(0), 6).as("cx"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("centroid")).getItem(1), 6).as("cy"))
     }),
 
     // --- LogisticRegressionModel inference with fixed coefficients ---
@@ -982,6 +990,49 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
     })
   )
+
+  /**
+   * Oracle for q_ann_lsh. CosineLshKnn's buckets come from seeded
+   * Gaussian hyperplanes (java.util.Random(2022).nextGaussian(), 8
+   * planes × dim 64, row-major) — deterministic integer-free math we
+   * can regenerate here and inline as a VALUES table, then recompute
+   * bucket membership + bucket-filtered cosine top-k in SQL.
+   * Double.toString round-trips, so the literals parse back to the
+   * identical doubles in DuckDB.
+   */
+  private def annLshOracleSql: String = {
+    val numPlanes = 8
+    val dim = 64
+    val rnd = new java.util.Random(2022L)
+    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
+    val values = planes.zipWithIndex.flatMap { case (row, p) =>
+      row.zipWithIndex.map { case (w, i) => s"($p, ${i + 1}, $w)" }
+    }.mkString(", ")
+    s"""WITH planes(p, i, w) AS (VALUES $values),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       ex AS (SELECT vec_id, UNNEST(range(1, len(e) + 1)) AS i, UNNEST(e) AS x FROM emb),
+       proj AS (SELECT ex.vec_id, planes.p, SUM(planes.w * ex.x) AS s
+                FROM ex JOIN planes ON planes.i = ex.i
+                GROUP BY ex.vec_id, planes.p),
+       buck AS (SELECT vec_id,
+                       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS b
+                FROM proj GROUP BY vec_id),
+       tr AS (SELECT emb.vec_id, e, b FROM emb JOIN buck USING (vec_id)
+              WHERE emb.vec_id % 10 <> 0),
+       te AS (SELECT emb.vec_id, e, b FROM emb JOIN buck USING (vec_id)
+              WHERE emb.vec_id % 10 = 0),
+       pairs AS (
+         SELECT te.vec_id AS q, tr.vec_id AS n,
+                list_dot_product(te.e, tr.e)
+                  / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(tr.e, tr.e)))
+                  AS sim
+         FROM te JOIN tr ON te.b = tr.b
+       )
+       SELECT q AS query_id, n AS neighbor_id, ROUND(sim, 6) AS similarity FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
+         FROM pairs)
+       WHERE rk <= 5"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_sql_pricing" ->
@@ -1259,6 +1310,8 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE 1.0 - CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.sg, b.sg))) <= 0.5""",
+
+    "q_ann_lsh" -> annLshOracleSql,
 
     "q_ann_cosine" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1708,6 +1761,35 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, label ASC) AS rk
            FROM votes)
          WHERE rk = 1""",
+
+    "q_kmeans" ->
+      """WITH pts AS (SELECT CAST(l_quantity AS DOUBLE) AS x, l_discount AS y FROM lineitem),
+         d AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS w FROM pts GROUP BY x, y),
+         c0(cid, cx, cy) AS (VALUES (0, 5.2, 0.095), (1, 10.1, 0.013),
+                                    (2, 24.7, 0.047), (3, 39.3, 0.081)),
+         a1 AS (SELECT x, y, w, cid FROM (
+                  SELECT d.x, d.y, d.w, c.cid,
+                         ROW_NUMBER() OVER (PARTITION BY d.x, d.y
+                           ORDER BY (d.x - c.cx) * (d.x - c.cx)
+                                  + (d.y - c.cy) * (d.y - c.cy), c.cid) AS rk
+                  FROM d CROSS JOIN c0 c) WHERE rk = 1),
+         c1 AS (SELECT c0.cid,
+                       COALESCE(SUM(a.w * a.x) / SUM(a.w), c0.cx) AS cx,
+                       COALESCE(SUM(a.w * a.y) / SUM(a.w), c0.cy) AS cy
+                FROM c0 LEFT JOIN a1 a ON a.cid = c0.cid
+                GROUP BY c0.cid, c0.cx, c0.cy),
+         a2 AS (SELECT x, y, w, cid FROM (
+                  SELECT d.x, d.y, d.w, c.cid,
+                         ROW_NUMBER() OVER (PARTITION BY d.x, d.y
+                           ORDER BY (d.x - c.cx) * (d.x - c.cx)
+                                  + (d.y - c.cy) * (d.y - c.cy), c.cid) AS rk
+                  FROM d CROSS JOIN c1 c) WHERE rk = 1),
+         c2 AS (SELECT c1.cid,
+                       COALESCE(SUM(a.w * a.x) / SUM(a.w), c1.cx) AS cx,
+                       COALESCE(SUM(a.w * a.y) / SUM(a.w), c1.cy) AS cy
+                FROM c1 LEFT JOIN a2 a ON a.cid = c1.cid
+                GROUP BY c1.cid, c1.cx, c1.cy)
+         SELECT cid AS centroidId, ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy FROM c2""",
 
     "q_kmeans_predict" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber,

@@ -29,6 +29,11 @@ class KMeans extends Estimator[KMeans, KMeansModel]
   def getK: Int = get(k)
   def setMaxIterK(v: Int): KMeans = set(maxIter, v)
 
+  // warm start: (centroidId, centroid vector) rows; replaces the
+  // seeded reservoir sample, making training fully deterministic
+  private var initialModelData: Option[DataFrame] = None
+  def setInitialModelData(df: DataFrame): KMeans = { initialModelData = Some(df); this }
+
   override def fit(inputs: DataFrame*): KMeansModel = {
     require(inputs.size == 1)
     val df = inputs.head
@@ -39,9 +44,13 @@ class KMeans extends Estimator[KMeans, KMeansModel]
       .map(r => VectorWithNorm(r.getAs[Vector](0)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var centroids = points.takeSample(withReplacement = false, numK, getSeed)
+    var centroids = initialModelData match {
+      case Some(init) => init.orderBy("centroidId").collect()
+        .map(r => VectorWithNorm(r.getAs[Vector]("centroid")))
+      case None => points.takeSample(withReplacement = false, numK, getSeed)
+    }
     require(centroids.length == numK,
-      s"Training set has fewer than $numK distinct points")
+      s"Expected $numK initial centroids, got ${centroids.length}")
     val dim = centroids.head.vector.size
     val sc = points.sparkContext
 

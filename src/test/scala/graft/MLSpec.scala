@@ -29,6 +29,26 @@ class MLSpec extends SparkSpec {
     assert(centroids(1).zip(Array(9.2, 0.2)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("KMeans warm start from fixed initial centroids is deterministic") {
+    import spark.implicits._
+    val data = Seq(
+      Vectors.dense(0.0, 0.0), Vectors.dense(1.0, 0.0),
+      Vectors.dense(9.0, 0.0), Vectors.dense(10.0, 0.0))
+      .map(Tuple1(_)).toDF("features")
+    val init = Seq((0, Vectors.dense(2.0, 0.0)), (1, Vectors.dense(8.0, 0.0)))
+      .toDF("centroidId", "centroid")
+    // one Lloyd round from the fixed seeds: {0,1}→(0.5,0), {9,10}→(9.5,0)
+    val model = new KMeans().setK(2).setMaxIter(1).setInitialModelData(init).fit(data)
+    val centroids = model.getModelData.head.orderBy("centroidId").collect()
+      .map(_.getAs[Vector]("centroid")(0))
+    assert(math.abs(centroids(0) - 0.5) < 1e-12 && math.abs(centroids(1) - 9.5) < 1e-12)
+    // wrong centroid count fails fast
+    val bad = intercept[IllegalArgumentException] {
+      new KMeans().setK(3).setMaxIter(1).setInitialModelData(init).fit(data)
+    }
+    assert(bad.getMessage.contains("initial centroids"))
+  }
+
   test("KMeans save/load and cosine distance") {
     import spark.implicits._
     val data = Seq(
