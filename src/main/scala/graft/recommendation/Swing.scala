@@ -92,12 +92,24 @@ class Swing extends AlgoOperator[Swing]
       .agg(sort_array(collect_list("i")).as("items"), count(lit(1)).as("cnt"))
       .where(col("cnt").between(getMinUserBehavior, getMaxUserBehavior))
 
-    // valid (user, item) pairs with the user's item set riding along;
-    // purchasers of a hot item capped to a deterministic hash-ranked top-N
-    val vp = pairs.join(userItems, "u")
-    val capWindow = Window.partitionBy("i").orderBy(xxhash64(col("u"), lit(getSeed)), col("u"))
-    val capped = vp.withColumn("rn", row_number().over(capWindow))
+    // purchasers of a hot item capped to a deterministic hash-ranked
+    // top-N — in TWO phases so no task ever sorts an uncapped hot
+    // item's purchaser list: (1) rank within (item, salt) and keep N
+    // per salt; (2) re-rank the ≤ Salts·N survivors per item. The
+    // global top-N under the (hash, u) total order is contained in
+    // the union of per-salt top-Ns, so the selected set is identical
+    // to a single-phase rank. The heavy per-user item arrays join in
+    // only AFTER the cap, so they never ride the cap shuffles.
+    val slim = pairs.join(userItems.select("u", "cnt"), "u")
+    val rankKey = xxhash64(col("u"), lit(getSeed))
+    val w1 = Window.partitionBy("i", "salt").orderBy(rankKey, col("u"))
+    val phase1 = slim.withColumn("salt", pmod(xxhash64(col("u")), lit(Swing.CapSalts)))
+      .withColumn("rn", row_number().over(w1))
+      .where(col("rn") <= getMaxUserNumPerItem).drop("rn", "salt")
+    val w2 = Window.partitionBy("i").orderBy(rankKey, col("u"))
+    val capped = phase1.withColumn("rn", row_number().over(w2))
       .where(col("rn") <= getMaxUserNumPerItem).drop("rn")
+      .join(userItems.select("u", "items"), "u")
 
     // all unordered purchaser pairs per item — an equi-join on item, the
     // shuffle-parallel analog of the reference's per-item nested loop
@@ -139,5 +151,10 @@ class Swing extends AlgoOperator[Swing]
   }
 }
 object Swing extends StageLoader[Swing] {
+  /** Salt fan-out for the two-phase purchaser cap: a hot item's cap
+    * sort splits across this many tasks, bounding any single task to
+    * ~purchasers/CapSalts rows (phase 1) or CapSalts·cap rows (phase 2). */
+  val CapSalts = 32
+
   def load(spark: SparkSession, path: String): Swing = ReadWrite.applyParams(new Swing, path)
 }
