@@ -32,7 +32,10 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the default-locale f-interpolator would print a
+    // comma decimal separator on some JVMs, corrupting the JSON line
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // like-for-like subtotal over the round-1 query set, so round-over-
@@ -49,8 +52,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","core_r1_total":$coreTotal,"num_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
     spark.stop()
-    // print after spark.stop() so no executor/log line can interleave
+    // print after spark.stop() so no executor/log line can interleave;
+    // ALSO write to a file — sbt prefixes stdout with "[info]", which
+    // broke the driver's machine-parse of BENCH_r03 ("parsed": null)
     println(line)
     System.out.flush()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
   }
 }

@@ -35,7 +35,9 @@ object BenchGen {
       val t0 = System.nanoTime()
       body
       val ms = (System.nanoTime() - t0) / 1e6
-      println(f"""{"stage":"$name","inputRecordNum":$n,"totalTimeMs":$ms%.1f,"inputThroughput":${n * 1000.0 / ms}%.1f}""")
+      // Locale.ROOT so a comma-decimal default locale can't corrupt the JSON
+      def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      println(s"""{"stage":"$name","inputRecordNum":$n,"totalTimeMs":${fmt(ms)},"inputThroughput":${fmt(n * 1000.0 / ms)}}""")
       System.out.flush()
     }
 

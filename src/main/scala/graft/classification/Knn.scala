@@ -60,7 +60,20 @@ class KnnModel extends Model[KnnModel]
     // reference's broadcast-the-train-set plan, whose driver/executor
     // memory grows with training data. For huge probe sets use
     // MinHashLSHModel.approxNearestNeighbors / ann.CosineLshKnn instead.
+    // persist BEFORE the driver collect: the synthetic probe ids are
+    // re-evaluated by the output join below, and an unpersisted
+    // nondeterministically-ordered upstream (post-shuffle, sample)
+    // could assign different ids on the second evaluation, silently
+    // attaching predictions to the wrong rows. count() materializes
+    // the cache so both evaluations read identical partitions. The
+    // cache stays bounded by the MaxProbes guard.
     val probed = df.withColumn("__knn_probe_id", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = probed.count()
+    require(nProbes <= KnnModel.MaxProbes,
+      s"KnnModel.transform broadcasts the probe batch to every executor; got $nProbes probe " +
+        s"rows, max ${KnnModel.MaxProbes}. For large probe sets use ann.BruteForceCosineKnn, " +
+        "ann.CosineLshKnn, or MinHashLSHModel.approxNearestNeighbors instead.")
     val probes = probed.select(col("__knn_probe_id"), col(getFeaturesCol)).collect()
       .flatMap { r =>
         Option(r.getAs[Vector](1)).map(v => (r.getLong(0), v, graft.linalg.BLAS.dot(v, v)))
@@ -110,6 +123,11 @@ class KnnModel extends Model[KnnModel]
   }
 }
 object KnnModel extends StageLoader[KnnModel] {
+  /** Hard cap on the broadcast probe batch — past this, the right tool
+    * is an ANN operator, not a driver OOM. */
+  val MaxProbes: Long = 1L << 18
+
+
   def load(spark: SparkSession, path: String): KnnModel = {
     val m = ReadWrite.applyParams(new KnnModel, path)
     m.setModelData(ReadWrite.loadModelData(spark, path))

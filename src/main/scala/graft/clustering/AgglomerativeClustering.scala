@@ -65,7 +65,12 @@ class AgglomerativeClustering extends AlgoOperator[AgglomerativeClustering]
     val spark = df.sparkSession
     val measure = DistanceMeasure(getDistanceMeasure)
 
+    // persist before collecting: the synthetic ids are re-evaluated by
+    // predictUdf on the output plan, and an unpersisted reordering
+    // upstream would mislabel rows (or miss the broadcast map). Cache
+    // is bounded by the MaxPoints guard below.
     val withIdx = df.withColumn("__agg_idx", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val collected = withIdx.select(col("__agg_idx"), col(getFeaturesCol)).collect()
       .map(r => (r.getLong(0), r.getAs[Vector](1))).sortBy(_._1)
     val n = collected.length
@@ -74,6 +79,7 @@ class AgglomerativeClustering extends AlgoOperator[AgglomerativeClustering]
         "Cluster a summary (e.g. KMeans centroids) instead of raw rows.")
 
     if (n == 0) {
+      withIdx.unpersist(blocking = false)
       import spark.implicits._
       return Array(df.withColumn(getPredictionCol, lit(0)),
         Seq.empty[(Int, Int, Double, Int)].toDF("clusterId1", "clusterId2", "distance", "sizeOfMergedCluster"))

@@ -30,6 +30,12 @@ object ConnectedComponents {
    * @return DataFrame (id, component) — one row per vertex that
    *         appears in `edges`; `component` is the minimum vertex id
    *         reachable from `id` (a canonical cluster representative).
+   *         The result is returned persisted (MEMORY_AND_DISK);
+   *         callers may `unpersist()` it once consumed.
+   * @throws IllegalStateException if labels have not converged within
+   *         `maxIter` rounds (labels spread one hop per round, so
+   *         graphs with diameter > maxIter need a higher setting) —
+   *         partial labels would silently under-deduplicate.
    */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
@@ -62,6 +68,11 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxIter rounds — component labels " +
+          "would be partial (members of one cluster keeping different canonical ids). " +
+          "Raise maxIter past the graph diameter.")
     labels
   }
 }

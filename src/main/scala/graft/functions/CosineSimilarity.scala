@@ -33,6 +33,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosinesimilarity"
 
+  // Nullable regardless of child nullability: a length mismatch
+  // returns null, and with two non-nullable children an inherited
+  // nullable=false would make nullSafeCodeGen emit no isNull slot
+  // while doGenCode still assigns it — uncompilable generated code —
+  // and lets the optimizer fold IsNull(this) to false.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -155,6 +155,19 @@ class MLSpec extends SparkSpec {
     assert(preds.toSeq == Seq(0.0, 1.0))
   }
 
+  test("KnnModel rejects probe batches past MaxProbes with a clear error") {
+    import spark.implicits._
+    val train = Seq((Vectors.dense(0.0), 0.0), (Vectors.dense(1.0), 1.0))
+      .toDF("features", "label")
+    val model = new Knn().setK(1).fit(train)
+    val bigProbe = spark.range(KnnModel.MaxProbes + 1)
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.col("id").cast("double"))).as("features"))
+    val e = intercept[IllegalArgumentException] { model.transform(bigProbe) }
+    assert(e.getMessage.contains("BruteForceCosineKnn"))
+  }
+
   test("Pipeline with estimator: scaler then kmeans, save/load") {
     import spark.implicits._
     val df = Seq(

@@ -14,6 +14,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("ConnectedComponents throws instead of returning partial labels at maxIter") {
+    import spark.implicits._
+    // a 6-vertex path has diameter 5: labels spread one hop per round,
+    // so maxIter=2 cannot converge
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("MinHashDeduplicator groups near-identical shingle sets and flags non-canonical members") {
     import spark.implicits._
     val shared = (0 until 19).toArray

@@ -26,6 +26,16 @@ class CosineSimilaritySpec extends SparkSpec {
     val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
       .select(Functions.cosineSimilarity(col("a"), col("b")).as("c")).collect()
     assert(mismatch.head.isNullAt(0))
+
+    // non-nullable children (array literals): the expression must stay
+    // nullable so codegen allocates an isNull slot for the
+    // length-mismatch branch instead of producing uncompilable code /
+    // a constant-folded false IsNull
+    val lits = spark.range(1).selectExpr(
+      "cosineSimilarity(array(1.0d, 2.0d), array(1.0d)) AS c",
+      "isnull(cosineSimilarity(array(1.0d, 2.0d), array(1.0d))) AS isn")
+    val r = lits.collect().head
+    assert(r.isNullAt(0) && r.getBoolean(1))
   }
 
   test("interpreted eval agrees with codegen") {
