@@ -247,6 +247,21 @@ object SparkEntry {
         .groupBy("bin").agg(count(lit(1)).as("n")).orderBy("bin")
     }),
 
+    // --- KBinsDiscretizer (kmeans; subSamples ≥ n ⇒ the "sample" is the
+    // full column, making the seeded 1-D Lloyd fully deterministic) ---
+    "q_kbins_kmeans" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("l_quantity").setOutputCol("features").setInputSizes(1)
+        .transform(li).head
+      val model = new graft.feature.KBinsDiscretizer()
+        .setStrategy("kmeans").setNumBins(3)
+        .setInputCol("features").setOutputCol("bins").fit(assembled)
+      model.transform(assembled).head
+        .select(org.apache.spark.ml.functions.vector_to_array(col("bins")).getItem(0).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n")).orderBy("bin")
+    }),
+
     // --- Imputer (median, exact-mode quantile) ---
     "q_imputer_median" -> ((s, dir) => {
       val withNulls = new graft.feature.SQLTransformer().setStatement(
@@ -1034,7 +1049,58 @@ object SparkEntry {
        WHERE rk <= 5"""
   }
 
+  /**
+   * Oracle for q_kbins_kmeans: with subSamples ≥ n the strategy is a
+   * deterministic 1-D Lloyd from rank-based init, so we UNROLL the
+   * iterations as generated CTE pairs (assign → means). Unrolling
+   * more rounds than Lloyd needs is harmless — once membership
+   * stabilizes the means reproduce exactly, so extra rounds are
+   * no-ops at the fixed point. Edges = data min, centroid midpoints,
+   * data max; binning matches the model's binarySearch rule
+   * (exact-edge hits go to the upper bucket, clamped to [0, bins-1]).
+   */
+  private def kbinsKmeansOracleSql: String = {
+    val k = 3
+    val iters = 30
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pts AS MATERIALIZED (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+        |d AS MATERIALIZED (SELECT x, CAST(COUNT(*) AS DOUBLE) AS w FROM pts GROUP BY x),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM pts),
+        |c0 AS (""".stripMargin)
+    sb.append((0 until k).map { i =>
+      s"SELECT $i AS cid, x AS v FROM r, nn WHERE rn = FLOOR(($i + 0.5) * nn.n / $k) + 1"
+    }.mkString(" UNION ALL "))
+    sb.append("),\n")
+    for (t <- 1 to iters) {
+      val prev = s"c${t - 1}"
+      sb.append(
+        s"""a$t AS MATERIALIZED (SELECT x, w, cid FROM (
+           |  SELECT d.x, d.w, c.cid,
+           |         ROW_NUMBER() OVER (PARTITION BY d.x ORDER BY ABS(d.x - c.v), c.cid) AS rk
+           |  FROM d CROSS JOIN $prev c) WHERE rk = 1),
+           |c$t AS MATERIALIZED (SELECT p.cid, COALESCE(SUM(a.w * a.x) / SUM(a.w), p.v) AS v
+           |        FROM $prev p LEFT JOIN a$t a ON a.cid = p.cid GROUP BY p.cid, p.v),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""mids AS (SELECT (v + LEAD(v) OVER (ORDER BY v)) / 2 AS e FROM c$iters),
+         |edges AS (SELECT DISTINCT e FROM (
+         |  SELECT MIN(x) AS e FROM pts
+         |  UNION ALL SELECT e FROM mids WHERE e IS NOT NULL
+         |  UNION ALL SELECT MAX(x) FROM pts)),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM edges),
+         |binned AS (SELECT p.x,
+         |  LEAST(GREATEST((SELECT COUNT(*) FROM edges e WHERE e.e <= p.x) - 1, 0), ne.cnt - 2) AS bin
+         |  FROM pts p, ne)
+         |SELECT CAST(bin AS DOUBLE) AS bin, COUNT(*) AS n FROM binned GROUP BY bin ORDER BY bin""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_kbins_kmeans" -> kbinsKmeansOracleSql,
+
     "q_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 ROUND(SUM(l_quantity), 2) AS sum_qty,
