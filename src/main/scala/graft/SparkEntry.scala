@@ -447,6 +447,36 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
     }),
 
+    // --- IVF ANN: fixed codebook (4 corpus vectors), nprobe=2 ---
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val init = emb.where(col("vec_id").isin(3, 99, 201, 350))
+        .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .as("centroidId"), col("vec").as("centroid"))
+      val data = emb.where(col("vec_id") % 10 =!= 0)
+      val queries = emb.where(col("vec_id") % 10 === 0)
+      new graft.ann.IvfCosineKnn().setIdCol("vec_id").setVecCol("vec")
+        .setK(5).setNprobe(2).setTrainIters(0).setInitialCentroids(init)
+        .transform(data, queries).head
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("similarity"), 6).as("similarity"))
+    }),
+
+    // --- Embedding near-dup dedup: sign-LSH bands + cosine + CC ---
+    "q_embedding_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      new graft.dedup.CosineDeduplicator()
+        .setIdCol("vec_id").setInputCol("vec")
+        .setSeed(2022L).setNumHashTables(8).setNumPlanes(8)
+        .setMinSimilarity(0.45)
+        .transform(emb).head
+        .select(col("vec_id"), col("canonical_id"), col("is_duplicate"))
+    }),
+
     // --- Multimodal: binary payload decode stub + frame sampling ---
     "q_multimodal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1015,14 +1045,20 @@ object SparkEntry {
    * Double.toString round-trips, so the literals parse back to the
    * identical doubles in DuckDB.
    */
-  private def annLshOracleSql: String = {
-    val numPlanes = 8
-    val dim = 64
-    val rnd = new java.util.Random(2022L)
-    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
-    val values = planes.zipWithIndex.flatMap { case (row, p) =>
+  /** Regenerate seeded Gaussian hyperplanes (row-major, matching
+    * CosineLshKnn / CosineDeduplicator) as a SQL VALUES body of
+    * (plane-row p, 1-based dim i, weight w) triples; Double.toString
+    * round-trips so the literals parse back to identical doubles. */
+  private def gaussianPlanesValues(numRows: Int, dim: Int, seed: Long): String = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(numRows, dim)(rnd.nextGaussian())
+    planes.zipWithIndex.flatMap { case (row, p) =>
       row.zipWithIndex.map { case (w, i) => s"($p, ${i + 1}, $w)" }
     }.mkString(", ")
+  }
+
+  private def annLshOracleSql: String = {
+    val values = gaussianPlanesValues(8, 64, 2022L)
     s"""WITH planes(p, i, w) AS (VALUES $values),
        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        ex AS (SELECT vec_id, UNNEST(range(1, len(e) + 1)) AS i, UNNEST(e) AS x FROM emb),
@@ -1098,8 +1134,82 @@ object SparkEntry {
     sb.toString
   }
 
+  /**
+   * Oracle for q_embedding_dedup: regenerate the 8×8 band/bit seeded
+   * hyperplanes, recompute per-band sign buckets, band-bucket
+   * candidate pairs, the exact cosine ≥ 0.45 filter, and connected
+   * components via a recursive reachability CTE (component = min
+   * reachable id). CTEs referenced twice are MATERIALIZED so DuckDB
+   * doesn't inline them exponentially.
+   */
+  private def embeddingDedupOracleSql: String = {
+    val values = gaussianPlanesValues(64, 64, 2022L) // 8 bands × 8 bits, band-major
+    s"""WITH RECURSIVE planes(p, i, w) AS (VALUES $values),
+       emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       ex AS (SELECT vec_id, UNNEST(range(1, len(e) + 1)) AS i, UNNEST(e) AS x FROM emb),
+       proj AS MATERIALIZED (SELECT ex.vec_id, planes.p, SUM(planes.w * ex.x) AS s
+                FROM ex JOIN planes ON planes.i = ex.i
+                GROUP BY ex.vec_id, planes.p),
+       buck AS MATERIALIZED (SELECT vec_id, p // 8 AS band,
+                SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (p % 8) ELSE 0 END) AS b
+                FROM proj GROUP BY vec_id, p // 8),
+       cand AS (SELECT DISTINCT a.vec_id AS src, bb.vec_id AS dst
+                FROM buck a JOIN buck bb ON a.band = bb.band AND a.b = bb.b
+                  AND a.vec_id < bb.vec_id),
+       edges AS MATERIALIZED (SELECT src, dst FROM cand
+                JOIN emb ea ON ea.vec_id = cand.src
+                JOIN emb eb ON eb.vec_id = cand.dst
+                WHERE list_dot_product(ea.e, eb.e)
+                      / (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e)))
+                      >= 0.45),
+       sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
+                UNION SELECT dst, src FROM edges),
+       reach AS (SELECT u AS id, u AS r FROM sym
+                 UNION
+                 SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+       comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       SELECT emb.vec_id, COALESCE(comp.component, emb.vec_id) AS canonical_id,
+              COALESCE(comp.component, emb.vec_id) <> emb.vec_id AS is_duplicate
+       FROM emb LEFT JOIN comp ON comp.id = emb.vec_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_kbins_kmeans" -> kbinsKmeansOracleSql,
+
+    "q_embedding_dedup" -> embeddingDedupOracleSql,
+
+    "q_ann_ivf" ->
+      """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cents AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e
+                  FROM emb WHERE vec_id IN (3, 99, 201, 350)),
+         tr AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+         te AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 = 0),
+         asg AS (SELECT vec_id, cid FROM (
+                   SELECT tr.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY tr.vec_id ORDER BY
+                            list_dot_product(tr.e, c.e)
+                              / (sqrt(list_dot_product(tr.e, tr.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM tr CROSS JOIN cents c) WHERE rk = 1),
+         probes AS (SELECT vec_id, cid FROM (
+                   SELECT te.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY te.vec_id ORDER BY
+                            list_dot_product(te.e, c.e)
+                              / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM te CROSS JOIN cents c) WHERE rk <= 2),
+         pairs AS (SELECT te.vec_id AS q, tr.vec_id AS n,
+                          list_dot_product(te.e, tr.e)
+                            / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(tr.e, tr.e)))
+                            AS sim
+                   FROM probes p
+                   JOIN asg a ON a.cid = p.cid
+                   JOIN te ON te.vec_id = p.vec_id
+                   JOIN tr ON tr.vec_id = a.vec_id)
+         SELECT q AS query_id, n AS neighbor_id, ROUND(sim, 6) AS similarity FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
+           FROM pairs)
+         WHERE rk <= 5""",
 
     "q_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,

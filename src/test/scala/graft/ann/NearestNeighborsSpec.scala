@@ -49,6 +49,39 @@ class NearestNeighborsSpec extends SparkSpec {
     assert(!out.contains(5L)) // opposite direction can never share a sign bucket
   }
 
+  test("IvfCosineKnn with a fixed codebook probes only the closest cells") {
+    import spark.implicits._
+    // codebook: cell 0 points at +x, cell 1 at +y, cell 2 at +z
+    val init = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)), (2, Seq(0.0, 0.0, 1.0)))
+      .toDF("centroidId", "arr")
+      .select(org.apache.spark.sql.functions.col("centroidId"),
+        toVec(org.apache.spark.sql.functions.col("arr")).as("centroid"))
+    // cell assignment by max cosine: rows 1,2 → cell 0; row 3 → cell 1;
+    // row 4 → cell 2; row 5 (−x) → cell 1 (first of the 0.0 ties).
+    // nprobe=1: the query (≈+x) probes only cell 0 → neighbors {1, 2}.
+    val out = new IvfCosineKnn().setK(5).setNprobe(1).setTrainIters(0)
+      .setInitialCentroids(init)
+      .transform(data, queries).head
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L, 2L))
+    // nprobe = numLists degenerates to exact brute force
+    val all = new IvfCosineKnn().setK(5).setNprobe(3).setTrainIters(0)
+      .setInitialCentroids(init)
+      .transform(data, queries).head
+      .collect().map(_.getLong(1)).toSet
+    val bf = new BruteForceCosineKnn().setK(5).transform(data, queries).head
+      .collect().map(_.getLong(1)).toSet
+    assert(all == bf)
+  }
+
+  test("IvfCosineKnn trains its own codebook when none is provided") {
+    val out = new IvfCosineKnn().setK(2).setNumLists(2).setNprobe(2)
+      .setTrainIters(5).setSeed(11L)
+      .transform(data, queries).head
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty && out.forall(_._1 == 100L))
+  }
+
   test("LSH candidate set is a subset of the brute-force ranking domain") {
     val bf = new BruteForceCosineKnn().setK(5).transform(data, queries).head
       .collect().map(_.getLong(1)).toSet

@@ -14,6 +14,26 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("CosineDeduplicator clusters near-parallel embeddings and keeps distinct ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0)),   // ~parallel to 1 → duplicate
+      (3L, Seq(2.0, 0.0, 0.001)),    // scaled ≈ 1 → duplicate (cosine is scale-free)
+      (9L, Seq(0.0, 1.0, 0.0))       // orthogonal → unique
+    ).toDF("doc_id", "arr")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.ml.functions.array_to_vector(
+          org.apache.spark.sql.functions.col("arr")).as("vec"))
+    val out = new CosineDeduplicator()
+      .setIdCol("doc_id").setInputCol("vec")
+      .setSeed(7L).setNumHashTables(12).setNumPlanes(4).setMinSimilarity(0.99)
+      .transform(df).head
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, true), (9L, 9L, false)))
+  }
+
   test("ConnectedComponents throws instead of returning partial labels at maxIter") {
     import spark.implicits._
     // a 6-vertex path has diameter 5: labels spread one hop per round,
