@@ -376,6 +376,16 @@ object SparkEntry {
       out.select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"), col("n_est_tokens"))
     }),
 
+    // --- Winnowing document fingerprints (k-gram md5 + window min) ---
+    "q_fingerprint" -> ((s, dir) => {
+      val out = new graft.text.DocumentFingerprinter()
+        .setK(5).setWindowSize(4)
+        .setInputCol("text").setOutputCol("fingerprints")
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("fingerprints"),
+        size(col("fingerprints")).cast("long").as("n"))
+    }),
+
     // --- Exact dedup by normalized content hash ---
     "q_exact_dedup" -> ((s, dir) => {
       val out = new graft.text.ExactDeduplicator()
@@ -1458,6 +1468,20 @@ object SparkEntry {
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
          FROM documents""",
+
+    "q_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, len(text) - 4 AS m FROM documents),
+         h AS (SELECT doc_id, m,
+                      [md5(substr(text, i, 5)) FOR i IN range(1, m + 1)] AS hs
+               FROM d WHERE m >= 1),
+         f AS (SELECT doc_id, list_sort(list_distinct(
+                 [list_min(hs[j : least(j + 3, m)])
+                  FOR j IN range(1, greatest(m - 3, 1) + 1)])) AS fp
+               FROM h)
+         SELECT d.doc_id,
+                COALESCE(f.fp, CAST([] AS VARCHAR[])) AS fingerprints,
+                CAST(len(COALESCE(f.fp, CAST([] AS VARCHAR[]))) AS BIGINT) AS n
+         FROM d LEFT JOIN f ON f.doc_id = d.doc_id""",
 
     "q_exact_dedup" ->
       """WITH f AS (

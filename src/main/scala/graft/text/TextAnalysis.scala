@@ -170,3 +170,63 @@ object ExactDeduplicator extends StageLoader[ExactDeduplicator] {
   def load(spark: SparkSession, path: String): ExactDeduplicator =
     ReadWrite.applyParams(new ExactDeduplicator, path)
 }
+
+/**
+ * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+ * 2003): hash every character k-gram, slide a window of `windowSize`
+ * hashes, keep each window's minimum, and emit the sorted distinct
+ * selected hashes. Any two documents sharing a substring of length
+ * ≥ k + windowSize − 1 share at least one fingerprint — the standard
+ * near-copy detection guarantee.
+ *
+ * Hashes are md5 hex strings: fixed-length hex compares
+ * lexicographically exactly like the underlying 128-bit integer, and
+ * md5 means the same bytes in every engine. Tie-breaking inside a
+ * window does not matter because the output is the distinct VALUE
+ * set. Texts shorter than k get an empty fingerprint array.
+ *
+ * Built entirely from Column expressions (sequence/transform/slice/
+ * array_min) — fully codegen'd, no UDFs, no shuffle: the operator is
+ * a pure per-row projection, trivially parallel at corpus scale.
+ */
+class DocumentFingerprinter extends Transformer[DocumentFingerprinter]
+    with HasInputCol[DocumentFingerprinter] with HasOutputCol[DocumentFingerprinter] {
+
+  final val k: Param[Int] =
+    param[Int]("k", "Character k-gram size.", 5, ParamValidators.gt(0))
+  def getK: Int = get(k)
+  def setK(v: Int): DocumentFingerprinter = set(k, v)
+
+  final val windowSize: Param[Int] =
+    param[Int]("windowSize", "Winnowing window: one fingerprint kept per this many k-gram hashes.",
+      4, ParamValidators.gt(0))
+  def getWindowSize: Int = get(windowSize)
+  def setWindowSize(v: Int): DocumentFingerprinter = set(windowSize, v)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val kk = getK
+    val w = getWindowSize
+    val text = col(getInputCol)
+    val m = length(text) - kk + 1 // number of k-grams
+    val hashes = transform_(sequence(lit(1), m),
+      i => md5(to_binary(substring_(text, i, lit(kk)), lit("utf-8"))))
+    val mins = transform_(sequence(lit(1), greatest(m - w + 1, lit(1))),
+      j => array_min(slice(hashes, j, lit(w))))
+    val fp = when(m < 1, array().cast("array<string>"))
+      .otherwise(array_sort(array_distinct(mins)))
+    Array(inputs.head.withColumn(getOutputCol, fp))
+  }
+
+  // functions.transform / substring taking Column positions
+  private def transform_(arr: org.apache.spark.sql.Column,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.transform(arr, f)
+  private def substring_(str: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column, len: org.apache.spark.sql.Column) =
+    str.substr(pos, len)
+}
+object DocumentFingerprinter extends StageLoader[DocumentFingerprinter] {
+  def load(spark: SparkSession, path: String): DocumentFingerprinter =
+    ReadWrite.applyParams(new DocumentFingerprinter, path)
+}

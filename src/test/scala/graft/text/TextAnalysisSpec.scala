@@ -59,4 +59,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(out === Set((10L, 10L, false), (11L, 10L, true), (12L, 12L, false)))
   }
+
+  test("DocumentFingerprinter: winnowing guarantee, short-text empty, determinism") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"XXXX $shared YYYY"),   // shares a long substring with 1
+      (3L, "completely different words here altogether"),
+      (4L, "tiny")                  // shorter than k → empty
+    ).toDF("id", "text")
+    val out = new DocumentFingerprinter().setK(5).setWindowSize(4)
+      .setInputCol("text").setOutputCol("fp")
+      .transform(df).head
+      .select("id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // two docs sharing a substring of length >= k + w - 1 share a fingerprint
+    assert(out(1L).toSet.intersect(out(2L).toSet).nonEmpty)
+    assert(out(1L).toSet.intersect(out(3L).toSet).isEmpty)
+    assert(out(4L).isEmpty)
+    // sorted distinct
+    assert(out(1L) == out(1L).distinct.sorted)
+    // deterministic across evaluations
+    val again = new DocumentFingerprinter().setK(5).setWindowSize(4)
+      .setInputCol("text").setOutputCol("fp")
+      .transform(df).head.select("id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(again == out)
+  }
 }
