@@ -395,6 +395,20 @@ object SparkEntry {
         col("canonical_id"), col("is_exact_duplicate"))
     }),
 
+    // --- Exact n-gram Jaccard join (prefix filtering, recall 1) ---
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+      new graft.dedup.NgramJaccardJoin()
+        .setIdCol("doc_id").setInputCol("shingles").setThreshold(0.5)
+        .transform(grams).head
+        .select(col("id_a"), col("id_b"), round(col("similarity"), 6).as("similarity"))
+    }),
+
     // --- SimHash near-dup pairs (banded Hamming join over 3-gram shingles) ---
     // The oracle is the exact-Jaccard pair set: on this corpus the
     // planted near-dups (distance ≤ 0.1) sit within ~10 SimHash bits
@@ -1493,6 +1507,27 @@ object SparkEntry {
                 MIN(doc_id) OVER (PARTITION BY content_fingerprint) AS canonical_id,
                 doc_id <> MIN(doc_id) OVER (PARTITION BY content_fingerprint) AS is_exact_duplicate
          FROM f""",
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 FOR i IN range(1, len(ws) - 1)]) AS sg
+           FROM toks WHERE len(ws) >= 3
+         ),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sg, b.sg))) AS sim
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b, ROUND(sim, 6) AS similarity
+         FROM pairs WHERE sim >= 0.5""",
 
     "q_simhash" ->
       """WITH toks AS (

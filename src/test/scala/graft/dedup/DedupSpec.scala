@@ -14,6 +14,27 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("NgramJaccardJoin: exact pairs above threshold, nothing lost to prefix filtering") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (2L, Seq("a b c", "b c d", "c d e", "x y z")),  // J(1,2) = 3/5 = 0.6
+      (3L, Seq("a b c", "q r s", "t u v", "w x y")),  // J(1,3) = 1/7
+      (4L, Seq("p q r"))                               // disjoint
+    ).toDF("doc_id", "shingles")
+    val out = new NgramJaccardJoin().setIdCol("doc_id").setInputCol("shingles")
+      .setThreshold(0.5)
+      .transform(df).head
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, 2L, 0.6)))
+    // lower threshold surfaces the weak pair too — exactness check
+    val loose = new NgramJaccardJoin().setIdCol("doc_id").setInputCol("shingles")
+      .setThreshold(0.1)
+      .transform(df).head
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("CosineDeduplicator clusters near-parallel embeddings and keeps distinct ones") {
     import spark.implicits._
     val df = Seq(
