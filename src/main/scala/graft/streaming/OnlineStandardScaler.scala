@@ -198,6 +198,86 @@ class OnlineStandardScalerModel extends Model[OnlineStandardScalerModel]
   }
   override def getModelData: Array[DataFrame] = Array(modelData)
 
+  // exact cumulative moments across update() calls; when resuming from
+  // a fit() model they are recovered once from (count, mean, std) —
+  // css = std²·(n−1) + n·mean², exact algebra up to one sqrt round-trip
+  private var cumN: Long = -1L
+  private var cumS: Array[Double] = _
+  private var cumSS: Array[Double] = _
+
+  /**
+   * Structured Streaming hook: treat one micro-batch as one window —
+   * fold the batch's (count, sum, sumsq) into the cumulative moments
+   * and append one model version row. Call from foreachBatch:
+   * {{{ model = model.update(batchDf) }}}
+   * The batch aggregation is distributed; the fold is O(dim) on the
+   * driver. An empty batch returns this model unchanged (no version).
+   */
+  def update(batch: DataFrame, featuresCol: String = getInputCol,
+      windowEndMs: Long = Long.MaxValue): OnlineStandardScalerModel = {
+    val spark = batch.sparkSession
+    val partials = batch
+      .select(posexplode(org.apache.spark.ml.functions.vector_to_array(col(featuresCol)))
+        .as(Seq("dim", "value")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"), sum(col("value") * col("value")).as("ss"))
+      .orderBy("dim").collect()
+    if (partials.isEmpty) return this
+
+    val dim = partials.length
+    val (latestVersion, prevN) = if (modelData == null) (-1L, 0L) else {
+      val rows = modelData.orderBy(col("version").desc).limit(1).collect()
+      if (rows.isEmpty) (-1L, 0L)
+      else (rows.head.getLong(0), rows.head.getLong(2))
+    }
+    // local copies: update must not mutate the receiver
+    val (baseN, baseS, baseSS) =
+      if (cumN >= 0L) (cumN, cumS.clone(), cumSS.clone())
+      else {
+        // first update: recover state from the latest persisted version
+        val s = new Array[Double](dim)
+        val ss = new Array[Double](dim)
+        if (prevN > 0L) {
+          val latest = modelData.orderBy(col("version").desc).head()
+          val mean = latest.getAs[Vector]("mean").toArray
+          val std = latest.getAs[Vector]("std").toArray
+          var d = 0
+          while (d < dim) {
+            s(d) = mean(d) * prevN
+            ss(d) = std(d) * std(d) * (prevN - 1) + prevN * mean(d) * mean(d)
+            d += 1
+          }
+        }
+        (prevN, s, ss)
+      }
+    val n = partials.head.getLong(1)
+    val newN = baseN + n
+    val mean = new Array[Double](dim)
+    val std = new Array[Double](dim)
+    partials.foreach { r =>
+      val d = r.getInt(0)
+      baseS(d) += r.getDouble(2)
+      baseSS(d) += r.getDouble(3)
+      mean(d) = baseS(d) / newN
+      val variance = if (newN > 1) (baseSS(d) - newN * mean(d) * mean(d)) / (newN - 1) else 0.0
+      std(d) = math.sqrt(math.max(variance, 0.0))
+    }
+    import spark.implicits._
+    val newRow = Seq((latestVersion + 1, windowEndMs, newN, mean, std))
+      .toDF("version", "windowEndMs", "count", "m", "s")
+      .select(col("version"), col("windowEndMs"), col("count"),
+        org.apache.spark.ml.functions.array_to_vector(col("m")).as("mean"),
+        org.apache.spark.ml.functions.array_to_vector(col("s")).as("std"))
+    val m = new OnlineStandardScalerModel().setModelData(
+      if (modelData == null) newRow else modelData.union(newRow))
+    copyParamsTo(m)
+    // the new model carries the exact running moments forward
+    m.cumN = newN
+    m.cumS = baseS
+    m.cumSS = baseSS
+    m
+  }
+
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
     if (getMaxAllowedModelDelayMs >= 0L) transformVersioned(inputs.head)

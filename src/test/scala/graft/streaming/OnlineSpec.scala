@@ -152,6 +152,42 @@ class OnlineSpec extends SparkSpec {
     assert(math.abs(got(1)._1 - 10.0) < eps && math.abs(got(1)._2 - 2.5) < eps)
   }
 
+  test("OnlineStandardScalerModel.update from foreachBatch matches the windowed fit") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference run: count-tumbling windows of 3 over the same 6 values
+    val fitModel = new OnlineStandardScaler().setInputCol("vec")
+      .setWindows(CountTumblingWindows(3)).fit(scalerInput)
+    val expected = fitModel.getModelData.head.orderBy("version").collect()
+      .map(r => (r.getLong(2), r.getAs[Vector]("mean")(0), r.getAs[Vector]("std")(0)))
+
+    @volatile var model = new OnlineStandardScalerModel().setInputCol("vec")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val query = stream.toDF()
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("value"))).as("vec"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        model = model.update(df)
+      }
+      .start()
+    stream.addData(1.0, 2.0, 4.0)     // micro-batch 1 == window 1
+    query.processAllAvailable()
+    stream.addData(3.0, 5.0, 7.0)     // micro-batch 2 == window 2
+    query.processAllAvailable()
+    query.stop()
+    val got = model.getModelData.head.orderBy("version").collect()
+      .map(r => (r.getLong(2), r.getAs[Vector]("mean")(0), r.getAs[Vector]("std")(0)))
+    assert(got.length == 2 && expected.length == 2)
+    got.zip(expected).foreach { case ((n1, m1, s1), (n2, m2, s2)) =>
+      assert(n1 == n2 && math.abs(m1 - m2) < 1e-9 && math.abs(s1 - s2) < 1e-9)
+    }
+    // the streamed model scores like any fitted model
+    val scored = model.setOutputCol("scaled").transform(scalerInput).head
+      .select("version").head().getLong(0)
+    assert(scored == 1L)
+  }
+
   test("OnlineLogisticRegressionModel.update drives from Structured Streaming foreachBatch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
