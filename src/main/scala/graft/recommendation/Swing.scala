@@ -93,22 +93,32 @@ class Swing extends AlgoOperator[Swing]
       .where(col("cnt").between(getMinUserBehavior, getMaxUserBehavior))
 
     // purchasers of a hot item capped to a deterministic hash-ranked
-    // top-N — in TWO phases so no task ever sorts an uncapped hot
-    // item's purchaser list: (1) rank within (item, salt) and keep N
-    // per salt; (2) re-rank the ≤ Salts·N survivors per item. The
-    // global top-N under the (hash, u) total order is contained in
-    // the union of per-salt top-Ns, so the selected set is identical
-    // to a single-phase rank. The heavy per-user item arrays join in
-    // only AFTER the cap, so they never ride the cap shuffles.
+    // top-N. Items at or under the cap — the overwhelming majority at
+    // any scale — bypass capping entirely (no sort at all); only
+    // over-cap items go through a TWO-phase rank so no task ever
+    // sorts an uncapped hot item's purchaser list: (1) rank within
+    // (item, salt) keeping N per salt, (2) re-rank the ≤ Salts·N
+    // survivors. The global top-N under the (hash, u) total order is
+    // contained in the union of per-salt top-Ns, and under-cap items
+    // keep every purchaser, so the selected set is identical to a
+    // single-phase global rank. The heavy per-user item arrays join
+    // in only AFTER the cap, so they never ride the cap shuffles.
+    // over-cap items are few by definition (≤ totalPairs/cap) → broadcast
+    val hotItems = broadcast(pairs.groupBy("i").agg(count(lit(1)).as("icnt"))
+      .where(col("icnt") > getMaxUserNumPerItem))
     val slim = pairs.join(userItems.select("u", "cnt"), "u")
+      .join(hotItems, Seq("i"), "left")
+    val under = slim.where(col("icnt").isNull).drop("icnt")
+    val over = slim.where(col("icnt").isNotNull).drop("icnt")
     val rankKey = xxhash64(col("u"), lit(getSeed))
     val w1 = Window.partitionBy("i", "salt").orderBy(rankKey, col("u"))
-    val phase1 = slim.withColumn("salt", pmod(xxhash64(col("u")), lit(Swing.CapSalts)))
+    val phase1 = over.withColumn("salt", pmod(xxhash64(col("u")), lit(Swing.CapSalts)))
       .withColumn("rn", row_number().over(w1))
       .where(col("rn") <= getMaxUserNumPerItem).drop("rn", "salt")
     val w2 = Window.partitionBy("i").orderBy(rankKey, col("u"))
-    val capped = phase1.withColumn("rn", row_number().over(w2))
+    val phase2 = phase1.withColumn("rn", row_number().over(w2))
       .where(col("rn") <= getMaxUserNumPerItem).drop("rn")
+    val capped = under.unionByName(phase2)
       .join(userItems.select("u", "items"), "u")
 
     // all unordered purchaser pairs per item — an equi-join on item, the
