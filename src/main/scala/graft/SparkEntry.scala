@@ -1004,6 +1004,10 @@ object SparkEntry {
     }),
 
     // --- LogisticRegression training end-to-end (rows-only smoke) ---
+    // full-batch gradient descent (globalBatchSize ≥ any partition ⇒
+    // every step sums over ALL rows, independent of partition layout)
+    // makes training deterministic and SQL-replayable; the oracle
+    // unrolls the three steps
     "q_logreg_train" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .withColumn("label", (col("l_quantity") > 25).cast("double"))
@@ -1012,9 +1016,11 @@ object SparkEntry {
         .setInputSizes(1, 1)
         .transform(li).head
       val model = new graft.classification.LogisticRegression()
-        .setMaxIter(20).setGlobalBatchSize(1024).fit(assembled)
-      model.transform(assembled).head
-        .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+        .setMaxIter(3).setGlobalBatchSize(1 << 22).fit(assembled)
+      model.getModelData.head
+        .select(posexplode(org.apache.spark.ml.functions.vector_to_array(col("coefficient")))
+          .as(Seq("dim", "c")))
+        .select(col("dim").cast("long").as("dim"), round(col("c"), 4).as("coefficient"))
     }),
 
     // --- NaiveBayes train+predict (rows-only smoke) ---
@@ -1197,8 +1203,46 @@ object SparkEntry {
        FROM emb LEFT JOIN comp ON comp.id = emb.vec_id"""
   }
 
+  /**
+   * Oracle for q_logreg_train: full-batch logistic GD from zero
+   * weights, lr 0.1, no regularization — each unrolled step computes
+   * the exact global gradient Σ (−ls / (exp((w·x)·ls) + 1))·x over
+   * all rows and updates w ← w − lr·g/n (SGD.scala step with
+   * totalWeight = n). Step 1 is exact (exp(0) = 1); later steps'
+   * exp() ulp differences vanish under ROUND(4).
+   */
+  private def logregTrainOracleSql: String = {
+    val iters = 3
+    val lr = 0.1
+    val sb = new StringBuilder
+    sb.append(
+      """WITH d AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x0, l_discount AS x1,
+        |         CASE WHEN l_quantity > 25 THEN 1.0 ELSE -1.0 END AS ls
+        |  FROM lineitem),
+        |w0 AS (SELECT 0.0 AS a, 0.0 AS b),
+        |""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s"""g$t AS (SELECT SUM((-d.ls / (exp((w.a * d.x0 + w.b * d.x1) * d.ls) + 1)) * d.x0) AS ga,
+           |         SUM((-d.ls / (exp((w.a * d.x0 + w.b * d.x1) * d.ls) + 1)) * d.x1) AS gb,
+           |         CAST(COUNT(*) AS DOUBLE) AS n, MAX(w.a) AS a, MAX(w.b) AS b
+           |       FROM d CROSS JOIN w${t - 1} w),
+           |w$t AS (SELECT a - $lr * ga / n AS a, b - $lr * gb / n AS b FROM g$t),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""res AS (SELECT CAST(0 AS BIGINT) AS dim, ROUND(a, 4) AS coefficient FROM w$iters
+         |        UNION ALL
+         |        SELECT CAST(1 AS BIGINT), ROUND(b, 4) FROM w$iters)
+         |SELECT dim, coefficient FROM res""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_kbins_kmeans" -> kbinsKmeansOracleSql,
+
+    "q_logreg_train" -> logregTrainOracleSql,
 
     "q_embedding_dedup" -> embeddingDedupOracleSql,
 
