@@ -37,13 +37,28 @@ object ConnectedComponents {
    *         graphs with diameter > maxIter need a higher setting) —
    *         partial labels would silently under-deduplicate.
    */
+  /** Edge lists at or under this size run union-find on the driver:
+    * an LSH dedup join typically leaves a few thousand edges, where
+    * the distributed loop's per-iteration job overhead (join + agg +
+    * convergence action, several rounds) costs seconds for work a
+    * single core finishes in microseconds. Above the bound the
+    * shuffle loop takes over unchanged. */
+  val DriverEdgeLimit: Long = 1L << 20
+
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val edgeCount = sym.count()
+    if (edgeCount <= driverEdgeLimit) {
+      val out = runOnDriver(sym, edges.schema(edges.columns.indexOf(srcCol)).dataType)
+      sym.unpersist(blocking = false)
+      return out
+    }
 
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -74,5 +89,53 @@ object ConnectedComponents {
           "would be partial (members of one cluster keeping different canonical ids). " +
           "Raise maxIter past the graph diameter.")
     labels
+  }
+
+  /** Union-find over a collected edge list; component = min member
+    * (vertex values are boxed JVM types, all Comparable). */
+  private def runOnDriver(sym: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      // path compression
+      var cur = x
+      while (parent.getOrDefault(cur, cur) != root) {
+        val next = parent.get(cur); parent.put(cur, root); cur = next
+      }
+      root
+    }
+    pairs.foreach { case (u, v) =>
+      parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent.put(ru, rv)
+    }
+    val members = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      members.computeIfAbsent(find(v), _ => new java.util.ArrayList[Any]()).add(v)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val mit = members.values().iterator()
+    while (mit.hasNext) {
+      val group = mit.next()
+      var min: Any = group.get(0)
+      var i = 1
+      while (i < group.size()) {
+        if (min.asInstanceOf[Comparable[Any]].compareTo(group.get(i)) > 0) min = group.get(i)
+        i += 1
+      }
+      i = 0
+      while (i < group.size()) {
+        rows.add(org.apache.spark.sql.Row(group.get(i), min)); i += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    sym.sparkSession.createDataFrame(rows, schema)
   }
 }

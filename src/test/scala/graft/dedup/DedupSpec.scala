@@ -58,12 +58,25 @@ class DedupSpec extends SparkSpec {
   test("ConnectedComponents throws instead of returning partial labels at maxIter") {
     import spark.implicits._
     // a 6-vertex path has diameter 5: labels spread one hop per round,
-    // so maxIter=2 cannot converge
+    // so maxIter=2 cannot converge. driverEdgeLimit=0 forces the
+    // distributed loop (the driver fast path needs no iterations).
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.run(chain, maxIter = 2)
+      ConnectedComponents.run(chain, maxIter = 2, driverEdgeLimit = 0)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("ConnectedComponents distributed loop matches the driver fast path") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 3L), (20L, 21L)).toDF("src", "dst")
+    val driver = ConnectedComponents.run(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = ConnectedComponents.run(edges, driverEdgeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(driver === dist)
+    assert(driver === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
   }
 
   test("MinHashDeduplicator groups near-identical shingle sets and flags non-canonical members") {
