@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-shape regression tests: the scale properties the operators
+ * promise (column pruning reaching the scan, candidate joins staying
+ * equi-joins, small sides broadcast) are asserted on the physical
+ * plan so a refactor cannot silently reintroduce a scan-everything,
+ * all-pairs, or shuffle-everything plan.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("column pruning reaches the parquet scan through a transformer chain") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val assembled = new graft.feature.VectorAssembler()
+      .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+      .setInputSizes(1, 1)
+      .transform(li).head
+      .select("features")
+    val scan = assembled.queryExecution.executedPlan.toString
+    // the 16-column table must be read as just the two assembled inputs
+    assert(scan.contains("ReadSchema"), scan)
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_discount"), readSchema)
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("LSH similarity join is an equi-join on buckets, never a cartesian product") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(1, 2, 4)), (3L, Seq(7, 8, 9)))
+      .toDF("id", "idx")
+      .select(col("id"), udf { idx: Seq[Int] =>
+        org.apache.spark.ml.linalg.Vectors.sparse(100, idx.toArray, Array.fill(idx.size)(1.0))
+      }.apply(col("idx")).as("vec"))
+    val model = new graft.feature.MinHashLSH()
+      .setInputCol("vec").setOutputCol("hashes").setNumHashTables(5).setSeed(1L)
+      .fit(docs)
+    val joined = model.approxSimilarityJoin(docs, docs, 0.5, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("NgramJaccardJoin generates candidates via equi-join only") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a b c", "b c d")), (2L, Seq("a b c", "x y z")))
+      .toDF("doc_id", "shingles")
+    val out = new graft.dedup.NgramJaccardJoin()
+      .setIdCol("doc_id").setInputCol("shingles").setThreshold(0.3)
+      .transform(df).head
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("Swing broadcasts the over-cap item set") {
+    import spark.implicits._
+    val rows = (0L until 30L).flatMap(u => Seq((u, 99L), (u, 100L + u % 5)))
+    val out = new graft.recommendation.Swing()
+      .setMinUserBehavior(1).setMaxUserBehavior(10).setMaxUserNumPerItem(7)
+      .transform(rows.toDF("user", "item")).head
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
