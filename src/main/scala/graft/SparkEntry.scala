@@ -598,6 +598,21 @@ object SparkEntry {
           .as("scaled"))
     }),
 
+    // --- StreamingStats windowed moments (batch replay of the
+    // readStream→watermark→window→writeStream monitoring path) ---
+    "q_stream_stats" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .select(timestamp_millis(expr("ts div 1000000")).as("tsm"), col("value"))
+      graft.streaming.StreamingStats
+        .windowedMoments(ev, "tsm", "value", "1 hour", "1 minute")
+        .select(unix_millis(col("window_start")).as("window_start"),
+          col("n"),
+          round(col("mean"), 4).as("mean"),
+          round(when(col("n") === 1, 0.0).otherwise(col("std")), 4).as("std"),
+          col("min").as("vmin"), col("max").as("vmax"))
+    }),
+
     // --- OnlineKMeans: one decayed mini-batch step from fixed centroids ---
     "q_online_kmeans" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1680,6 +1695,17 @@ object SparkEntry {
          FROM d
          JOIN pick ON pick.tsm = d.tsm
          JOIN v vv ON vv.version = pick.version""",
+
+    "q_stream_stats" ->
+      """WITH d AS (SELECT epoch_ms(ts) AS tsm, value FROM events),
+         g AS (SELECT (tsm // 3600000) * 3600000 AS window_start,
+                      COUNT(*) AS n, AVG(value) AS mean, STDDEV_SAMP(value) AS std,
+                      MIN(value) AS vmin, MAX(value) AS vmax
+               FROM d GROUP BY 1)
+         SELECT window_start, n, ROUND(mean, 4) AS mean,
+                ROUND(CASE WHEN n = 1 THEN 0.0 ELSE std END, 4) AS std,
+                vmin, vmax
+         FROM g""",
 
     "q_online_kmeans" ->
       """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x, l_discount AS y,
