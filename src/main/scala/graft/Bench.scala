@@ -20,6 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed warmup: absorb one-off JVM/codegen/parquet-footer/shuffle
+    // setup (~5 s) that would otherwise land on whichever query runs
+    // first and distort its number
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").agg(count(lit(1)).as("c"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

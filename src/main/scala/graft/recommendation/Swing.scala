@@ -21,9 +21,15 @@ import graft.util.ReadWrite
  *
  * Scale shape (100 TB design): the reference keys by item and loops
  * user pairs in operator state; here every step is a shuffle-parallel
- * DataFrame op — user filtering is one groupBy, the user-pair
- * generation is a self-equi-join on item, and the per-pair
- * intersection walks two pre-sorted arrays. The maxUserNumPerItem cap
+ * DataFrame op. The key reformulation: the intersection I_u∩I_v is
+ * itself the co-purchase relation — user pair (u,v) shares item x iff
+ * the item self-join emits (u,v,x). So instead of shipping each
+ * user's full item array through the pair shuffle and walking a
+ * per-row intersection UDF (O(pairs·|I_u|) bytes), the join carries
+ * only (u1,u2,x,cnt₁,cnt₂) and one groupBy(u1,u2) rebuilds the
+ * intersection list per pair — whose size is the typically-tiny
+ * overlap |I_u∩I_v|, not |I_u|. Everything stays in whole-stage
+ * codegen; there is no UDF on the hot path. The maxUserNumPerItem cap
  * bounds the quadratic pair blow-up per hot item; it is applied as a
  * deterministic hash-ranked top-N per item (the reference uses
  * seed-dependent reservoir sampling over arrival order, which is
@@ -86,10 +92,9 @@ class Swing extends AlgoOperator[Swing]
       raise_error(lit("Data of user and item column must not be null."))).otherwise(col(c))
     val pairs = df.select(notNull(getUserCol).as("u"), notNull(getItemCol).as("i")).distinct()
 
-    // one shuffle: per-user item set (sorted for the merge-intersection),
-    // filtered to [minUserBehavior, maxUserBehavior]
-    val userItems = pairs.groupBy("u")
-      .agg(sort_array(collect_list("i")).as("items"), count(lit(1)).as("cnt"))
+    // one shuffle: per-user distinct-item count, filtered to
+    // [minUserBehavior, maxUserBehavior] — no item arrays anywhere
+    val userCnt = pairs.groupBy("u").agg(count(lit(1)).as("cnt"))
       .where(col("cnt").between(getMinUserBehavior, getMaxUserBehavior))
 
     // purchasers of a hot item capped to a deterministic hash-ranked
@@ -101,52 +106,55 @@ class Swing extends AlgoOperator[Swing]
     // survivors. The global top-N under the (hash, u) total order is
     // contained in the union of per-salt top-Ns, and under-cap items
     // keep every purchaser, so the selected set is identical to a
-    // single-phase global rank. The heavy per-user item arrays join
-    // in only AFTER the cap, so they never ride the cap shuffles.
+    // single-phase global rank. Instead of filtering, rows get an
+    // `inCap` flag: capped-out purchasers still contribute their
+    // co-purchases to intersection SIZE and SIM lists (the reference
+    // intersects the users' full item lists) — only the anchor item
+    // of a contribution must have both users capped-in.
     // over-cap items are few by definition (≤ totalPairs/cap) → broadcast
     val hotItems = broadcast(pairs.groupBy("i").agg(count(lit(1)).as("icnt"))
       .where(col("icnt") > getMaxUserNumPerItem))
-    val slim = pairs.join(userItems.select("u", "cnt"), "u")
-      .join(hotItems, Seq("i"), "left")
+    val slim = pairs.join(userCnt, "u").join(hotItems, Seq("i"), "left")
     val under = slim.where(col("icnt").isNull).drop("icnt")
+      .withColumn("inCap", lit(true))
     val over = slim.where(col("icnt").isNotNull).drop("icnt")
     val rankKey = xxhash64(col("u"), lit(getSeed))
     val w1 = Window.partitionBy("i", "salt").orderBy(rankKey, col("u"))
     val phase1 = over.withColumn("salt", pmod(xxhash64(col("u")), lit(Swing.CapSalts)))
       .withColumn("rn", row_number().over(w1))
-      .where(col("rn") <= getMaxUserNumPerItem).drop("rn", "salt")
+    // dropped in phase 1 ⇒ >N predecessors within the salt ⇒ >N globally
+    val phase1Out = phase1.where(col("rn") > getMaxUserNumPerItem)
+      .drop("rn", "salt").withColumn("inCap", lit(false))
     val w2 = Window.partitionBy("i").orderBy(rankKey, col("u"))
-    val phase2 = phase1.withColumn("rn", row_number().over(w2))
-      .where(col("rn") <= getMaxUserNumPerItem).drop("rn")
-    val capped = under.unionByName(phase2)
-      .join(userItems.select("u", "items"), "u")
+    val phase2 = phase1.where(col("rn") <= getMaxUserNumPerItem).drop("rn", "salt")
+      .withColumn("inCap", row_number().over(w2) <= getMaxUserNumPerItem)
+    val flagged = under.unionByName(phase1Out).unionByName(phase2)
 
-    // all unordered purchaser pairs per item — an equi-join on item, the
-    // shuffle-parallel analog of the reference's per-item nested loop
-    val left = capped.select(col("i"), col("u").as("u1"), col("items").as("it1"), col("cnt").as("c1"))
-    val right = capped.select(col("i"), col("u").as("u2"), col("items").as("it2"), col("cnt").as("c2"))
-    val userPairs = left.join(right, Seq("i")).where(col("u1") < col("u2"))
+    // co-purchase self-join on the item — the shuffle-parallel analog
+    // of the reference's per-item nested loop, carrying only ids and
+    // counts (never item arrays): row (u1,u2,x) ⟺ x ∈ I_u1 ∩ I_u2
+    val left = flagged.select(col("i"), col("u").as("u1"), col("cnt").as("c1"), col("inCap").as("f1"))
+    val right = flagged.select(col("i"), col("u").as("u2"), col("cnt").as("c2"), col("inCap").as("f2"))
+    val coPurchase = left.join(right, Seq("i")).where(col("u1") < col("u2"))
+      .select(col("u1"), col("u2"), col("c1"), col("c2"),
+        struct(col("i").as("x"), (col("f1") && col("f2")).as("cap")).as("e"))
 
-    // sorted-merge intersection: size includes the main item (reference
-    // interactionSize), the emitted sim list excludes it
-    val intersect = udf { (a: Seq[Long], b: Seq[Long], main: Long) =>
-      var i = 0; var j = 0; var size = 0
-      val sims = scala.collection.mutable.ArrayBuffer.empty[Long]
-      while (i < a.length && j < b.length) {
-        if (a(i) == b(j)) { size += 1; if (a(i) != main) sims += a(i); i += 1; j += 1 }
-        else if (a(i) < b(j)) i += 1
-        else j += 1
-      }
-      (size, sims.toSeq)
-    }
+    // one groupBy rebuilds each pair's intersection — array length is
+    // the (small) overlap |I_u∩I_v|, bounded by maxUserBehavior.
+    // size includes the main item (reference interactionSize); the
+    // emitted sim list excludes it
+    val grouped = coPurchase.groupBy("u1", "u2", "c1", "c2")
+      .agg(collect_list("e").as("xs"))
     val a1 = getAlpha1; val a2 = getAlpha2; val bt = getBeta
-    val contrib = userPairs
-      .withColumn("inter", intersect(col("it1"), col("it2"), col("i")))
-      .select(col("i"),
-        explode(col("inter._2")).as("sim"),
+    val contrib = grouped
+      .select(col("c1"), col("c2"), size(col("xs")).as("isz"), col("xs"),
+        explode(expr("filter(xs, e -> e.cap)")).as("anchor"))
+      .select(col("anchor.x").as("i"),
+        explode(col("xs.x")).as("sim"),
         ((lit(1.0) / pow(lit(a1) + col("c1"), lit(bt)))
           * (lit(1.0) / pow(lit(a1) + col("c2"), lit(bt)))
-          / (lit(a2) + col("inter._1"))).as("s"))
+          / (lit(a2) + col("isz"))).as("s"))
+      .where(col("sim") =!= col("i"))
 
     val scores = contrib.groupBy("i", "sim").agg(sum("s").as("score"))
     val rankWindow = Window.partitionBy("i").orderBy(col("score").desc, col("sim").asc)
