@@ -39,7 +39,12 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // each query pays for building its own caches inside its timed
+      // window; dropping them after the clock stops keeps numbers
+      // self-contained and stops cache growth across 69 queries
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     // Locale.ROOT: the default-locale f-interpolator would print a
     // comma decimal separator on some JVMs, corrupting the JSON line

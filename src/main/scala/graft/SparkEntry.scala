@@ -426,13 +426,18 @@ object SparkEntry {
         .where(size(col("shingles")) > 0)
       val hasher = new graft.dedup.SimHasher()
         .setInputCol("shingles").setOutputCol("fp")
+      // persist the slim hashed projection: it feeds the banded join
+      // AND both sides of the exact-Jaccard check below — uncached, the
+      // tokenize→shingle→fingerprint chain would re-run per consumer
       val hashed = hasher.transform(grams).head
+        .select("doc_id", "shingles", "fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = hasher.similarityJoin(hashed, "doc_id", maxHamming = 15, numBands = 16)
       // exact-Jaccard verification of the Hamming candidates (same
       // candidates → true-distance shape as the MinHash join; SimHash
       // of very short docs is noisy, so the cheap exact check on the
       // tiny candidate set removes hash-coincidence pairs)
-      val sets = grams.select(col("doc_id"), array_distinct(col("shingles")).as("sg"))
+      val sets = hashed.select(col("doc_id"), array_distinct(col("shingles")).as("sg"))
       val jac = udf { (a: Seq[String], b: Seq[String]) =>
         val sa = a.toSet; val sb = b.toSet
         1.0 - sa.intersect(sb).size.toDouble / sa.union(sb).size

@@ -48,9 +48,15 @@ class NgramJaccardJoin extends AlgoOperator[NgramJaccardJoin]
     val df = inputs.head
     val t = getThreshold
 
-    // set semantics: distinct tokens, empty sets drop out
+    // set semantics: distinct tokens, empty sets drop out. Persisted:
+    // this slim projection feeds four consumers (token frequencies,
+    // the ranked arrays, and both sides of the exact-filter join-back),
+    // and the caller's upstream lineage is typically UDF-heavy
+    // (tokenize → shingle) — without the cache it would be re-evaluated
+    // per consumer.
     val sets = df.select(col(getIdCol).as("id"), array_distinct(col(getInputCol)).as("toks"))
       .where(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // global token frequencies → rarity order (freq asc, token asc for determinism)
     val freq = sets.select(explode(col("toks")).as("tok"))

@@ -203,15 +203,22 @@ class MinHashLSHModel extends Model[MinHashLSHModel] with LSHParams[MinHashLSHMo
    */
   def approxSimilarityJoin(datasetA: DataFrame, datasetB: DataFrame, threshold: Double,
       idCol: String, distCol: String = "distCol"): DataFrame = {
-    val ea = explodeHashes(datasetA, idCol).select(col("id").as("datasetA_id"),
+    // each side's lineage is consumed by BOTH the bucket explode and the
+    // exact-distance vector join-back — persist the slim (id, vector[,
+    // hashes]) projection so an expensive upstream (tokenize → shingle →
+    // vectorize) isn't re-evaluated per consumer. Only the reused
+    // projection is cached, never the caller's full table.
+    val pa = slimPersist(datasetA, idCol)
+    val pb = if (datasetB eq datasetA) pa else slimPersist(datasetB, idCol)
+    val ea = explodeHashes(pa, idCol).select(col("id").as("datasetA_id"),
       col("t"), col("h"))
-    val eb = explodeHashes(datasetB, idCol).select(col("id").as("datasetB_id"),
+    val eb = explodeHashes(pb, idCol).select(col("id").as("datasetB_id"),
       col("t"), col("h"))
     // candidate pairs: same (table, signature) bucket in at least one table
     val candidates = ea.join(eb, Seq("t", "h"))
       .select("datasetA_id", "datasetB_id").distinct()
-    val va = datasetA.select(col(idCol).as("datasetA_id"), col(getInputCol).as("va"))
-    val vb = datasetB.select(col(idCol).as("datasetB_id"), col(getInputCol).as("vb"))
+    val va = pa.select(col(idCol).as("datasetA_id"), col(getInputCol).as("va"))
+    val vb = pb.select(col(idCol).as("datasetB_id"), col(getInputCol).as("vb"))
     val dist = udf { (x: Vector, y: Vector) => MinHashLSHModelData.jaccardDistance(x, y) }
     candidates
       .join(va, "datasetA_id")
@@ -219,6 +226,16 @@ class MinHashLSHModel extends Model[MinHashLSHModel] with LSHParams[MinHashLSHMo
       .withColumn(distCol, dist(col("va"), col("vb")))
       .where(col(distCol) <= threshold)
       .select(col("datasetA_id"), col("datasetB_id"), col(distCol))
+  }
+
+  /** The reused (id, inputCol[, outputCol]) projection, cached. A plan
+    * already persisted upstream is recognized by the CacheManager and
+    * not cached twice. */
+  private def slimPersist(df: DataFrame, idCol: String): DataFrame = {
+    val cols = Seq(idCol, getInputCol) ++
+      (if (df.columns.contains(getOutputCol)) Seq(getOutputCol) else Nil)
+    df.select(cols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** (id, table index, signature-as-array) — one row per hash table. */

@@ -47,19 +47,30 @@ class CountVectorizer extends Estimator[CountVectorizer, CountVectorizerModel]
   override def fit(inputs: DataFrame*): CountVectorizerModel = {
     require(inputs.size == 1)
     val df = inputs.head
-    val numDocs = df.count()
+    // numDocs is only needed to resolve FRACTIONAL minDF/maxDF; with the
+    // default integer thresholds, skip the extra full pass over the
+    // (often UDF-heavy) upstream pipeline entirely
+    lazy val numDocs = df.count()
     val minDfCount = if (getMinDF >= 1.0) getMinDF else getMinDF * numDocs
     val maxDfCount = if (getMaxDF >= 1.0) getMaxDF else getMaxDF * numDocs
 
-    // one shuffle: per-term (termCount, docCount) partial-aggregated
+    // single pass: pre-aggregate term counts inside each document, then
+    // one shuffle gets both the corpus term count (sum of local counts)
+    // and the document frequency (rows = docs containing the term) —
+    // no second explode, no tf⋈df join, and the explode emits one row
+    // per DISTINCT term per doc rather than one per occurrence
+    val localCounts = udf { terms: Seq[String] =>
+      if (terms == null) null
+      else {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        terms.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+        m
+      }
+    }
     val termStats = df
-      .select(explode(col(getInputCol)).as("term"))
+      .select(explode(localCounts(col(getInputCol))).as(Seq("term", "cnt")))
       .groupBy("term")
-      .agg(count(lit(1)).as("tf"))
-      .join(
-        df.select(explode(array_distinct(col(getInputCol))).as("term"))
-          .groupBy("term").agg(count(lit(1)).as("df_")),
-        Seq("term"))
+      .agg(sum("cnt").as("tf"), count(lit(1)).as("df_"))
       .where(col("df_") >= minDfCount && col("df_") <= maxDfCount)
       .orderBy(desc("tf"), asc("term"))
       .limit(getVocabularySize)
