@@ -842,6 +842,19 @@ object SparkEntry {
       Seq((counts.sum, counts.length)).toDF("total_rows", "n_splits")
     }),
 
+    // --- StratifiedSampler (deterministic md5 fraction + per-lang cap) ---
+    // en (218 docs) exceeds the cap, the other languages land on the
+    // fraction-then-cap boundary — both the under- and over-cap plan
+    // branches are exercised and the oracle reproduces the exact
+    // selection from the same md5 order
+    "q_stratified_sample" -> ((s, dir) => {
+      new graft.feature.StratifiedSampler()
+        .setIdCol("doc_id").setStrataCols("lang")
+        .setSeed(2022L).setFraction(0.8).setMaxPerStratum(50)
+        .transform(t(s, dir, "documents")).head
+        .select("doc_id", "lang")
+    }),
+
     // --- HashingTF (murmur3 bucket per distinct term; literal-pinned oracle) ---
     "q_hashing_tf" -> ((s, dir) => {
       val toks = new graft.feature.RegexTokenizer()
@@ -1907,6 +1920,18 @@ object SparkEntry {
 
     "q_random_splitter" ->
       """SELECT COUNT(*) AS total_rows, 2 AS n_splits FROM lineitem""",
+
+    "q_stratified_sample" ->
+      s"""WITH k AS (
+           SELECT doc_id, lang,
+                  md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), '2022')) AS key
+           FROM documents
+         ),
+         f AS (SELECT * FROM k WHERE key < '${graft.feature.StratifiedSampler.fractionThreshold(0.8)}'),
+         r AS (SELECT doc_id, lang,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+               FROM f)
+         SELECT doc_id, lang FROM r WHERE rn <= 50""",
 
     "q_auc" ->
       """WITH d AS (
