@@ -855,6 +855,18 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // --- GroupedSplitter (leakage-free train/val/test by user) ---
+    // all of a user's events share a split; the oracle replays the md5
+    // interval assignment with the same precomputed hex thresholds
+    "q_grouped_split" -> ((s, dir) => {
+      // events stores TIMESTAMP(NANOS); legacy long read keeps the scan legal
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      new graft.feature.GroupedSplitter()
+        .setGroupCols("user_id").setWeights(0.8, 0.1, 0.1).setSeed(7L)
+        .assign(t(s, dir, "events"), "split")
+        .select("event_id", "split")
+    }),
+
     // --- HashingTF (murmur3 bucket per distinct term; literal-pinned oracle) ---
     "q_hashing_tf" -> ((s, dir) => {
       val toks = new graft.feature.RegexTokenizer()
@@ -1932,6 +1944,20 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
                FROM f)
          SELECT doc_id, lang FROM r WHERE rn <= 50""",
+
+    "q_grouped_split" -> {
+      val ts = new graft.feature.GroupedSplitter().setWeights(0.8, 0.1, 0.1).thresholds
+      s"""WITH k AS (
+           SELECT event_id,
+                  md5(concat_ws(chr(1), CAST(user_id AS VARCHAR), '7')) AS key
+           FROM events
+         )
+         SELECT event_id,
+                CASE WHEN key < '${ts(0)}' THEN 0
+                     WHEN key < '${ts(1)}' THEN 1
+                     ELSE 2 END AS split
+         FROM k"""
+    },
 
     "q_auc" ->
       """WITH d AS (
