@@ -855,6 +855,26 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // --- AsOfJoiner (point-in-time feature join: last purchase before each click) ---
+    // right side deduped per (user, ts) by MAX(value) so the as-of
+    // match is unambiguous on both engines; DuckDB replays with its
+    // native ASOF LEFT JOIN
+    "q_asof_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("tsm", expr("ts div 1000000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "tsm", "user_id")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "tsm").agg(max("value").as("pval"))
+      new graft.join.AsOfJoiner()
+        .setOnCols("user_id").setLeftTimeCol("tsm").setRightTimeCol("tsm")
+        .setValueCols("pval")
+        .transform(clicks, purchases).head
+        .select(col("event_id"), col("matched_ts"),
+          round(col("pval"), 6).as("last_purchase"))
+    }),
+
     // --- GroupedSplitter (leakage-free train/val/test by user) ---
     // all of a user's events share a split; the oracle replays the md5
     // interval assignment with the same precomputed hex thresholds
@@ -1944,6 +1964,15 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
                FROM f)
          SELECT doc_id, lang FROM r WHERE rn <= 50""",
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS tsm, user_id, event_type, value FROM events),
+         c AS (SELECT event_id, tsm, user_id FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, tsm, MAX(value) AS pval FROM e
+               WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, p.tsm AS matched_ts, ROUND(p.pval, 6) AS last_purchase
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.tsm >= p.tsm""",
 
     "q_grouped_split" -> {
       val ts = new graft.feature.GroupedSplitter().setWeights(0.8, 0.1, 0.1).thresholds
