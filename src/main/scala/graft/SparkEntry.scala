@@ -855,6 +855,17 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // --- Sessionizer (gap-based sessions per user over the event stream) ---
+    "q_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("tsm", expr("ts div 1000000"))
+      new graft.streaming.Sessionizer()
+        .setKeyCols("user_id").setTimeCol("tsm").setGapMs(3600L * 1000)
+        .transform(ev).head
+        .select("event_id", "session", "session_start")
+    }),
+
     // --- AsOfJoiner (point-in-time feature join: last purchase before each click) ---
     // right side deduped per (user, ts) by MAX(value) so the as-of
     // match is unambiguous on both engines; DuckDB replays with its
@@ -1964,6 +1975,17 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
                FROM f)
          SELECT doc_id, lang FROM r WHERE rn <= 50""",
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm FROM events),
+         l AS (SELECT event_id, user_id, tsm,
+                      CASE WHEN LAG(tsm) OVER w IS NULL
+                                OR tsm - LAG(tsm) OVER w > 3600000 THEN 1 ELSE 0 END AS nw
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm))
+         SELECT event_id,
+                CAST(SUM(nw) OVER w2 AS BIGINT) AS session,
+                MAX(CASE WHEN nw = 1 THEN tsm END) OVER w2 AS session_start
+         FROM l WINDOW w2 AS (PARTITION BY user_id ORDER BY tsm ROWS UNBOUNDED PRECEDING)""",
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS tsm, user_id, event_type, value FROM events),
