@@ -855,6 +855,27 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // --- Decontaminator (n-gram overlap against a held-out eval split) ---
+    // doc_id % 10 == 0 plays the eval suite; the planted near-dup pairs
+    // cross the split, so real contamination exists to catch. 8-token
+    // grams (the 8-13 window public pipelines use): an 8-gram shared by
+    // chance is ~impossible, so exactly the planted overlaps flag
+    "q_decontaminate" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(8)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val train = grams.where(col("doc_id") % 10 =!= 0)
+      val evalSet = grams.where(col("doc_id") % 10 === 0)
+      new graft.dedup.Decontaminator()
+        .setIdCol("doc_id").setInputCol("shingles")
+        .transform(train, evalSet).head
+        .select("doc_id", "matched_ngrams", "contaminated")
+    }),
+
     // --- Sessionizer (gap-based sessions per user over the event stream) ---
     "q_sessionize" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1975,6 +1996,29 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
                FROM f)
          SELECT doc_id, lang FROM r WHERE rn <= 50""",
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                 || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+                                 FOR i IN range(1, len(ws) - 6)]) AS sg
+           FROM toks WHERE len(ws) >= 8
+         ),
+         tr AS (SELECT doc_id, sg FROM sh WHERE doc_id % 10 <> 0),
+         ev AS (SELECT DISTINCT unnest(sg) AS g FROM sh WHERE doc_id % 10 = 0),
+         tg AS (SELECT doc_id, unnest(sg) AS g FROM tr),
+         cnt AS (SELECT tg.doc_id, COUNT(*) AS m
+                 FROM tg JOIN ev ON tg.g = ev.g GROUP BY tg.doc_id)
+         SELECT tr.doc_id,
+                COALESCE(cnt.m, 0) AS matched_ngrams,
+                COALESCE(cnt.m, 0) >= 1 AS contaminated
+         FROM tr LEFT JOIN cnt ON tr.doc_id = cnt.doc_id""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm FROM events),
