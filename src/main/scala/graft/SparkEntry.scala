@@ -386,6 +386,40 @@ object SparkEntry {
         size(col("fingerprints")).cast("long").as("n"))
     }),
 
+    // --- Gopher-style repetition statistics (in-row HOFs, zero shuffle) ---
+    "q_repetition" -> ((s, dir) => {
+      val out = new graft.text.RepetitionStats().setInputCol("text")
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("n_words"),
+        round(col("distinct_word_ratio"), 6).as("distinct_word_ratio"),
+        round(col("top_word_fraction"), 6).as("top_word_fraction"),
+        round(col("dup_2gram_fraction"), 6).as("dup_2gram_fraction"),
+        round(col("dup_3gram_fraction"), 6).as("dup_3gram_fraction"))
+    }),
+
+    // --- PII redaction (email/IP/phone planted deterministically per doc) ---
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("ptext",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.1."), (col("doc_id") % 200).cast("string"),
+          lit(".77 or +1 555 20"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+      val out = new graft.text.PiiRedactor()
+        .setInputCol("ptext").setOutputCol("redacted")
+        .transform(planted).head
+      out.select(col("doc_id"), col("redacted"),
+        col("n_emails"), col("n_ips"), col("n_phones"))
+    }),
+
+    // --- BM25 relevance ranking against a fixed query-term set ---
+    "q_bm25" -> ((s, dir) => {
+      val out = new graft.text.Bm25Scorer()
+        .setInputCol("text").setIdCol("doc_id").setOutputCol("bm25_score")
+        .setQueryTerms("table", "spark", "hash", "window")
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), round(col("bm25_score"), 6).as("bm25_score"))
+    }),
+
     // --- Exact dedup by normalized content hash ---
     "q_exact_dedup" -> ((s, dir) => {
       val out = new graft.text.ExactDeduplicator()
@@ -1637,6 +1671,101 @@ object SparkEntry {
                 COALESCE(f.fp, CAST([] AS VARCHAR[])) AS fingerprints,
                 CAST(len(COALESCE(f.fp, CAST([] AS VARCHAR[]))) AS BIGINT) AS n
          FROM d LEFT JOIN f ON f.doc_id = d.doc_id""",
+
+    "q_repetition" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents
+         ),
+         s AS (
+           SELECT doc_id, words, len(words) AS n,
+                  [words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))] AS g2,
+                  [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                   FOR i IN range(1, len(words) - 1)] AS g3
+           FROM w
+         ),
+         top AS (
+           SELECT doc_id, MAX(c) AS maxc
+           FROM (SELECT doc_id, w, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(words) AS w FROM w) GROUP BY doc_id, w)
+           GROUP BY doc_id
+         )
+         SELECT s.doc_id,
+                CAST(s.n AS BIGINT) AS n_words,
+                ROUND(CASE WHEN s.n = 0 THEN 0.0
+                           ELSE len(list_distinct(s.words)) / CAST(s.n AS DOUBLE) END, 6)
+                  AS distinct_word_ratio,
+                ROUND(CASE WHEN s.n = 0 THEN 0.0
+                           ELSE COALESCE(top.maxc, 0) / CAST(s.n AS DOUBLE) END, 6)
+                  AS top_word_fraction,
+                ROUND(CASE WHEN s.n < 2 THEN 0.0
+                           ELSE 1.0 - len(list_distinct(s.g2)) / CAST(s.n - 1 AS DOUBLE) END, 6)
+                  AS dup_2gram_fraction,
+                ROUND(CASE WHEN s.n < 3 THEN 0.0
+                           ELSE 1.0 - len(list_distinct(s.g3)) / CAST(s.n - 2 AS DOUBLE) END, 6)
+                  AS dup_3gram_fraction
+         FROM s LEFT JOIN top ON top.doc_id = s.doc_id""",
+
+    "q_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.1.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.77 or +1 555 20'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS ptext
+           FROM documents
+         ),
+         r1 AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(ptext,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                  regexp_replace(ptext,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM p
+         ),
+         r2 AS (
+           SELECT doc_id, n_emails,
+                  len(regexp_extract_all(t1,
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                  regexp_replace(t1,
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+           FROM r1
+         )
+         SELECT doc_id,
+                regexp_replace(t2, '\+\d[\d -]{6,}\d', '<PHONE>', 'g') AS redacted,
+                CAST(n_emails AS BIGINT) AS n_emails,
+                CAST(n_ips AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(t2, '\+\d[\d -]{6,}\d')) AS BIGINT) AS n_phones
+         FROM r2""",
+
+    "q_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents
+         ),
+         dl AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl, words FROM d),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl,
+                        unnest(list_filter(words,
+                               w -> w IN ('table', 'spark', 'hash', 'window'))) AS term
+                 FROM dl)
+           GROUP BY doc_id, dl, term
+         ),
+         df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         s AS (
+           SELECT tf.doc_id, tf.term,
+                  ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s
+           FROM tf JOIN df USING (term) CROSS JOIN stats
+         )
+         SELECT d.doc_id, ROUND(COALESCE(agg.score, 0.0), 6) AS bm25_score
+         FROM d LEFT JOIN (SELECT doc_id, SUM(s ORDER BY term) AS score
+                           FROM s GROUP BY doc_id) agg ON agg.doc_id = d.doc_id""",
 
     "q_exact_dedup" ->
       """WITH f AS (
