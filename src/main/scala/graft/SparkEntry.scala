@@ -420,6 +420,37 @@ object SparkEntry {
       out.select(col("doc_id"), round(col("bm25_score"), 6).as("bm25_score"))
     }),
 
+    // --- Bigram-LM perplexity quality scoring (CCNet-style) ---
+    "q_ngram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = new graft.text.NgramLm()
+        .setInputCol("text").setOutputCol("ppl").setSmoothing(0.1)
+        .fit(docs)
+      val out = model.setIdCol("doc_id").transform(docs).head
+      out.select(col("doc_id"),
+        round(col("ppl_bits"), 6).as("ppl_bits"),
+        round(col("ppl"), 2).as("ppl"))
+    }),
+
+    // --- Sliding-window token chunking for embedding pipelines ---
+    "q_chunks" -> ((s, dir) => {
+      val out = new graft.text.ChunkSplitter()
+        .setInputCol("text").setOutputCol("chunk_text")
+        .setChunkSize(32).setStride(16)
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+        col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))
+    }),
+
+    // --- Greedy token-budget sequence packing per source ---
+    "q_seq_pack" -> ((s, dir) => {
+      val out = new graft.text.SequencePacker()
+        .setInputCol("text").setIdCol("doc_id").setGroupCol("source")
+        .setTokenBudget(512)
+        .transform(t(s, dir, "documents")).head
+      out.select(col("doc_id"), col("source"), col("n_tokens"), col("bin_index"))
+    }),
+
     // --- Exact dedup by normalized content hash ---
     "q_exact_dedup" -> ((s, dir) => {
       val out = new graft.text.ExactDeduplicator()
@@ -1766,6 +1797,94 @@ object SparkEntry {
          SELECT d.doc_id, ROUND(COALESCE(agg.score, 0.0), 6) AS bm25_score
          FROM d LEFT JOIN (SELECT doc_id, SUM(s ORDER BY term) AS score
                            FROM s GROUP BY doc_id) agg ON agg.doc_id = d.doc_id""",
+
+    "q_ngram_lm" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents
+         ),
+         v AS (
+           SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+           FROM (SELECT unnest(words) AS t FROM w)
+         ),
+         flat AS (
+           SELECT doc_id, u.p AS p, u.w1 AS w1, u.w2 AS w2
+           FROM (SELECT doc_id,
+                        unnest([{'p': i, 'w1': words[i], 'w2': words[i+1]}
+                                FOR i IN range(1, len(words))]) AS u
+                 FROM w)
+         ),
+         counts AS (
+           SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM flat GROUP BY w1, w2
+         ),
+         ctx AS (SELECT w1, SUM(c) AS ctx FROM counts GROUP BY w1),
+         scored AS (
+           SELECT f.doc_id, f.p,
+                  log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * v.vs)) AS lp
+           FROM flat f
+           LEFT JOIN counts c ON c.w1 = f.w1 AND c.w2 = f.w2
+           LEFT JOIN ctx x ON x.w1 = f.w1
+           CROSS JOIN v
+         ),
+         perdoc AS (
+           SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s
+           FROM scored GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                ROUND(-p.s / p.m, 6) AS ppl_bits,
+                ROUND(pow(2.0, -p.s / p.m), 2) AS ppl
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN perdoc p ON p.doc_id = d.doc_id""",
+
+    "q_chunks" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents
+         ),
+         c AS (
+           SELECT doc_id,
+                  [{'i': s // 16,
+                    't': array_to_string(words[s+1:s+32], ' '),
+                    'm': len(words[s+1:s+32])}
+                   FOR s IN range(0, len(words), 16)] AS chunks
+           FROM w
+         )
+         SELECT doc_id,
+                CAST(u.i AS BIGINT) AS chunk_index,
+                u.t AS chunk_text,
+                CAST(u.m AS BIGINT) AS chunk_tokens
+         FROM (SELECT doc_id, unnest(chunks) AS u FROM c)""",
+
+    "q_seq_pack" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, source,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+           FROM documents
+         ),
+         o AS (
+           SELECT doc_id, source, n,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM w
+         ),
+         r AS (
+           SELECT doc_id, source, n, rn,
+                  CAST(0 AS BIGINT) AS bin, CAST(n AS BIGINT) AS running
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.doc_id, o.source, o.n, o.rn,
+                  CASE WHEN r.running > 0 AND r.running + o.n > 512
+                       THEN r.bin + 1 ELSE r.bin END,
+                  CASE WHEN r.running > 0 AND r.running + o.n > 512
+                       THEN CAST(o.n AS BIGINT) ELSE r.running + o.n END
+           FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+         )
+         SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, bin AS bin_index
+         FROM r""",
 
     "q_exact_dedup" ->
       """WITH f AS (
