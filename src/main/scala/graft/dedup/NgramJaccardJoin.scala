@@ -76,10 +76,14 @@ class NgramJaccardJoin extends AlgoOperator[NgramJaccardJoin]
     val prefixes = withPrefix.select(col("id"), col("sz"),
       explode(slice(col("otoks"), lit(1), greatest(col("plen"), lit(1)))).as("tok"))
 
-    val a = prefixes.select(col("id").as("id_a"), col("tok"))
-    val b = prefixes.select(col("id").as("id_b"), col("tok"))
+    val a = prefixes.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val b = prefixes.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+    // length filter (PPJoin): Jaccard ≥ t forces min(|A|,|B|) ≥
+    // t·max(|A|,|B|) — prunes candidates before the distinct and the
+    // full-array join-back, at zero recall cost
     val candidates = a.join(b, "tok")
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >= greatest(col("sz_a"), col("sz_b")) * t)
       .select("id_a", "id_b").distinct()
 
     val jac = udf { (x: Seq[String], y: Seq[String]) =>
