@@ -13,8 +13,9 @@ import graft.util.ReadWrite
  * training examples of at most `tokenBudget` tokens each. Within every
  * group (e.g. `source`), documents are visited in ascending id order
  * and appended to the current bin; a document that would overflow a
- * non-empty bin starts a new one. A single document larger than the
- * budget gets a bin of its own. Appended columns: `n_tokens`,
+ * bin already holding tokens starts a new one. A single document
+ * larger than the budget gets a bin of its own (zero-token documents
+ * may share it — they add nothing). Appended columns: `n_tokens`,
  * `bin_index` (0-based within the group).
  *
  * Determinism: bin assignment is a pure function of the (group, id,
