@@ -541,6 +541,28 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
     }),
 
+    // --- int8 scalar quantization of the embedding corpus ---
+    "q_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = new graft.ann.ScalarQuantizer()
+        .setInputCol("embedding").setOutputCol("codes").fit(emb)
+      model.transform(emb).head
+        .select(col("vec_id"),
+          col("codes").cast("array<int>").as("codes"),
+          org.apache.spark.sql.functions.transform(col("codes_dequant"),
+            x => round(x, 6)).as("dequant"))
+    }),
+
+    // --- deterministic per-source mixing rates ---
+    "q_mixer" -> ((s, dir) => {
+      new graft.feature.WeightedMixer()
+        .setIdCol("doc_id").setStratumCol("source").setSeed(77L)
+        .setWeights("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0)
+        .setDefaultFraction(0.6)
+        .transform(t(s, dir, "documents")).head
+        .select("doc_id", "source")
+    }),
+
     // --- IVF ANN: fixed codebook (4 corpus vectors), nprobe=2 ---
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1960,6 +1982,30 @@ object SparkEntry {
                 CAST(ceil(ceil(length(text) / 64.0) / 2.0) AS BIGINT) AS n_frames
          FROM documents""",
 
+    "q_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+         ),
+         d AS (
+           SELECT u.dim AS dim, u.v AS v
+           FROM (SELECT unnest([{'dim': i, 'v': x[i]}
+                                FOR i IN range(1, len(x) + 1)]) AS u
+                 FROM e)
+         ),
+         r AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM d GROUP BY dim),
+         lohi AS (SELECT list(lo ORDER BY dim) AS lows, list(hi ORDER BY dim) AS highs FROM r)
+         SELECT vec_id,
+                [CASE WHEN highs[i] = lows[i] THEN -128
+                      ELSE CAST(GREATEST(LEAST(FLOOR((x[i] - lows[i]) * 255.0
+                             / (highs[i] - lows[i]) + 0.5), 255.0), 0.0) - 128 AS INT) END
+                 FOR i IN range(1, len(x) + 1)] AS codes,
+                [ROUND(CASE WHEN highs[i] = lows[i] THEN lows[i]
+                       ELSE GREATEST(LEAST(FLOOR((x[i] - lows[i]) * 255.0
+                              / (highs[i] - lows[i]) + 0.5), 255.0), 0.0)
+                            * (highs[i] - lows[i]) / 255.0 + lows[i] END, 6)
+                 FOR i IN range(1, len(x) + 1)] AS dequant
+         FROM e CROSS JOIN lohi""",
+
     "q_swing" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -2232,6 +2278,21 @@ object SparkEntry {
 
     "q_random_splitter" ->
       """SELECT COUNT(*) AS total_rows, 2 AS n_splits FROM lineitem""",
+
+    "q_mixer" ->
+      s"""WITH k AS (
+           SELECT doc_id, source,
+                  md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), '77')) AS key
+           FROM documents
+         )
+         SELECT doc_id, source FROM k
+         WHERE CASE source
+                 WHEN 'src0' THEN TRUE
+                 WHEN 'src1' THEN key < '${graft.feature.StratifiedSampler.fractionThreshold(0.5)}'
+                 WHEN 'src2' THEN key < '${graft.feature.StratifiedSampler.fractionThreshold(0.25)}'
+                 WHEN 'src3' THEN FALSE
+                 ELSE key < '${graft.feature.StratifiedSampler.fractionThreshold(0.6)}'
+               END""",
 
     "q_stratified_sample" ->
       s"""WITH k AS (
