@@ -451,6 +451,22 @@ object SparkEntry {
       out.select(col("doc_id"), col("source"), col("n_tokens"), col("bin_index"))
     }),
 
+    // --- C4-style corpus-level line dedup (planted boilerplate lines) ---
+    "q_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("ptext",
+        concat(lit("doc "), col("doc_id").cast("string"), lit(" "),
+          substring(col("text"), 1, 40), lit("\n"),
+          lit("subscribe to our newsletter"), lit("\n"),
+          lit("promo "), (col("doc_id") % 7).cast("string"), lit("\n"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("rare line "), col("doc_id").cast("string")))
+            .otherwise(lit("footer common"))))
+      new graft.text.LineDeduplicator()
+        .setIdCol("doc_id").setInputCol("ptext").setOutputCol("clean")
+        .transform(planted).head
+        .select("doc_id", "clean", "n_lines", "n_removed")
+    }),
+
     // --- Exact dedup by normalized content hash ---
     "q_exact_dedup" -> ((s, dir) => {
       val out = new graft.text.ExactDeduplicator()
@@ -1907,6 +1923,39 @@ object SparkEntry {
          )
          SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, bin AS bin_index
          FROM r""",
+
+    "q_line_dedup" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  'doc ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40) || chr(10)
+                  || 'subscribe to our newsletter' || chr(10)
+                  || 'promo ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN 'rare line ' || CAST(doc_id AS VARCHAR)
+                          ELSE 'footer common' END AS ptext
+           FROM documents
+         ),
+         l AS (
+           SELECT doc_id, u.p AS pos, u.l AS line
+           FROM (SELECT doc_id,
+                        unnest([{'p': i, 'l': ls[i]} FOR i IN range(1, len(ls) + 1)]) AS u
+                 FROM (SELECT doc_id, string_split(ptext, chr(10)) AS ls FROM p))
+         ),
+         b AS (
+           SELECT lower(trim(line)) AS norm, COUNT(*) AS c
+           FROM l WHERE lower(trim(line)) <> ''
+           GROUP BY 1 HAVING COUNT(*) > 1
+         ),
+         f AS (
+           SELECT l.doc_id, l.pos, l.line, b.norm IS NOT NULL AS dropit
+           FROM l LEFT JOIN b ON b.norm = lower(trim(l.line))
+         )
+         SELECT doc_id,
+                array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT dropit),
+                                chr(10)) AS clean,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(CASE WHEN dropit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         FROM f GROUP BY doc_id""",
 
     "q_exact_dedup" ->
       """WITH f AS (
