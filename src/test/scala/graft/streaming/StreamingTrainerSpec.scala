@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingTrainerSpec extends SparkSpec {
+
+  test("StreamingTrainer drives OnlineKMeans from an unbounded stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val init = Seq((0, Array(0.0, 0.0), 1.0), (1, Array(10.0, 0.0), 1.0))
+      .toDF("centroidId", "arr", "weight")
+      .select(col("centroidId"),
+        org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"),
+        col("weight"))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Double, Double)]
+    val features = stream.toDF()
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        array(col("_1"), col("_2"))).as("features"))
+
+    val handle = StreamingTrainer.attach[OnlineKMeansModel](
+      features,
+      new OnlineKMeansModel().setDecayFactor(0.5).setModelData(init),
+      (m, b) => m.update(b, "features"))
+    stream.addData((1.0, 0.0), (9.0, 0.0), (11.0, 0.0))
+    handle.query.processAllAvailable()
+    // second micro-batch continues from the first's state
+    stream.addData((3.0, 0.0))
+    handle.query.processAllAvailable()
+    handle.query.stop()
+
+    val got = handle.latest().getModelData.head.orderBy("centroidId").collect()
+      .map(r => (r.getAs[Vector](1)(0), r.getDouble(2)))
+    // batch 1: c0 ← (2/3, w=1.5), c1 ← (10, w=2.5); batch 2 folds (3,0)
+    // into c0: w = 0.5·1.5 + 1 = 1.75, centroid = (0.5·1.5·2/3 + 3)/1.75
+    val expX = (0.5 * 1.5 * (2.0 / 3) + 3.0) / 1.75
+    assert(math.abs(got(0)._1 - expX) < 1e-9 && math.abs(got(0)._2 - 1.75) < 1e-9,
+      s"got ${got.toSeq}")
+    assert(math.abs(got(1)._1 - 10.0) < 1e-9)
+  }
+
+  test("StreamingTrainer rejects bounded input") {
+    import spark.implicits._
+    val bounded = Seq(1, 2, 3).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      StreamingTrainer.attach[AnyRef](bounded, new Object, (m, _) => m)
+    }
+    assert(e.getMessage.contains("streaming DataFrame"))
+  }
+
+  test("StreamingTrainer latest() reflects every committed batch for the scaler") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val vecs = stream.toDF()
+      .select(org.apache.spark.ml.functions.array_to_vector(array(col("value"))).as("vec"))
+    val handle = StreamingTrainer.attach[OnlineStandardScalerModel](
+      vecs,
+      new OnlineStandardScalerModel().setInputCol("vec"),
+      (m, b) => m.update(b, "vec"))
+    stream.addData(1.0, 2.0, 3.0)
+    handle.query.processAllAvailable()
+    val v1 = handle.latest().getModelData.head.count()
+    stream.addData(4.0, 5.0)
+    handle.query.processAllAvailable()
+    handle.query.stop()
+    val rows = handle.latest().getModelData.head.orderBy("version").collect()
+    assert(v1 == 1 && rows.length == 2)
+    // cumulative moments over all 5 values: mean 3, count 5
+    assert(rows(1).getLong(2) == 5)
+    assert(math.abs(rows(1).getAs[Vector]("mean")(0) - 3.0) < 1e-9)
+  }
+}
