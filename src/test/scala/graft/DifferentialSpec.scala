@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.functions._
+
+/**
+ * Differential tests against spark.ml — an independent, mature
+ * implementation of the same algorithms. These complement the DuckDB
+ * oracles (which replay deterministic math) by checking STATISTICAL
+ * agreement on the iterative trainers, where unrolled-SQL oracles are
+ * weakest. Seeded synthetic data; thresholds chosen with margin so
+ * the tests are deterministic, not flaky.
+ */
+class DifferentialSpec extends SparkSpec {
+
+  private def blobs(n: Int, seed: Int): Seq[(Vector, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val label = i % 2
+      val cx = if (label == 0) -2.0 else 2.0
+      (Vectors.dense(cx + rnd.nextGaussian() * 0.7,
+        cx * 0.5 + rnd.nextGaussian() * 0.7), label.toDouble)
+    }
+  }
+
+  test("LogisticRegression predictions agree with spark.ml on separable data") {
+    import spark.implicits._
+    val df = blobs(400, 11).toDF("features", "label").cache()
+    val ours = new graft.classification.LogisticRegression()
+      .setMaxIter(120).setLearningRate(0.5).setGlobalBatchSize(400)
+      .fit(df).transform(df).head
+      .select(col("prediction").cast("double").as("p_ours"), col("features"))
+    val theirs = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(50).fit(df).transform(df)
+      .select(col("prediction").as("p_sparkml"), col("features"))
+    val joined = ours.join(theirs, "features")
+    val n = joined.count().toDouble
+    val agree = joined.where(col("p_ours") === col("p_sparkml")).count().toDouble
+    assert(agree / n >= 0.97, s"agreement ${agree / n}")
+  }
+
+  test("NaiveBayes predictions match spark.ml multinomial exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map { i =>
+      val label = i % 3
+      // per-class token-count profiles with a dominant dimension
+      val counts = Array.tabulate(4) { d =>
+        val base = if (d == label) 6 else 1
+        (base + rnd.nextInt(3)).toDouble
+      }
+      (Vectors.dense(counts): Vector, label.toDouble)
+    }
+    val df = rows.toDF("features", "label").cache()
+    val ours = new graft.classification.NaiveBayes().setSmoothing(1.0)
+      .fit(df).transform(df).head
+      .select(col("features"), col("prediction").cast("double").as("p_ours"))
+    val theirs = new org.apache.spark.ml.classification.NaiveBayes()
+      .setSmoothing(1.0).setModelType("multinomial").fit(df).transform(df)
+      .select(col("features"), col("prediction").as("p_sparkml"))
+    val joined = ours.join(theirs, "features")
+    // same closed-form math on both sides → identical argmax everywhere
+    assert(joined.where(col("p_ours") =!= col("p_sparkml")).count() == 0)
+  }
+
+  test("LinearRegression recovers the same coefficients as spark.ml (no intercept)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val w = Array(2.0, -3.0, 0.5)
+    val rows = (0 until 500).map { _ =>
+      val x = Array.fill(3)(rnd.nextGaussian())
+      val y = x.zip(w).map { case (a, b) => a * b }.sum
+      (Vectors.dense(x): Vector, y)
+    }
+    val df = rows.toDF("features", "label").cache()
+    val ourCoef = new graft.regression.LinearRegression()
+      .setMaxIter(200).setLearningRate(0.1).setGlobalBatchSize(500)
+      .fit(df).getModelData.head
+      .select("coefficient").head().getAs[Vector](0).toArray
+    val theirCoef = new org.apache.spark.ml.regression.LinearRegression()
+      .setFitIntercept(false).fit(df).coefficients.toArray
+    ourCoef.zip(theirCoef).zip(w).foreach { case ((a, b), t) =>
+      assert(math.abs(a - b) < 0.05, s"ours $a vs sparkml $b (true $t)")
+      assert(math.abs(a - t) < 0.05)
+    }
+  }
+
+  test("KMeans finds the same partition as spark.ml on well-separated blobs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val centers = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
+    val rows = (0 until 300).map { i =>
+      val (cx, cy) = centers(i % 3)
+      Tuple1(Vectors.dense(cx + rnd.nextGaussian() * 0.5,
+        cy + rnd.nextGaussian() * 0.5): Vector)
+    }
+    val df = rows.toDF("features").cache()
+    val ours = new graft.clustering.KMeans().setK(3).setMaxIterK(20).setSeed(42L)
+      .fit(df).transform(df).head
+      .select(col("features"), col("prediction").cast("int").as("c_ours"))
+    val theirs = new org.apache.spark.ml.clustering.KMeans().setK(3).setSeed(1L)
+      .fit(df).transform(df)
+      .select(col("features"), col("prediction").as("c_sparkml"))
+    // cluster ids are arbitrary — require a 1:1 mapping between the two
+    // labelings (both must recover the ground-truth blobs exactly)
+    val pairs = ours.join(theirs, "features")
+      .groupBy("c_ours", "c_sparkml").count().collect()
+    assert(pairs.length == 3, s"partitions disagree: ${pairs.toSeq}")
+    assert(pairs.map(_.getInt(0)).distinct.length == 3)
+    assert(pairs.map(_.getInt(1)).distinct.length == 3)
+  }
+}
