@@ -451,6 +451,20 @@ object SparkEntry {
       out.select(col("doc_id"), col("source"), col("n_tokens"), col("bin_index"))
     }),
 
+    // --- Distributed BPE vocabulary training (2 unrolled merges) ---
+    "q_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = new graft.text.BpeTrainer()
+        .setInputCol("text").setOutputCol("bpe").setNumMerges(2)
+        .fit(docs)
+      val ms = model.getModelData.head.orderBy("rank").collect()
+        .map(r => r.getString(1) + "+" + r.getString(2))
+      model.transform(docs).head
+        .select(col("doc_id"),
+          col("bpe_count").as("n_subwords"),
+          lit(ms(0)).as("merge1"), lit(ms(1)).as("merge2"))
+    }),
+
     // --- C4-style corpus-level line dedup (planted boilerplate lines) ---
     "q_line_dedup" -> ((s, dir) => {
       val planted = t(s, dir, "documents").withColumn("ptext",
@@ -1923,6 +1937,69 @@ object SparkEntry {
          )
          SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, bin AS bin_index
          FROM r""",
+
+    "q_bpe" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents
+         ),
+         wf AS (
+           SELECT u AS wd, COUNT(*) AS freq
+           FROM (SELECT unnest(words) AS u FROM w) GROUP BY u
+         ),
+         s0 AS (
+           SELECT wd, freq, [wd[i] FOR i IN range(1, len(wd) + 1)] AS s FROM wf
+         ),
+         m1 AS (
+           SELECT a, b FROM (
+             SELECT u.a AS a, u.b AS b, SUM(freq) AS cnt
+             FROM (SELECT freq,
+                          unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS u
+                   FROM s0)
+             WHERE u.a <> u.b GROUP BY 1, 2)
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+         ),
+         s1 AS (
+           SELECT wd, freq,
+                  list_filter(
+                    [CASE WHEN s[i] = m1.a AND s[i+1] = m1.b THEN m1.a || m1.b
+                          WHEN i > 1 AND s[i-1] = m1.a AND s[i] = m1.b THEN NULL
+                          ELSE s[i] END
+                     FOR i IN range(1, len(s) + 1)],
+                    x -> x IS NOT NULL) AS s
+           FROM s0 CROSS JOIN m1
+         ),
+         m2 AS (
+           SELECT a, b FROM (
+             SELECT u.a AS a, u.b AS b, SUM(freq) AS cnt
+             FROM (SELECT freq,
+                          unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS u
+                   FROM s1)
+             WHERE u.a <> u.b GROUP BY 1, 2)
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+         ),
+         s2 AS (
+           SELECT wd, freq,
+                  list_filter(
+                    [CASE WHEN s[i] = m2.a AND s[i+1] = m2.b THEN m2.a || m2.b
+                          WHEN i > 1 AND s[i-1] = m2.a AND s[i] = m2.b THEN NULL
+                          ELSE s[i] END
+                     FOR i IN range(1, len(s) + 1)],
+                    x -> x IS NOT NULL) AS s
+           FROM s1 CROSS JOIN m2
+         ),
+         dw AS (SELECT doc_id, unnest(words) AS wd FROM w)
+         SELECT w.doc_id,
+                CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_subwords,
+                m1.a || '+' || m1.b AS merge1,
+                m2.a || '+' || m2.b AS merge2
+         FROM w
+         LEFT JOIN (SELECT dw.doc_id, SUM(len(s2.s)) AS n
+                    FROM dw JOIN s2 ON s2.wd = dw.wd
+                    GROUP BY dw.doc_id) agg ON agg.doc_id = w.doc_id
+         CROSS JOIN m1 CROSS JOIN m2""",
 
     "q_line_dedup" ->
       """WITH p AS (

@@ -1,0 +1,188 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.api.{Estimator, Model, StageLoader}
+import graft.param._
+import graft.util.ReadWrite
+
+/**
+ * Distributed byte-pair-encoding vocabulary training (Sennrich et al.
+ * 2016, "Neural Machine Translation of Rare Words with Subword
+ * Units"): repeatedly merge the corpus's most frequent adjacent
+ * symbol pair. The core subword-tokenization step of an LLM data
+ * pipeline, reshaped for Spark:
+ *
+ *  - Pair counting and merge application run on the DISTINCT-WORD
+ *    table weighted by word frequency — the corpus is touched once
+ *    (the word count); every BPE round then costs one aggregation
+ *    over the much smaller word table. This is how distributed BPE
+ *    trainers scale: 100 TB of text collapses to its vocabulary.
+ *  - Each round is: pair-count aggregation (partial+final) → O(1)
+ *    argmax to the driver → one projection applying the merge.
+ *    Per-round results are persisted so the next round reads a
+ *    materialized column (never a recursively nested expression),
+ *    with `localCheckpoint` every [[BpeTrainer.CheckpointEvery]]
+ *    rounds to keep lineage flat — the ConnectedComponents pattern.
+ *
+ * Documented divergence from textbook BPE: self-pairs (x, x) are
+ * never merge candidates. With left ≠ right guaranteed, occurrences
+ * of a pair cannot overlap, so applying a merge is an order-free
+ * per-position rewrite (a pure, codegen'd array expression on both
+ * Spark and the SQL oracle) instead of a stateful left-to-right
+ * scan. Runs of a repeated symbol are still merged once a distinct
+ * neighbor pair forms.
+ *
+ * Tie-break: (count desc, left asc, right asc) — fully deterministic.
+ *
+ * No reference counterpart — beyond-reference LLM-data-pipeline tier.
+ */
+class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
+    with HasInputCol[BpeTrainer] with HasOutputCol[BpeTrainer] {
+
+  final val numMerges: Param[Int] =
+    param[Int]("numMerges", "Maximum merge rules to learn.", 100, ParamValidators.gt(0))
+  def getNumMerges: Int = get(numMerges)
+  def setNumMerges(v: Int): BpeTrainer = set(numMerges, v)
+
+  final val minPairCount: Param[Long] =
+    param[Long]("minPairCount",
+      "Stop when the best pair's weighted count falls below this.", 2L, ParamValidators.gt(0))
+  def getMinPairCount: Long = get(minPairCount)
+  def setMinPairCount(v: Long): BpeTrainer = set(minPairCount, v)
+
+  override def fit(inputs: DataFrame*): BpeModel = {
+    require(inputs.size == 1)
+    val df = inputs.head
+    val spark = df.sparkSession
+    // one pass over the corpus: distinct words + frequencies
+    val words = df
+      .select(explode(NgramLm.tokens(col(getInputCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // initial symbols = characters
+    var syms = words
+      .select(col("freq"), split(col("w"), "").as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < getNumMerges && !done) {
+      val best = syms
+        .select(col("freq"), explode(NgramLm.bigrams(col("s"))).as("p"))
+        .where(col("p.w1") =!= col("p.w2")) // see scaladoc: no self-pairs
+        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < getMinPairCount) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        val next = syms
+          .select(col("freq"), BpeTrainer.applyMerge(col("s"), a, b).as("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val mat = if ((round + 1) % BpeTrainer.CheckpointEvery == 0) {
+          val c = next.localCheckpoint(true)
+          next.unpersist(blocking = false) // checkpoint holds the data now
+          c
+        } else next
+        syms.unpersist(blocking = false)
+        syms = mat
+        round += 1
+      }
+    }
+    syms.unpersist(blocking = false)
+
+    import spark.implicits._
+    val modelDf = merges.toSeq.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+    val m = new BpeModel().setModelData(modelDf)
+    copyParamsTo(m)
+    m
+  }
+}
+object BpeTrainer extends StageLoader[BpeTrainer] {
+  val CheckpointEvery = 10
+
+  /**
+   * Order-free merge of every (a, b) adjacency in a symbol array —
+   * valid because a ≠ b makes occurrences non-overlapping: position i
+   * becomes a+b when it starts a pair, is dropped when it ends one,
+   * and passes through otherwise. Pure codegen'd array expression;
+   * the lambda only indexes bound attributes (never recomputes a
+   * derived array — the RepetitionStats lesson).
+   */
+  def applyMerge(s: Column, a: String, b: String): Column = {
+    val n = size(s)
+    val rewritten = transform(sequence(lit(1), n), i => {
+      val cur = element_at(s, i)
+      val nxt = when(i < n, element_at(s, i + 1))
+      val prv = when(i > 1, element_at(s, i - 1))
+      when(cur === a && nxt === b, concat(lit(a), lit(b)))
+        .when(cur === b && prv === a, lit(null).cast("string"))
+        .otherwise(cur)
+    })
+    filter(rewritten, x => x.isNotNull)
+  }
+
+  def load(spark: SparkSession, path: String): BpeTrainer =
+    ReadWrite.applyParams(new BpeTrainer, path)
+}
+
+/**
+ * Applies the learned merge table: each document's tokens are split
+ * to characters and rewritten by every merge in rank order. Appends
+ * `<outputCol>` (flattened subword array) and `<outputCol>_count`.
+ * The merge table is O(numMerges) — broadcast, applied per row with
+ * a linear scan per merge; no shuffle.
+ */
+class BpeModel extends Model[BpeModel]
+    with HasInputCol[BpeModel] with HasOutputCol[BpeModel] {
+
+  private var modelData: DataFrame = _
+  override def setModelData(data: DataFrame*): BpeModel = { modelData = data.head; this }
+  override def getModelData: Array[DataFrame] = Array(modelData)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val merges = modelData.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val spark = inputs.head.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val encode = udf { tokens: Seq[String] =>
+      if (tokens == null) null
+      else {
+        val ms = bc.value
+        tokens.flatMap { w =>
+          var cur: Array[String] = w.split("")
+          ms.foreach { case (a, b) =>
+            if (cur.length > 1) {
+              val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+              var i = 0
+              while (i < cur.length) {
+                if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+                  out += (a + b); i += 2
+                } else { out += cur(i); i += 1 }
+              }
+              cur = out.toArray
+            }
+          }
+          cur
+        }
+      }
+    }
+    val out = inputs.head
+      .withColumn(getOutputCol, encode(NgramLm.tokens(col(getInputCol))))
+      .withColumn(getOutputCol + "_count", size(col(getOutputCol)).cast("long"))
+    Array(out)
+  }
+}
+object BpeModel extends StageLoader[BpeModel] {
+  def load(spark: SparkSession, path: String): BpeModel = {
+    val m = ReadWrite.applyParams(new BpeModel, path)
+    m.setModelData(ReadWrite.loadModelData(spark, path))
+  }
+}

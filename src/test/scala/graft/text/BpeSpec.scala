@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  test("BpeTrainer learns merges in frequency order with deterministic ties") {
+    import spark.implicits._
+    val df = Seq("low low low", "lower lower", "newest").toDF("text")
+    val model = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+      .setNumMerges(3).setMinPairCount(2).fit(df)
+    val merges = model.getModelData.head.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // counts: (l,o)=5 (o,w)=5 → tie broken left-asc → (l,o);
+    // then (lo,w)=5; then (e,r)=2 ties (low,e)=2 → 'e' < 'low'
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r")), merges)
+  }
+
+  test("BpeModel encodes with the learned merge table") {
+    import spark.implicits._
+    val fitDf = Seq("low low low", "lower lower", "newest").toDF("text")
+    val model = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+      .setNumMerges(3).fit(fitDf)
+    val out = model.transform(Seq("lower lowest").toDF("text")).head
+      .select("bpe", "bpe_count").head()
+    // lower → [low, er]; lowest → [low, e, s, t]
+    assert(out.getSeq[String](0) == Seq("low", "er", "low", "e", "s", "t"), out.getSeq[String](0))
+    assert(out.getLong(1) == 6)
+  }
+
+  test("self-pairs are never merged; runs merge once a distinct pair forms") {
+    import spark.implicits._
+    // only candidate pairs are (a,b)-style distinct adjacencies;
+    // "aaaa"/"bb" alone yield no candidates at all
+    val none = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+      .setNumMerges(5).fit(Seq("aaaa bb aaaa").toDF("text"))
+    assert(none.getModelData.head.count() == 0)
+    val out = none.transform(Seq("aaaa bb").toDF("text")).head.select("bpe").head()
+    assert(out.getSeq[String](0) == Seq("a", "a", "a", "a", "b", "b"))
+    // "xaxa xa": (x,a) merges everywhere including inside the run
+    val m = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+      .setNumMerges(1).fit(Seq("xaxa xa xa").toDF("text"))
+    val enc = m.transform(Seq("xaxa").toDF("text")).head.select("bpe").head()
+    assert(enc.getSeq[String](0) == Seq("xa", "xa"))
+  }
+
+  test("BpeModel save/load round-trips merges and params") {
+    import spark.implicits._
+    val model = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+      .setNumMerges(2).fit(Seq("low low lower").toDF("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    model.save(dir)
+    val loaded = BpeModel.load(spark, dir)
+    assert(loaded.getOutputCol == "bpe")
+    val df = Seq("low").toDF("text")
+    assert(loaded.transform(df).head.select("bpe").head().getSeq[String](0) ==
+      model.transform(df).head.select("bpe").head().getSeq[String](0))
+  }
+}
