@@ -42,14 +42,24 @@ class NgramLm extends Estimator[NgramLm, NgramLmModel]
 
   override def fit(inputs: DataFrame*): NgramLmModel = {
     require(inputs.size == 1)
+    val spark = inputs.head.sparkSession
     val words = NgramLm.tokens(col(getInputCol))
     val toks = inputs.head.select(words.as("__w"))
+    // persist: the model table would otherwise be unpersisted lineage
+    // over the corpus, and transform() consumes it twice (context
+    // totals + the per-document join) — each consumer would re-read
+    // and re-count the whole corpus
     val bigrams = toks
       .select(posexplode(NgramLm.bigrams(col("__w"))).as(Seq("__p", "__bg")))
       .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .agg(count(lit(1)).as("c"))
-    val stats = toks.select(explode(col("__w")).as("__t"))
-      .agg(countDistinct("__t").cast("long").as("vocabSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // vocab size collapses to one number at fit time: a local-relation
+    // stats table instead of a corpus-scan lineage per transform()
+    val vocab = toks.select(explode(col("__w")).as("__t"))
+      .agg(countDistinct("__t").cast("long").as("vocabSize")).head().getLong(0)
+    import spark.implicits._
+    val stats = Seq(vocab).toDF("vocabSize")
     val m = new NgramLmModel().setModelData(bigrams, stats)
     copyParamsTo(m)
     m.set(m.smoothing, getSmoothing)
