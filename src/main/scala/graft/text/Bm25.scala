@@ -58,8 +58,13 @@ class Bm25Scorer extends Transformer[Bm25Scorer]
     val words = split(trim(text), "\\s+")
     val dl = when(length(trim(text)) === 0, 0L).otherwise(size(words)).cast("double")
 
+    // persist: consumed by both the corpus stats and the tf explode —
+    // without the cache each would re-tokenize the full corpus. The
+    // cached projection is tiny (id, length, query-matching tokens
+    // only); callers may unpersist once the result is materialized.
     val withLen = docs.select(col(id), dl.as("__dl"),
       filter(words, t => array_contains(q, t)).as("__qtoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = withLen.agg(
       count(lit(1)).cast("double").as("__n_docs"), avg("__dl").as("__avgdl"))
     val tf = withLen
