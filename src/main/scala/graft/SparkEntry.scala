@@ -451,6 +451,35 @@ object SparkEntry {
       out.select(col("doc_id"), col("source"), col("n_tokens"), col("bin_index"))
     }),
 
+    // --- reproducible corpus shuffle into training shards ---
+    "q_shuffle" -> ((s, dir) => {
+      new graft.feature.DeterministicShuffler()
+        .setIdCol("doc_id").setSeed(123L).setNumShards(4)
+        .transform(t(s, dir, "documents")).head
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("shard_pos"))
+    }),
+
+    // --- CCNet-style perplexity-bucketed mixing: NgramLm → Bucketizer →
+    // WeightedMixer composed (head kept, middle halved, tail decimated) ---
+    "q_ccnet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = new graft.text.NgramLm()
+        .setInputCol("text").setOutputCol("ppl").setSmoothing(0.1).fit(docs)
+      val scored = lm.setIdCol("doc_id").transform(docs).head
+        .where(col("ppl").isNotNull)
+      val bucketed = new graft.feature.Bucketizer()
+        .setInputCols("ppl").setOutputCols("bkt")
+        .setSplitsArray(Array(Array(Double.NegativeInfinity, 29.2, 30.0,
+          Double.PositiveInfinity)))
+        .transform(scored).head
+        .withColumn("bucket", col("bkt").cast("int").cast("string"))
+      new graft.feature.WeightedMixer()
+        .setIdCol("doc_id").setStratumCol("bucket").setSeed(99L)
+        .setWeights("0" -> 1.0, "1" -> 0.5, "2" -> 0.1)
+        .transform(bucketed).head
+        .select(col("doc_id"), col("bucket"), round(col("ppl"), 2).as("ppl"))
+    }),
+
     // --- Distributed BPE vocabulary training (2 unrolled merges) ---
     "q_bpe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1937,6 +1966,77 @@ object SparkEntry {
          )
          SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, bin AS bin_index
          FROM r""",
+
+    "q_shuffle" ->
+      s"""WITH k AS (
+           SELECT doc_id,
+                  md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), '123')) AS key
+           FROM documents
+         ),
+         s AS (
+           SELECT doc_id, key,
+                  (CASE WHEN key >= '${graft.feature.StratifiedSampler.fractionThreshold(0.25)}' THEN 1 ELSE 0 END
+                 + CASE WHEN key >= '${graft.feature.StratifiedSampler.fractionThreshold(0.5)}' THEN 1 ELSE 0 END
+                 + CASE WHEN key >= '${graft.feature.StratifiedSampler.fractionThreshold(0.75)}' THEN 1 ELSE 0 END)
+                    AS shard
+           FROM k
+         )
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS BIGINT)
+                  AS shard_pos
+         FROM s""",
+
+    "q_ccnet" ->
+      s"""WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\\s+') END AS words
+           FROM documents
+         ),
+         v AS (
+           SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+           FROM (SELECT unnest(words) AS t FROM w)
+         ),
+         flat AS (
+           SELECT doc_id, u.p AS p, u.w1 AS w1, u.w2 AS w2
+           FROM (SELECT doc_id,
+                        unnest([{'p': i, 'w1': words[i], 'w2': words[i+1]}
+                                FOR i IN range(1, len(words))]) AS u
+                 FROM w)
+         ),
+         counts AS (
+           SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM flat GROUP BY w1, w2
+         ),
+         ctx AS (SELECT w1, SUM(c) AS ctx FROM counts GROUP BY w1),
+         scored AS (
+           SELECT f.doc_id, f.p,
+                  log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * v.vs)) AS lp
+           FROM flat f
+           LEFT JOIN counts c ON c.w1 = f.w1 AND c.w2 = f.w2
+           LEFT JOIN ctx x ON x.w1 = f.w1
+           CROSS JOIN v
+         ),
+         perdoc AS (
+           SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s
+           FROM scored GROUP BY doc_id
+         ),
+         ranked AS (
+           SELECT doc_id, pow(2.0, -s / m) AS ppl FROM perdoc
+         ),
+         bucketed AS (
+           SELECT doc_id, ppl,
+                  CAST(CASE WHEN ppl < 29.2 THEN 0
+                            WHEN ppl < 30.0 THEN 1 ELSE 2 END AS VARCHAR) AS bucket,
+                  md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), '99')) AS key
+           FROM ranked
+         )
+         SELECT doc_id, bucket, ROUND(ppl, 2) AS ppl
+         FROM bucketed
+         WHERE CASE bucket
+                 WHEN '0' THEN TRUE
+                 WHEN '1' THEN key < '${graft.feature.StratifiedSampler.fractionThreshold(0.5)}'
+                 ELSE key < '${graft.feature.StratifiedSampler.fractionThreshold(0.1)}'
+               END""",
 
     "q_bpe" ->
       """WITH w AS (
