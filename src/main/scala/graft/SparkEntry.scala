@@ -451,6 +451,33 @@ object SparkEntry {
       out.select(col("doc_id"), col("source"), col("n_tokens"), col("bin_index"))
     }),
 
+    // --- end-to-end corpus curation: ExactDeduplicator →
+    // TextQualityScorer filter → StratifiedSampler → SequencePacker,
+    // all four operators chained under one oracle ---
+    "q_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = new graft.text.ExactDeduplicator()
+        .setIdCol("doc_id").setInputCol("text")
+        .transform(docs).head
+        .where(!col("is_exact_duplicate"))
+        .drop("content_fingerprint", "canonical_id", "is_exact_duplicate")
+      val quality = new graft.text.TextQualityScorer().setInputCol("text")
+        .transform(deduped).head
+        .where(col("quality_score") >= 0.5)
+        // SequencePacker appends its own n_tokens; keep only the score
+        .drop("n_chars", "n_tokens", "mean_token_len", "alpha_ratio",
+          "punct_ratio", "stopword_ratio")
+      val mixed = new graft.feature.StratifiedSampler()
+        .setIdCol("doc_id").setSeed(7L).setFraction(0.7)
+        .transform(quality).head
+      val packed = new graft.text.SequencePacker()
+        .setInputCol("text").setIdCol("doc_id").setGroupCol("source")
+        .setTokenBudget(512)
+        .transform(mixed).head
+      packed.select(col("doc_id"), col("source"), col("n_tokens"),
+        col("bin_index"), round(col("quality_score"), 6).as("quality_score"))
+    }),
+
     // --- reproducible corpus shuffle into training shards ---
     "q_shuffle" -> ((s, dir) => {
       new graft.feature.DeterministicShuffler()
@@ -1965,6 +1992,65 @@ object SparkEntry {
            FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
          )
          SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, bin AS bin_index
+         FROM r""",
+
+    "q_curate" ->
+      s"""WITH RECURSIVE fp AS (
+           SELECT doc_id, source, text,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents
+         ),
+         d AS (
+           SELECT doc_id, source, text
+           FROM (SELECT fp.*, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM fp)
+           WHERE doc_id = canon
+         ),
+         st AS (
+           SELECT doc_id, source, text,
+                  length(text) AS n_chars,
+                  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                  CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS non_space,
+                  CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                  'that','for','on','with','as','was','at','by','be','this')))
+                       AS DOUBLE) AS stop_hits
+           FROM d
+         ),
+         q AS (
+           SELECT doc_id, source, text, n_tokens,
+                  (CASE WHEN n_tokens BETWEEN 5 AND 2000 THEN 1.0 ELSE 0.0 END
+                   + CASE WHEN non_space / n_tokens >= 2.0 AND non_space / n_tokens <= 12.0
+                          THEN 1.0 ELSE 0.0 END
+                   + (1.0 - LEAST(punct / n_chars * 4.0, 1.0))
+                   + LEAST(stop_hits / n_tokens * 5.0, 1.0)) / 4.0 AS quality
+           FROM st
+         ),
+         kept AS (
+           SELECT doc_id, source, n_tokens, quality FROM q
+           WHERE quality >= 0.5
+             AND md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), '7'))
+                 < '${graft.feature.StratifiedSampler.fractionThreshold(0.7)}'
+         ),
+         o AS (
+           SELECT doc_id, source, n_tokens, quality,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM kept
+         ),
+         r AS (
+           SELECT doc_id, source, n_tokens, quality, rn,
+                  CAST(0 AS BIGINT) AS bin, CAST(n_tokens AS BIGINT) AS running
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.doc_id, o.source, o.n_tokens, o.quality, o.rn,
+                  CASE WHEN r.running > 0 AND r.running + o.n_tokens > 512
+                       THEN r.bin + 1 ELSE r.bin END,
+                  CASE WHEN r.running > 0 AND r.running + o.n_tokens > 512
+                       THEN CAST(o.n_tokens AS BIGINT) ELSE r.running + o.n_tokens END
+           FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+         )
+         SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                bin AS bin_index, ROUND(quality, 6) AS quality_score
          FROM r""",
 
     "q_shuffle" ->
