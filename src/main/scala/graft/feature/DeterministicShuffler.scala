@@ -1,7 +1,6 @@
 package graft.feature
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.api.{AlgoOperator, StageLoader}
 import graft.param._
@@ -21,10 +20,13 @@ import graft.util.ReadWrite
  * never depends on other rows. Position is the rank within the shard
  * under (key, id).
  *
- * Scale shape: one hash-partition shuffle on `shard` with an in-shard
- * sort for the rank — numShards tasks each sorting corpus/numShards
- * rows, the plan you'd use to write N shuffled training files at
- * 100 TB. No global sort, no driver state.
+ * Scale shape: one range-partition shuffle on (shard, key) with local
+ * sorts, then per-shard ranks are stitched from an O(partitions ×
+ * shards-per-partition) count summary on the driver — no shard is
+ * ever sorted by a single task (a `Window.partitionBy(shard)` would
+ * put corpus/numShards rows in one task; with 8 shards over 100 TB
+ * that is 12 TB per task). Same two-pass offset pattern as the
+ * session-window builder in [[graft.streaming.OnlineStandardScaler]].
  *
  * No reference counterpart — beyond-reference LLM-data-pipeline tier.
  */
@@ -43,6 +45,8 @@ class DeterministicShuffler extends AlgoOperator[DeterministicShuffler]
 
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
+    val df = inputs.head
+    val spark = df.sparkSession
     val n = getNumShards
     val key = StratifiedSampler.hashKey(col(getIdCol), getSeed)
     // shard = how many of the n−1 interval thresholds the key clears —
@@ -52,12 +56,54 @@ class DeterministicShuffler extends AlgoOperator[DeterministicShuffler]
       .map(s => when(key >= lit(StratifiedSampler.fractionThreshold(s.toDouble / n)), 1)
         .otherwise(0))
       .foldLeft(lit(0))(_ + _)
-    val w = Window.partitionBy("shard").orderBy(col("__ds_key"), col(getIdCol))
-    Array(inputs.head
+
+    // range-partition + local sort on the (shard, key, id) total
+    // order; a shard may span several partitions
+    val keyed = df
       .withColumn("__ds_key", key)
       .withColumn("shard", shard)
-      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
-      .drop("__ds_key"))
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col("shard"), col("__ds_key"), col(getIdCol))
+      .sortWithinPartitions(col("shard"), col("__ds_key"), col(getIdCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, shard) row counts — O(parts·shards) to
+    // the driver, never rows
+    val counts = keyed.select(col("shard")).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        it.foreach { r => val s = r.getInt(0); m(s) = m.getOrElse(s, 0L) + 1L }
+        m.iterator.map { case (s, c) => (pid, s, c) }
+      }.collect()
+    // driver scan in (partition, shard) order → start offset of each
+    // partition's slice of each shard
+    val perShardSeen = scala.collection.mutable.HashMap.empty[Int, Long]
+    val offsets = counts.sortBy(t => (t._1, t._2)).map { case (pid, s, c) =>
+      val off = perShardSeen.getOrElse(s, 0L)
+      perShardSeen(s) = off + c
+      ((pid, s), off)
+    }.toMap
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    // pass 2: sequential scan per partition assigns global ranks.
+    // mapPartitionsWithIndex bakes the TRUE partition index into the
+    // closure — TaskContext.getPartitionId() would lie under a
+    // downstream coalesce(), which runs parent partitions inside one
+    // task and mis-keys every offset lookup.
+    val shardIdx = keyed.schema.fieldIndex("shard")
+    val rdd2 = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = offsetsB.value
+      var cur = -1
+      var pos = 0L
+      it.map { r =>
+        val s = r.getInt(shardIdx)
+        if (s != cur) { cur = s; pos = base.getOrElse((pid, s), 0L) }
+        val ranked = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pos)
+        pos += 1L
+        ranked
+      }
+    }
+    val out = spark.createDataFrame(rdd2,
+      keyed.schema.add("shard_pos", org.apache.spark.sql.types.LongType))
+    Array(out.drop("__ds_key"))
   }
 }
 object DeterministicShuffler extends StageLoader[DeterministicShuffler] {

@@ -15,6 +15,12 @@ class ShufflerSpec extends SparkSpec {
         .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     val a = res(df1)
     assert(a == res(df2), "assignment must not depend on input partitioning")
+    // downstream coalesce runs parent partitions inside one task —
+    // ranks must survive it (regression: TaskContext-based offsets)
+    val coalesced = sh.transform(df2).head.coalesce(1)
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(a == coalesced, "assignment must survive a downstream coalesce(1)")
     // every shard's positions are exactly 0..count-1
     a.values.groupBy(_._1).foreach { case (s, members) =>
       val ps = members.map(_._2).toSeq.sorted
