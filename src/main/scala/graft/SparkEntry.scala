@@ -451,6 +451,23 @@ object SparkEntry {
       out.select(col("doc_id"), col("source"), col("n_tokens"), col("bin_index"))
     }),
 
+    // --- packed training rows: SequencePacker bins materialized as
+    // one EOS-joined text row per bin (what a trainer actually reads) ---
+    "q_pack_text" -> ((s, dir) => {
+      val packed = new graft.text.SequencePacker()
+        .setInputCol("text").setIdCol("doc_id").setGroupCol("source")
+        .setTokenBudget(512)
+        .transform(t(s, dir, "documents")).head
+      packed.groupBy(col("source"), col("bin_index"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("bin_tokens"),
+          array_join(
+            org.apache.spark.sql.functions.transform(
+              sort_array(collect_list(struct(col("doc_id"), col("text")))),
+              e => e.getField("text")),
+            " <eos> ").as("packed_text"))
+    }),
+
     // --- end-to-end corpus curation: ExactDeduplicator →
     // TextQualityScorer filter → StratifiedSampler → SequencePacker,
     // all four operators chained under one oracle ---
@@ -1993,6 +2010,36 @@ object SparkEntry {
          )
          SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, bin AS bin_index
          FROM r""",
+
+    "q_pack_text" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, source, text,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+           FROM documents
+         ),
+         o AS (
+           SELECT doc_id, source, text, n,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM w
+         ),
+         r AS (
+           SELECT doc_id, source, text, n, rn,
+                  CAST(0 AS BIGINT) AS bin, CAST(n AS BIGINT) AS running
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.doc_id, o.source, o.text, o.n, o.rn,
+                  CASE WHEN r.running > 0 AND r.running + o.n > 512
+                       THEN r.bin + 1 ELSE r.bin END,
+                  CASE WHEN r.running > 0 AND r.running + o.n > 512
+                       THEN CAST(o.n AS BIGINT) ELSE r.running + o.n END
+           FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+         )
+         SELECT source, bin AS bin_index,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS bin_tokens,
+                array_to_string(list(text ORDER BY doc_id), ' <eos> ') AS packed_text
+         FROM r GROUP BY source, bin""",
 
     "q_curate" ->
       s"""WITH RECURSIVE fp AS (
