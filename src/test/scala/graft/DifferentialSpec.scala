@@ -85,6 +85,58 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("MinMaxScaler transforms identically to spark.ml") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map(_ => Tuple1(
+      Vectors.dense(Array.fill(4)(rnd.nextGaussian() * 10)): Vector))
+    val df = rows.toDF("features").cache()
+    val ours = new graft.feature.MinMaxScaler()
+      .setInputCol("features").setOutputCol("scaled")
+      .fit(df).transform(df).head.select("features", "scaled")
+    val theirs = new org.apache.spark.ml.feature.MinMaxScaler()
+      .setInputCol("features").setOutputCol("scaled2")
+      .fit(df).transform(df).select("features", "scaled2")
+    ours.join(theirs, "features").collect().foreach { r =>
+      val a = r.getAs[Vector]("scaled").toArray
+      val b = r.getAs[Vector]("scaled2").toArray
+      a.indices.foreach(i => assert(math.abs(a(i) - b(i)) < 1e-12, s"dim $i: ${a(i)} vs ${b(i)}"))
+    }
+  }
+
+  test("IDF weights match spark.ml exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 100).map { _ =>
+      val idx = (0 until 6).filter(_ => rnd.nextBoolean())
+      Tuple1(Vectors.sparse(6, idx.map(i => (i, rnd.nextInt(5) + 1.0))): Vector)
+    }
+    val df = rows.toDF("features").cache()
+    val ourIdf = new graft.feature.IDF().setMinDocFreq(1)
+      .setInputCol("features").setOutputCol("w")
+      .fit(df).getModelData.head.head().getAs[Vector](0).toArray
+    val theirIdf = new org.apache.spark.ml.feature.IDF().setMinDocFreq(1)
+      .setInputCol("features").setOutputCol("w")
+      .fit(df).idf.toArray
+    ourIdf.zip(theirIdf).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12, s"$a vs $b") }
+  }
+
+  test("LinearSVC predictions agree with spark.ml on separable data") {
+    import spark.implicits._
+    val df = blobs(400, 29).toDF("features", "label").cache()
+    val ours = new graft.classification.LinearSVC()
+      .setMaxIter(150).setLearningRate(0.2).setGlobalBatchSize(400)
+      .fit(df).transform(df).head
+      .select(col("prediction").cast("double").as("p_ours"), col("features"))
+    val theirs = new org.apache.spark.ml.classification.LinearSVC()
+      .setMaxIter(50).fit(df).transform(df)
+      .select(col("prediction").as("p_sparkml"), col("features"))
+    val joined = ours.join(theirs, "features")
+    val n = joined.count().toDouble
+    val agree = joined.where(col("p_ours") === col("p_sparkml")).count().toDouble
+    assert(agree / n >= 0.97, s"agreement ${agree / n}")
+  }
+
   test("KMeans finds the same partition as spark.ml on well-separated blobs") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
