@@ -67,4 +67,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  private def countExchanges(plan: String): Int =
+    plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+
+  test("in-row projections never shuffle: chunker, mixer, PII, repetition") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f", "s0"), (2L, "g h i", "s1")).toDF("id", "text", "src")
+    val chunked = new graft.text.ChunkSplitter().setInputCol("text").setOutputCol("c")
+      .setChunkSize(2).setStride(2).transform(docs).head
+    assert(countExchanges(chunked.queryExecution.executedPlan.toString) == 0)
+    val mixed = new graft.feature.WeightedMixer().setIdCol("id").setStratumCol("src")
+      .setSeed(1L).setWeights("s0" -> 0.5).transform(docs).head
+    assert(countExchanges(mixed.queryExecution.executedPlan.toString) == 0)
+    val pii = new graft.text.PiiRedactor().setInputCol("text").setOutputCol("r")
+      .transform(docs).head
+    assert(countExchanges(pii.queryExecution.executedPlan.toString) == 0)
+    val rep = new graft.text.RepetitionStats().setInputCol("text").transform(docs).head
+    assert(countExchanges(rep.queryExecution.executedPlan.toString) == 0)
+  }
+
+  test("SequencePacker's plan carries exactly one shuffle before the output join") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s0"), (2L, "d e", "s0")).toDF("id", "text", "src")
+    val packed = new graft.text.SequencePacker().setInputCol("text").setIdCol("id")
+      .setGroupCol("src").setTokenBudget(4).transform(docs).head
+    val plan = packed.queryExecution.executedPlan.toString
+    // one repartition for the pack scan; the id join back may add its
+    // own exchanges but must never be a cartesian product
+    assert(plan.contains("Exchange"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ScalarQuantizer encodes in-row after fit (no shuffle in transform)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.1f, 0.5f)), (2L, Array(0.9f, 0.2f))).toDF("id", "emb")
+    val model = new graft.ann.ScalarQuantizer().setInputCol("emb").setOutputCol("q").fit(df)
+    val out = model.transform(df).head
+    assert(countExchanges(out.queryExecution.executedPlan.toString) == 0)
+  }
 }
