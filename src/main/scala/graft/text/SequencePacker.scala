@@ -56,8 +56,12 @@ class SequencePacker extends AlgoOperator[SequencePacker]
     val df = inputs.head
     val budget = getTokenBudget
     val text = col(getInputCol)
-    val nTokens = when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+    // coalesce: null text must count as 0 tokens, not propagate null
+    // into the packing scan's getInt
+    val nTokens = coalesce(
+      when(length(trim(text)) === 0, 0)
+        .otherwise(size(split(trim(text), "\\s+"))),
+      lit(0))
 
     val slim = df.select(
       col(getGroupCol).cast("string").as("__g"),
