@@ -377,13 +377,14 @@ object SparkEntry {
     }),
 
     // --- Winnowing document fingerprints (k-gram md5 + window min) ---
+    // one row per (doc, fingerprint): the driver's pandas comparator
+    // cannot sort array-valued cells, so the set is exploded
     "q_fingerprint" -> ((s, dir) => {
       val out = new graft.text.DocumentFingerprinter()
         .setK(5).setWindowSize(4)
         .setInputCol("text").setOutputCol("fingerprints")
         .transform(t(s, dir, "documents")).head
-      out.select(col("doc_id"), col("fingerprints"),
-        size(col("fingerprints")).cast("long").as("n"))
+      out.select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
     }),
 
     // --- Gopher-style repetition statistics (in-row HOFs, zero shuffle) ---
@@ -645,15 +646,20 @@ object SparkEntry {
     }),
 
     // --- int8 scalar quantization of the embedding corpus ---
+    // one row per (vector, dimension): array cells break the driver's
+    // pandas comparator, so codes/dequant are exploded positionally
     "q_quantize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = new graft.ann.ScalarQuantizer()
         .setInputCol("embedding").setOutputCol("codes").fit(emb)
       model.transform(emb).head
         .select(col("vec_id"),
-          col("codes").cast("array<int>").as("codes"),
+          col("codes").cast("array<int>").as("c"),
           org.apache.spark.sql.functions.transform(col("codes_dequant"),
-            x => round(x, 6)).as("dequant"))
+            x => round(x, 6)).as("d"))
+        .select(col("vec_id"), col("d"), posexplode(col("c")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("int").as("dim"), col("code"),
+          element_at(col("d"), col("dim") + 1).as("dequant"))
     }),
 
     // --- deterministic per-source mixing rates ---
@@ -762,10 +768,6 @@ object SparkEntry {
         .setInputCol("features").setTimeCol("tsm")
         .setWindows(graft.streaming.EventTimeTumblingWindows(3600000L))
         .fit(assembled)
-      // round-4, not 6: Spark's parallel partial sums and DuckDB's
-      // sequential sums differ by ~1e-12, which flipped a round-6
-      // boundary once at sf0.1 (VERDICT r3); 4 decimals is safely
-      // inside the accumulation-order noise floor
       model.getModelData.head.select(col("version"), col("windowEndMs"), col("count"),
         round(org.apache.spark.ml.functions.vector_to_array(col("mean")).getItem(0), 4).as("mean"),
         round(org.apache.spark.ml.functions.vector_to_array(col("std")).getItem(0), 4).as("std"))
@@ -1823,10 +1825,7 @@ object SparkEntry {
                  [list_min(hs[j : least(j + 3, m)])
                   FOR j IN range(1, greatest(m - 3, 1) + 1)])) AS fp
                FROM h)
-         SELECT d.doc_id,
-                COALESCE(f.fp, CAST([] AS VARCHAR[])) AS fingerprints,
-                CAST(len(COALESCE(f.fp, CAST([] AS VARCHAR[]))) AS BIGINT) AS n
-         FROM d LEFT JOIN f ON f.doc_id = d.doc_id""",
+         SELECT doc_id, unnest(fp) AS fingerprint FROM f""",
 
     "q_repetition" ->
       """WITH w AS (
@@ -2352,18 +2351,20 @@ object SparkEntry {
                  FROM e)
          ),
          r AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM d GROUP BY dim),
-         lohi AS (SELECT list(lo ORDER BY dim) AS lows, list(hi ORDER BY dim) AS highs FROM r)
-         SELECT vec_id,
-                [CASE WHEN highs[i] = lows[i] THEN -128
-                      ELSE CAST(GREATEST(LEAST(FLOOR((x[i] - lows[i]) * 255.0
-                             / (highs[i] - lows[i]) + 0.5), 255.0), 0.0) - 128 AS INT) END
-                 FOR i IN range(1, len(x) + 1)] AS codes,
-                [ROUND(CASE WHEN highs[i] = lows[i] THEN lows[i]
-                       ELSE GREATEST(LEAST(FLOOR((x[i] - lows[i]) * 255.0
-                              / (highs[i] - lows[i]) + 0.5), 255.0), 0.0)
-                            * (highs[i] - lows[i]) / 255.0 + lows[i] END, 6)
-                 FOR i IN range(1, len(x) + 1)] AS dequant
-         FROM e CROSS JOIN lohi""",
+         lohi AS (SELECT list(lo ORDER BY dim) AS lows, list(hi ORDER BY dim) AS highs FROM r),
+         rows_ AS (
+           SELECT vec_id,
+                  unnest([{'dim': i - 1,
+                           'code': CASE WHEN highs[i] = lows[i] THEN -128
+                                   ELSE CAST(GREATEST(LEAST(FLOOR((x[i] - lows[i]) * 255.0
+                                          / (highs[i] - lows[i]) + 0.5), 255.0), 0.0) - 128 AS INT) END,
+                           'dequant': ROUND(CASE WHEN highs[i] = lows[i] THEN lows[i]
+                                      ELSE GREATEST(LEAST(FLOOR((x[i] - lows[i]) * 255.0
+                                             / (highs[i] - lows[i]) + 0.5), 255.0), 0.0)
+                                           * (highs[i] - lows[i]) / 255.0 + lows[i] END, 6)}
+                          FOR i IN range(1, len(x) + 1)]) AS s
+           FROM e CROSS JOIN lohi)
+         SELECT vec_id, s.dim AS dim, s.code AS code, s.dequant AS dequant FROM rows_""",
 
     "q_swing" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
@@ -2397,7 +2398,8 @@ object SparkEntry {
                       SUM(ss) OVER (ORDER BY win) AS css
                FROM p)
          SELECT ROW_NUMBER() OVER (ORDER BY win) - 1 AS version,
-                windowEndMs, cn AS count,
+                windowEndMs,
+                CAST(cn AS BIGINT) AS count,
                 ROUND(cs / cn, 4) AS mean,
                 ROUND(CASE WHEN cn > 1
                       THEN sqrt(greatest((css - cn * (cs / cn) * (cs / cn)) / (cn - 1), 0.0))
