@@ -61,6 +61,48 @@ object DataGenerators {
       }.toDF("str")
   }
 
+  /** numValues rows of `colNames` double columns: continuous uniform
+    * [0,1) when arity == 0, else integer categories in [0, arity)
+    * (reference DoubleGenerator semantics incl. the ARITY param). */
+  def doubles(spark: SparkSession, numValues: Long, colNames: Seq[String], arity: Int,
+      seed: Long, numPartitions: Int = 32): DataFrame = {
+    val rdd = spark.range(0, numValues, 1, numPartitions).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rnd = new java.util.Random(seed + pid)
+        def draw(): Double = if (arity > 0) rnd.nextInt(arity).toDouble else rnd.nextDouble()
+        it.map(_ => org.apache.spark.sql.Row.fromSeq(colNames.map(_ => draw())))
+      }
+    val schema = org.apache.spark.sql.types.StructType(colNames.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** numValues rows of a string-array column with arraySize elements
+    * drawn from numDistinct integer-named values (reference
+    * RandomStringArrayGenerator). */
+  def randomStringArrays(spark: SparkSession, numValues: Long, arraySize: Int,
+      numDistinct: Int, seed: Long, numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, numValues, 1, numPartitions).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rnd = new java.util.Random(seed + pid)
+        it.map(_ => Tuple1(Array.fill(arraySize)(Integer.toString(rnd.nextInt(numDistinct)))))
+      }.toDF("arr")
+  }
+
+  /** One KMeans model-data table of `arraySize` random centroids
+    * (reference KMeansModelDataGenerator), shaped for our
+    * KMeansModel.setModelData: (centroidId, centroid). */
+  def kmeansModelData(spark: SparkSession, arraySize: Int, vectorDim: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    val rnd = new java.util.Random(seed)
+    val rows = (0 until arraySize).map { i =>
+      (i, Vectors.dense(Array.fill(vectorDim)(rnd.nextDouble())): Vector)
+    }
+    spark.createDataFrame(rows).toDF("centroidId", "centroid")
+  }
+
   /** numValues rows of whitespace-joined token sentences. */
   def randomSentences(spark: SparkSession, numValues: Long, numDistinctTokens: Int,
       tokensPerRow: Int, seed: Long, numPartitions: Int = 32): DataFrame = {
