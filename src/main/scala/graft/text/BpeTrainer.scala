@@ -19,8 +19,10 @@ import graft.util.ReadWrite
  *    (the word count); every BPE round then costs one aggregation
  *    over the much smaller word table. This is how distributed BPE
  *    trainers scale: 100 TB of text collapses to its vocabulary.
- *  - Each round is: pair-count aggregation (partial+final) → O(1)
- *    argmax to the driver → one projection applying the merge.
+ *  - Each round is: pair-count aggregation (partial+final) → O(batch)
+ *    top-pairs to the driver → one projection applying every accepted
+ *    merge ([[BpeTrainer.batchSize]] > 1 batches non-conflicting
+ *    merges per round without changing the learned sequence).
  *    Per-round results are persisted so the next round reads a
  *    materialized column (never a recursively nested expression),
  *    with `localCheckpoint` every [[BpeTrainer.CheckpointEvery]]
@@ -52,6 +54,24 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
   def getMinPairCount: Long = get(minPairCount)
   def setMinPairCount(v: Long): BpeTrainer = set(minPairCount, v)
 
+  final val batchSize: Param[Int] =
+    param[Int]("batchSize",
+      "Max merges learned per pair-count round. Values > 1 cut driver " +
+        "round-trips from O(vocab) to O(vocab/batch) while producing the " +
+        "EXACT sequential merge list: a round accepts only a " +
+        "pairwise-symbol-disjoint prefix of the count-ordered pairs whose " +
+        "last member still counts strictly above the next candidate " +
+        "(disjoint merges cannot change each other's counts, and any " +
+        "pair created or shrunk by an accepted merge is bounded by that " +
+        "next candidate's count, so one-at-a-time BPE would pick the " +
+        "same prefix in the same order).", 1, ParamValidators.gt(0))
+  def getBatchSize: Int = get(batchSize)
+  def setBatchSize(v: Int): BpeTrainer = set(batchSize, v)
+
+  /** Pair-count rounds the last fit ran (observability for batching). */
+  @volatile private var roundsRun0 = 0
+  def lastFitRounds: Int = roundsRun0
+
   override def fit(inputs: DataFrame*): BpeModel = {
     require(inputs.size == 1)
     val df = inputs.head
@@ -66,31 +86,69 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
     var done = false
-    while (round < getNumMerges && !done) {
-      val best = syms
+    roundsRun0 = 0
+    while (merges.size < getNumMerges && !done) {
+      roundsRun0 += 1
+      val cap = math.min(getBatchSize, getNumMerges - merges.size)
+      val fetch = 2 * cap + 1
+      val top = syms
         .select(col("freq"), explode(NgramLm.bigrams(col("s"))).as("p"))
         .where(col("p.w1") =!= col("p.w2")) // see scaladoc: no self-pairs
         .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getLong(2) < getMinPairCount) done = true
+        .limit(fetch).collect()
+      // `exhausted` = the list above IS the complete pair set, so running
+      // past its end means no follower exists at all
+      val exhausted = top.length < fetch
+
+      // longest pairwise-disjoint prefix above minPairCount
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var i = 0
+      var blocked = false
+      while (!blocked && i < top.length && accepted.size < cap) {
+        val (a, b, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+        if (c < getMinPairCount) blocked = true
+        else if (accepted.isEmpty || (!used(a) && !used(b))) {
+          accepted += ((a, b, c)); used += a; used += b; i += 1
+        } else blocked = true
+      }
+      // strict-drop guard: everything a round's merges can perturb or
+      // create is bounded by the follower's count, so the last accepted
+      // pair must count strictly above it; ties defer to the next round.
+      // The first pair is always safe — it is the global argmax either way.
+      def followerCount: Long =
+        if (i < top.length) top(i).getLong(2)
+        else if (exhausted) Long.MinValue
+        else top.last.getLong(2) // truncated list: unseen follower may tie top.last
+      while (accepted.size > 1 && accepted.last._3 <= followerCount) {
+        i -= 1
+        val dropped = accepted.remove(accepted.size - 1)
+        used -= dropped._1; used -= dropped._2
+      }
+
+      if (accepted.isEmpty) done = true
       else {
-        val (a, b) = (best.head.getString(0), best.head.getString(1))
-        merges += ((a, b))
+        // all accepted merges in ONE projection: disjointness makes the
+        // rewrite order irrelevant
+        val merged = accepted.foldLeft(col("s")) { (c, m) =>
+          BpeTrainer.applyMerge(c, m._1, m._2)
+        }
         val next = syms
-          .select(col("freq"), BpeTrainer.applyMerge(col("s"), a, b).as("s"))
+          .select(col("freq"), merged.as("s"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val mat = if ((round + 1) % BpeTrainer.CheckpointEvery == 0) {
+        val crossedCheckpoint =
+          (merges.size + accepted.size) / BpeTrainer.CheckpointEvery > merges.size / BpeTrainer.CheckpointEvery
+        val mat = if (crossedCheckpoint) {
           val c = next.localCheckpoint(true)
           next.unpersist(blocking = false) // checkpoint holds the data now
           c
         } else next
         syms.unpersist(blocking = false)
         syms = mat
-        round += 1
+        merges ++= accepted.map(m => (m._1, m._2))
       }
     }
     syms.unpersist(blocking = false)

@@ -44,6 +44,40 @@ class BpeSpec extends SparkSpec {
     assert(enc.getSeq[String](0) == Seq("xa", "xa"))
   }
 
+  test("non-conflicting pairs batch into one pair-count round") {
+    import spark.implicits._
+    // four symbol-disjoint pairs with strictly decreasing counts
+    val corpus = Seq(
+      ("ab " * 5) + ("cd " * 4) + ("ef " * 3) + ("gh " * 2)).toDF("text")
+    val trainer = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+      .setNumMerges(10).setMinPairCount(2).setBatchSize(8)
+    val model = trainer.fit(corpus)
+    val merges = model.getModelData.head.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")), merges)
+    // one merge round + the final (empty) verification round
+    assert(trainer.lastFitRounds <= 2, s"rounds = ${trainer.lastFitRounds}")
+  }
+
+  test("batchSize > 1 preserves the exact sequential merge list") {
+    import spark.implicits._
+    def mergesOf(text: String, batch: Int): Seq[(String, String)] = {
+      val t = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+        .setNumMerges(10).setMinPairCount(2).setBatchSize(batch)
+      t.fit(Seq(text).toDF("text")).getModelData.head.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+    // conflicting pairs sharing a symbol: (a,b)=4 beats (b,c)=3
+    val conflict = ("abc " * 3) + "ab"
+    // exact count tie between disjoint pairs: the guard must defer
+    val tie = ("ab " * 3) + ("cd " * 3)
+    // real-word corpus from the order test above
+    val words = "low low low lower lower newest"
+    for (text <- Seq(conflict, tie, words)) {
+      assert(mergesOf(text, 8) == mergesOf(text, 1), s"diverged on: $text")
+    }
+  }
+
   test("BpeModel save/load round-trips merges and params") {
     import spark.implicits._
     val model = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
