@@ -702,21 +702,35 @@ object SparkEntry {
         .select(col("vec_id"), col("canonical_id"), col("is_duplicate"))
     }),
 
-    // --- Multimodal: binary payload decode stub + frame sampling ---
+    // --- Multimodal: binary payload decode stub + frame sampling,
+    // plus a REAL image decode: each doc gets a synthetic PNG whose
+    // dimensions derive from doc_id; ImageDecoder must recover them
+    // from the actual PNG bytes (header parse, not an echo) ---
     "q_multimodal" -> ((s, dir) => {
+      val mkPng = udf { id: Long =>
+        graft.multimodal.ImageDecoder.syntheticPng(
+          (8 + id % 16).toInt, (4 + id % 8).toInt, id)
+      }
       val docs = t(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
+        .withColumn("img", mkPng(col("doc_id")))
       val decoded = new graft.multimodal.BinaryDecodeStub()
         .setInputCol("payload").setOutputCol("meta")
         .transform(docs).head
+      val imaged = new graft.multimodal.ImageDecoder()
+        .setInputCol("img").setOutputCol("imeta")
+        .transform(decoded).head
       val framed = new graft.multimodal.FrameSampler()
         .setFrameBytes(64).setEveryNth(2)
         .setInputCol("payload").setOutputCol("frames")
-        .transform(decoded).head
+        .transform(imaged).head
       framed.select(col("doc_id"),
         col("meta.n_bytes").as("n_bytes"),
         col("meta.digest").as("digest"),
-        size(col("frames")).cast("long").as("n_frames"))
+        size(col("frames")).cast("long").as("n_frames"),
+        col("imeta.width").as("png_width"),
+        col("imeta.height").as("png_height"),
+        col("imeta.format").as("png_format"))
     }),
 
     // --- Swing item-recall (packed top-k parsed back into rows) ---
@@ -2337,7 +2351,10 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_bytes,
                 md5(text) AS digest,
-                CAST(ceil(ceil(length(text) / 64.0) / 2.0) AS BIGINT) AS n_frames
+                CAST(ceil(ceil(length(text) / 64.0) / 2.0) AS BIGINT) AS n_frames,
+                CAST(8 + doc_id % 16 AS INT) AS png_width,
+                CAST(4 + doc_id % 8 AS INT) AS png_height,
+                'png' AS png_format
          FROM documents""",
 
     "q_quantize" ->

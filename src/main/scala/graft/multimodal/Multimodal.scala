@@ -10,9 +10,10 @@ import graft.util.ReadWrite
  * Multimodal column plumbing: image/audio/video payloads travel as
  * opaque `binary` columns with typed metadata structs. The Spark-side
  * contract — schema, partitioning, batched per-partition execution —
- * is real and tested; the codec itself is a pluggable seam, stubbed
- * here with a deterministic fake because no media libraries ship in
- * this environment.
+ * is real and tested. The codec seam has one REAL implementation
+ * ([[ImageDecoder]], JDK javax.imageio header parse) plus a
+ * deterministic fake ([[BinaryDecodeStub]]) standing in for codecs
+ * that need native media libraries not present in this environment.
  */
 
 /**
@@ -41,6 +42,69 @@ object BinaryDecodeStub extends StageLoader[BinaryDecodeStub] {
 
   def load(spark: SparkSession, path: String): BinaryDecodeStub =
     ReadWrite.applyParams(new BinaryDecodeStub, path)
+}
+
+/** Decoded image metadata (fixed output schema of [[ImageDecoder]]). */
+case class ImageMeta(width: Int, height: Int, format: String)
+
+/**
+ * A REAL image decoder on the [[BinaryDecodeStub]] seam: parses the
+ * payload's image header via javax.imageio (JDK built-in: PNG, JPEG,
+ * GIF, BMP) and emits (width, height, format). Header-only — the
+ * reader is asked for dimensions without decoding pixel data, so a
+ * 100 TB image corpus pays bytes-to-header IO per row, not a full
+ * raster decode. Rows whose payload is not a readable image decode to
+ * null (filter or route them with a downstream `where`).
+ */
+class ImageDecoder extends Transformer[ImageDecoder]
+    with HasInputCol[ImageDecoder] with HasOutputCol[ImageDecoder] {
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val decode = udf { payload: Array[Byte] =>
+      if (payload == null) None
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              Some(ImageMeta(r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+            } catch { case _: Exception => None }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      }
+    }
+    Array(inputs.head.withColumn(getOutputCol, decode(col(getInputCol))))
+  }
+}
+object ImageDecoder extends StageLoader[ImageDecoder] {
+  def load(spark: SparkSession, path: String): ImageDecoder =
+    ReadWrite.applyParams(new ImageDecoder, path)
+
+  /** Deterministic PNG payload for tests/benchmarks: a w×h RGB image
+    * whose pixels derive from (x, y, seed). */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed + x * 31 + y * 131) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
 }
 
 /**
