@@ -99,6 +99,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("Sessionizer assigns sessions through exactly one exchange") {
+    import spark.implicits._
+    val ev = Seq((1L, 100L), (1L, 200L), (1L, 900L), (2L, 100L)).toDF("user", "ts")
+    val out = new graft.streaming.Sessionizer()
+      .setKeyCols("user").setTimeCol("ts").setGapMs(300L)
+      .transform(ev).head
+    val plan = out.queryExecution.executedPlan.toString
+    // lag + both running windows share one (key) partitioning and sort
+    assert(countExchanges(plan) == 1, plan)
+  }
+
+  test("AsOfJoiner is one exchange over the tagged union, with no join node") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (1L, 250L, "b")).toDF("k", "ts", "x")
+    val r = Seq((1L, 90L, 5.0), (1L, 240L, 7.0)).toDF("k", "rts", "v")
+      .withColumnRenamed("rts", "ts")
+    val out = new graft.join.AsOfJoiner()
+      .setOnCols("k").setValueCols("v")
+      .transform(l, r).head
+    val plan = out.queryExecution.executedPlan.toString
+    assert(countExchanges(plan) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("ScalarQuantizer encodes in-row after fit (no shuffle in transform)") {
     import spark.implicits._
     val df = Seq((1L, Array(0.1f, 0.5f)), (2L, Array(0.9f, 0.2f))).toDF("id", "emb")

@@ -49,6 +49,42 @@ class StreamingTrainerSpec extends SparkSpec {
     assert(e.getMessage.contains("streaming DataFrame"))
   }
 
+  test("StreamingTrainer resumes from its checkpoint: the model continues, committed batches are not replayed") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val chk = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val vecs = stream.toDF()
+      .select(org.apache.spark.ml.functions.array_to_vector(array(col("value"))).as("vec"))
+
+    val h1 = StreamingTrainer.attach[OnlineStandardScalerModel](
+      vecs,
+      new OnlineStandardScalerModel().setInputCol("vec"),
+      (m, b) => m.update(b, "vec"),
+      checkpoint = Some(chk))
+    stream.addData(1.0, 2.0, 3.0)
+    h1.query.processAllAvailable()
+    h1.query.stop() // simulated failure after batch 0 committed
+
+    // data that arrives while the trainer is down
+    stream.addData(4.0, 5.0)
+
+    // restart against the SAME checkpoint dir with the surviving model:
+    // the resumed query must pick up at the committed offset, so the
+    // restarted model sees ONLY the new data
+    val h2 = StreamingTrainer.attach[OnlineStandardScalerModel](
+      vecs, h1.latest(), (m, b) => m.update(b, "vec"), checkpoint = Some(chk))
+    h2.query.processAllAvailable()
+    h2.query.stop()
+
+    val rows = h2.latest().getModelData.head.orderBy("version").collect()
+    // continuity, not reset: versions 0 (pre-crash) and 1 (post-restart);
+    // a replay of batch 0 would give count 8 and a third version
+    assert(rows.length == 2, rows.toSeq)
+    assert(rows(1).getLong(2) == 5L, rows.toSeq)
+    assert(math.abs(rows(1).getAs[Vector]("mean")(0) - 3.0) < 1e-9)
+  }
+
   test("StreamingTrainer latest() reflects every committed batch for the scaler") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
