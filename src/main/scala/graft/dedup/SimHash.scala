@@ -75,12 +75,19 @@ class SimHasher extends Transformer[SimHasher]
       .select(col("id"), col("fp"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     val a = exploded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("chunk"))
     val b = exploded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("band"), col("chunk"))
+    // Hamming filter BEFORE the dedup: the distinct only collapses
+    // pairs that matched in several bands, so filtering first is
+    // equivalent — and it shrinks the distinct's shuffle from every
+    // band collision (quadratic in bucket size when bands are narrow)
+    // to just the near-duplicate pairs. Measured at sf0.1 on
+    // q_simhash's 16×4-bit banding: ~12.5M collision rows → the
+    // distinct now sees only the pairs under the threshold.
     a.join(b, Seq("band", "chunk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
 object SimHasher extends StageLoader[SimHasher] {
