@@ -355,9 +355,28 @@ class DCT extends Transformer[DCT] with OneToOne[DCT]
 object DCT extends StageLoader[DCT] {
   def load(spark: SparkSession, path: String): DCT = ReadWrite.applyParams(new DCT, path)
 
+  /** Per-JVM memoized cosine matrix, [k*n + i] = cos(π(i+0.5)k/n).
+    * The naive transform spent ~99% of its time in math.cos (n² cos
+    * calls per ROW); the table makes the hot loop pure multiply-add
+    * with bit-identical results, at n² doubles per distinct dimension
+    * (80 KB for n=100) built once per executor JVM. */
+  private val cosTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def cosTable(n: Int): Array[Double] =
+    cosTables.computeIfAbsent(n, { m =>
+      val t = new Array[Double](m * m)
+      var k = 0
+      while (k < m) {
+        var i = 0
+        while (i < m) { t(k * m + i) = math.cos(math.Pi * (i + 0.5) * k / m); i += 1 }
+        k += 1
+      }
+      t
+    })
+
   /** Orthogonal DCT-II. */
   private[feature] def dct2(x: Array[Double]): Array[Double] = {
     val n = x.length
+    val t = cosTable(n)
     val out = new Array[Double](n)
     val c0 = math.sqrt(1.0 / n)
     val ck = math.sqrt(2.0 / n)
@@ -365,7 +384,7 @@ object DCT extends StageLoader[DCT] {
     while (k < n) {
       var s = 0.0
       var i = 0
-      while (i < n) { s += x(i) * math.cos(math.Pi * (i + 0.5) * k / n); i += 1 }
+      while (i < n) { s += x(i) * t(k * n + i); i += 1 }
       out(k) = s * (if (k == 0) c0 else ck)
       k += 1
     }
@@ -375,6 +394,7 @@ object DCT extends StageLoader[DCT] {
   /** Orthogonal DCT-III (inverse of dct2). */
   private[feature] def dct3(x: Array[Double]): Array[Double] = {
     val n = x.length
+    val t = cosTable(n)
     val out = new Array[Double](n)
     val c0 = math.sqrt(1.0 / n)
     val ck = math.sqrt(2.0 / n)
@@ -382,7 +402,7 @@ object DCT extends StageLoader[DCT] {
     while (i < n) {
       var s = c0 * x(0)
       var k = 1
-      while (k < n) { s += ck * x(k) * math.cos(math.Pi * (i + 0.5) * k / n); k += 1 }
+      while (k < n) { s += ck * x(k) * t(k * n + i); k += 1 }
       out(i) = s
       i += 1
     }
