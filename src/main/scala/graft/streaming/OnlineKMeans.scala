@@ -98,9 +98,12 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
   override def setModelData(data: DataFrame*): OnlineKMeansModel = { modelData = data.head; this }
   override def getModelData: Array[DataFrame] = Array(modelData)
 
-  /** One mini-batch step; returns the model holding the new centroids. */
+  /** One mini-batch step; returns the model holding the new centroids.
+    * An empty micro-batch (routine for low-rate production streams —
+    * e.g. a rate/kafka source's first trigger) is a no-op. */
   def update(batch: DataFrame, featuresCol: String = getFeaturesCol): OnlineKMeansModel = {
     val spark = batch.sparkSession
+    if (batch.rdd.getNumPartitions == 0 || batch.isEmpty) return this
     val measure = DistanceMeasure(getDistanceMeasure)
     val current = modelData.select("centroidId", "centroid", "weight").collect()
       .sortBy(_.getInt(0))

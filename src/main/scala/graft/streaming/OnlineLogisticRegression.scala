@@ -102,10 +102,12 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
   }
   override def getModelData: Array[DataFrame] = Array(modelData)
 
-  /** One FTRL mini-batch step. */
+  /** One FTRL mini-batch step. An empty micro-batch (routine for
+    * low-rate production streams) is a no-op. */
   def update(batch: DataFrame, featuresCol: String, labelCol: String,
       weightCol: String): OnlineLogisticRegressionModel = {
     val spark = batch.sparkSession
+    if (batch.rdd.getNumPartitions == 0 || batch.isEmpty) return this
     val row = modelData.select("coefficient", "zParam", "nParam").head()
     val coefficient = row.getAs[Vector](0).toArray.clone()
     val zParam = row.getAs[Vector](1).toArray.clone()

@@ -125,6 +125,35 @@ class OnlineSpec extends SparkSpec {
     assert(pred.toSeq == Seq(0, 1, 1))
   }
 
+  test("online updates are no-ops on empty micro-batches") {
+    import spark.implicits._
+    val init = Seq((0, Array(0.0), 1.0), (1, Array(10.0), 1.0))
+      .toDF("centroidId", "arr", "weight")
+      .select(col("centroidId"),
+        org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"),
+        col("weight"))
+    val empty = Seq.empty[Tuple1[Array[Double]]].toDF("arr")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("arr")).as("features"))
+    val km = new OnlineKMeansModel().setDecayFactor(0.5).setModelData(init)
+    val before = km.getModelData.head.orderBy("centroidId").collect().map(_.toString).toSeq
+    val after = km.update(empty, "features")
+      .getModelData.head.orderBy("centroidId").collect().map(_.toString).toSeq
+    assert(after == before)
+
+    val lrInit = Seq((Array(0.5, -0.5), Array(0.0, 0.0), Array(0.0, 0.0)))
+      .toDF("c", "z", "n")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("c")).as("coefficient"),
+        org.apache.spark.ml.functions.array_to_vector(col("z")).as("zParam"),
+        org.apache.spark.ml.functions.array_to_vector(col("n")).as("nParam"))
+    val lr = new OnlineLogisticRegressionModel().setModelData(lrInit)
+    val emptyLr = Seq.empty[(Array[Double], Double, Double)].toDF("arr", "label", "weight")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("arr")).as("features"),
+        col("label"), col("weight"))
+    val lrAfter = lr.update(emptyLr, "features", "label", "weight")
+      .getModelData.head.collect().map(_.toString).toSeq
+    assert(lrAfter == lrInit.collect().map(_.toString).toSeq)
+  }
+
   test("OnlineKMeansModel.update drives from Structured Streaming foreachBatch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
