@@ -104,6 +104,49 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("RobustScaler transforms identically to spark.ml (GK sketch fit)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 500).map(_ => Tuple1(
+      Vectors.dense(Array.fill(3)(rnd.nextGaussian() * 5 + 1)): Vector))
+    val df = rows.toDF("features").cache()
+    val ours = new graft.feature.RobustScaler()
+      .setInputCol("features").setOutputCol("scaled")
+      .setWithCentering(true).setWithScaling(true)
+      .fit(df).transform(df).head.select("features", "scaled")
+    val theirs = new org.apache.spark.ml.feature.RobustScaler()
+      .setInputCol("features").setOutputCol("scaled2")
+      .setWithCentering(true).setWithScaling(true)
+      .fit(df).transform(df).select("features", "scaled2")
+    ours.join(theirs, "features").collect().foreach { r =>
+      val a = r.getAs[Vector]("scaled").toArray
+      val b = r.getAs[Vector]("scaled2").toArray
+      a.indices.foreach(i => assert(math.abs(a(i) - b(i)) < 1e-9, s"dim $i: ${a(i)} vs ${b(i)}"))
+    }
+  }
+
+  test("VectorIndexer category maps match spark.ml (capped distinct fit)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // dim 0: categorical {0, 1, 3}; dim 1: continuous uniform
+    val rows = (0 until 400).map { _ =>
+      Tuple1(Vectors.dense(
+        Seq(0.0, 1.0, 3.0)(rnd.nextInt(3)), rnd.nextDouble() * 100): Vector)
+    }
+    val df = rows.toDF("features").cache()
+    val ours = new graft.feature.VectorIndexer().setMaxCategories(4)
+      .setInputCol("features").setOutputCol("indexed")
+      .fit(df).transform(df).head.select("features", "indexed")
+    val theirs = new org.apache.spark.ml.feature.VectorIndexer().setMaxCategories(4)
+      .setInputCol("features").setOutputCol("indexed2")
+      .fit(df).transform(df).select("features", "indexed2")
+    ours.join(theirs, "features").collect().foreach { r =>
+      val a = r.getAs[Vector]("indexed").toArray
+      val b = r.getAs[Vector]("indexed2").toArray
+      a.indices.foreach(i => assert(a(i) == b(i), s"dim $i: ${a(i)} vs ${b(i)}"))
+    }
+  }
+
   test("IDF weights match spark.ml exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
