@@ -16,9 +16,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * mirrors all 36 reference resource workloads with graft class names).
  *
  * Usage: runMain graft.benchmark.BenchRunner <config.json> [--scale X]
- *        [--only name1,name2]
+ *        [--only name1,name2] [--output-file results.json]
  * `--scale` multiplies every generator's numValues (reference sizes are
- * 1e7-1e8 rows; use --scale 0.01 for a local smoke run).
+ * 1e7-1e8 rows; use --scale 0.01 for a local smoke run). `--output-file`
+ * additionally saves the result list as a JSON array (the reference
+ * Benchmark CLI's --output-file, BenchmarkUtils.saveResultsAsJson).
  */
 object BenchRunner {
 
@@ -26,11 +28,13 @@ object BenchRunner {
     var configPath: Option[String] = None
     var scale = 1.0
     var only: Option[Set[String]] = None
+    var outputFile: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--scale" => scale = args(i + 1).toDouble; i += 2
         case "--only" => only = Some(args(i + 1).split(",").toSet); i += 2
+        case "--output-file" => outputFile = Some(args(i + 1)); i += 2
         case p => configPath = Some(p); i += 1
       }
     }
@@ -46,24 +50,33 @@ object BenchRunner {
     spark.sparkContext.setLogLevel("ERROR")
 
     val benchmarks = parseConfig(path)
-    benchmarks
+    val lines = benchmarks
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, spec) =>
-        try runOne(spark, name, spec, scale, cpus.toInt)
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[benchrunner] $name FAILED: $e")
-            println(s"""{"name":"$name","failed":true}""")
-        }
+      .map { case (name, spec) =>
+        val line =
+          try runOne(spark, name, spec, scale, cpus.toInt)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[benchrunner] $name FAILED: $e")
+              s"""{"name":"$name","failed":true}"""
+          }
+        println(line)
+        System.out.flush()
         spark.catalog.clearCache()
+        line
       }
+    outputFile.foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        lines.mkString("[\n  ", ",\n  ", "\n]\n"))
+    }
     if (!preexisting) spark.stop() // don't kill a caller-owned session (tests)
   }
 
   // ------------------------------------------------------------ execution
 
+  /** Executes one benchmark; returns its result JSON line. */
   private def runOne(spark: SparkSession, name: String, spec: Spec, scale: Double,
-      parts: Int): Unit = {
+      parts: Int): String = {
     val stage = instantiate(spec.stage)
     val numValues = math.max(1L, (longParam(spec.inputData, "numValues") * scale).toLong)
     val input = generate(spark, spec.inputData, numValues, parts)
@@ -89,8 +102,7 @@ object BenchRunner {
     val totalTimeMs = (System.nanoTime() - t0) / 1e6
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    println(s"""{"name":"$name","totalTimeMs":${fmt(totalTimeMs)},"inputRecordNum":$numValues,"inputThroughput":${fmt(numValues * 1000.0 / totalTimeMs)},"outputRecordNum":${acc.value},"outputThroughput":${fmt(acc.value * 1000.0 / totalTimeMs)}}""")
-    System.out.flush()
+    s"""{"name":"$name","totalTimeMs":${fmt(totalTimeMs)},"inputRecordNum":$numValues,"inputThroughput":${fmt(numValues * 1000.0 / totalTimeMs)},"outputRecordNum":${acc.value},"outputThroughput":${fmt(acc.value * 1000.0 / totalTimeMs)}}"""
   }
 
   // ------------------------------------------------------------ generators
