@@ -165,6 +165,60 @@ object AsOfJoinExample {
   }
 }
 
+/** Non-linear DAG with GraphBuilder: one input feeds an assembler,
+  * whose output trains a scaler AND flows (scaled) into k-means;
+  * built once as an Estimator, reusable as a fitted GraphModel. */
+object GraphExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("GraphExample")
+    import spark.implicits._
+    val df = Seq((0.0, 0.1), (0.2, 0.0), (9.0, 9.2), (9.1, 8.8)).toDF("x", "y")
+
+    val builder = new graft.api.GraphBuilder().setMaxOutputTableNum(1)
+    val input = builder.createTableId()
+    val assembled = builder.addAlgoOperator(
+      new graft.feature.VectorAssembler()
+        .setInputCols("x", "y").setOutputCol("raw").setInputSizes(1, 1), input)
+    val scaled = builder.addEstimator(
+      new graft.feature.MinMaxScaler().setInputCol("raw").setOutputCol("features"),
+      assembled: _*)
+    val clustered = builder.addEstimator(
+      new graft.clustering.KMeans().setK(2).setSeed(7L), scaled: _*)
+    val graph = builder.buildEstimator(Seq(input), clustered)
+
+    val model = graph.fit(df)
+    model.transform(df).head.select("x", "y", "prediction").show(false)
+    spark.stop()
+  }
+}
+
+/** Spark-free online inference: fit on the cluster, export the model
+  * data as JSON, score single rows in-process with a servable. */
+object ServableExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("ServableExample")
+    import spark.implicits._
+    // centered classes: the model has no intercept term
+    val train = Seq(
+      (Vectors.dense(-2.0, -1.0), 0.0), (Vectors.dense(-1.0, -2.0), 0.0),
+      (Vectors.dense(2.0, 1.0), 1.0), (Vectors.dense(1.0, 2.0), 1.0))
+      .toDF("features", "label")
+    val model = new graft.classification.LogisticRegression()
+      .setMaxIter(60).setLearningRate(0.5).setGlobalBatchSize(4).fit(train)
+
+    val buf = new java.io.ByteArrayOutputStream()
+    graft.servable.ServableExport.exportLinearModel(model.getModelData.head, buf)
+    spark.stop() // everything below runs without any SparkSession
+
+    val servable = new graft.servable.LogisticRegressionModelServable()
+      .setModelData(new java.io.ByteArrayInputStream(buf.toByteArray))
+    val local = graft.servable.LocalDataFrame(
+      Seq("features"), Seq(Seq(Array(-1.5, -1.5)), Seq(Array(1.5, 1.5))))
+    val scored = servable.transform(local)
+    println(s"predictions: ${scored.column("prediction")}") // List(0.0, 1.0)
+  }
+}
+
 /** End-to-end LLM-corpus curation: dedup → quality filter → pack. */
 object CorpusCurationExample {
   def main(args: Array[String]): Unit = {
