@@ -42,6 +42,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DCT-III inverts DCT-II for every vector (cosine-table path)") {
+    import spark.implicits._
+    (1 to Cases).foreach { i =>
+      val vs = draw(vecsGen(draw(Gen.choose(1, 12), i)), i)
+      val df = vs.map(Tuple1(_)).toDF("v")
+      val fwd = new graft.feature.DCT().setInputCol("v").setOutputCol("f")
+        .transform(df).head
+      val back = new graft.feature.DCT().setInverse(true)
+        .setInputCol("f").setOutputCol("rt")
+        .transform(fwd).head
+        .select("v", "rt").collect()
+      back.foreach { r =>
+        val a = r.getAs[Vector](0).toArray
+        val b = r.getAs[Vector](1).toArray
+        a.indices.foreach(d => assert(math.abs(a(d) - b(d)) < 1e-9,
+          s"dim $d: ${a(d)} vs ${b(d)}"))
+      }
+    }
+  }
+
+  test("NGram equals the idiomatic sliding-window formulation") {
+    import spark.implicits._
+    (1 to Cases).foreach { i =>
+      val docs = draw(Gen.listOfN(10, Gen.listOfN(
+        draw(Gen.choose(0, 9), i), Gen.identifier.map(_.take(5)))), i)
+      val n = draw(Gen.choose(1, 4), i)
+      val df = docs.map(Tuple1(_)).toDF("toks")
+      val got = new graft.feature.NGram().setN(n)
+        .setInputCol("toks").setOutputCol("g")
+        .transform(df).head.select("toks", "g").collect()
+      got.foreach { r =>
+        val toks = r.getSeq[String](0)
+        val expected =
+          if (n > toks.length) Seq.empty[String]
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(r.getSeq[String](1) == expected, s"n=$n toks=$toks")
+      }
+    }
+  }
+
   test("StringIndexer → IndexToString recovers every seen label") {
     import spark.implicits._
     val labelGen = Gen.listOfN(25, Gen.oneOf("a", "bb", "ccc", "d e", "Ω", "ζζ"))
