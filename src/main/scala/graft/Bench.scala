@@ -46,6 +46,9 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a mistyped query name must not produce a success-looking zero line
+    only.foreach(o => failed ++= (o -- SparkEntry.queries.keySet).toSeq.sorted
+      .map(n => s"unknown:$n"))
 
     groups.foreach { group =>
       runChild(sfDir, group) match {
@@ -123,12 +126,13 @@ object Bench {
     pump.start()
     val code = proc.waitFor()
     pump.join(5000)
-    val rows = scala.io.Source.fromFile(out.toFile).getLines().toSeq.flatMap { l =>
+    val src = scala.io.Source.fromFile(out.toFile)
+    val rows = try src.getLines().toSeq.flatMap { l =>
       l.split("\t") match {
         case Array(n, c, w) => Some((n, c.toDouble, w.toDouble))
         case _ => None
       }
-    }
+    } finally src.close()
     java.nio.file.Files.deleteIfExists(out)
     if (code == 0 || rows.nonEmpty) Some(rows) else None
   }

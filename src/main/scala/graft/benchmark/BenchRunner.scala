@@ -50,7 +50,14 @@ object BenchRunner {
     spark.sparkContext.setLogLevel("ERROR")
 
     val benchmarks = parseConfig(path)
-    val lines = benchmarks
+    // unknown --only names are reported, not silently skipped
+    val unknown = only.map(_ -- benchmarks.map(_._1).toSet).getOrElse(Set.empty)
+    val unknownLines = unknown.toSeq.sorted.map { n =>
+      System.err.println(s"[benchrunner] unknown benchmark name: $n")
+      s"""{"name":"$n","failed":true,"reason":"unknown benchmark name"}"""
+    }
+    unknownLines.foreach(println)
+    val lines = unknownLines ++ benchmarks
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, spec) =>
         val line =
@@ -66,8 +73,9 @@ object BenchRunner {
         line
       }
     outputFile.foreach { f =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
-        lines.mkString("[\n  ", ",\n  ", "\n]\n"))
+      val body = if (lines.isEmpty) "[]\n"
+        else lines.mkString("[\n  ", ",\n  ", "\n]\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f), body)
     }
     if (!preexisting) spark.stop() // don't kill a caller-owned session (tests)
   }

@@ -250,6 +250,8 @@ class VectorIndexer extends Estimator[VectorIndexer, VectorIndexerModel]
         (acc, v) => {
           val a = if (acc.isEmpty)
             Array.fill(v.size)(new scala.collection.mutable.HashSet[Double]) else acc
+          require(v.size == a.length,
+            s"VectorIndexer.fit: inconsistent vector dimensions (${v.size} vs ${a.length})")
           var i = 0
           while (i < a.length) {
             if (a(i).size <= maxCat) a(i) += v(i)
@@ -261,6 +263,8 @@ class VectorIndexer extends Estimator[VectorIndexer, VectorIndexerModel]
           if (a.isEmpty) b
           else if (b.isEmpty) a
           else {
+            require(a.length == b.length,
+              s"VectorIndexer.fit: inconsistent vector dimensions (${a.length} vs ${b.length})")
             var i = 0
             while (i < a.length) {
               if (a(i).size <= maxCat) {

@@ -364,6 +364,8 @@ class RobustScaler extends Estimator[RobustScaler, RobustScalerModel]
       .treeAggregate(Array.empty[QuantileSummaries])(
         (acc, v) => {
           val a = if (acc.isEmpty) Array.fill(v.size)(empty()) else acc
+          require(v.size == a.length,
+            s"RobustScaler.fit: inconsistent vector dimensions (${v.size} vs ${a.length})")
           var i = 0
           while (i < a.length) { a(i) = a(i).insert(v(i)); i += 1 }
           a
@@ -371,7 +373,11 @@ class RobustScaler extends Estimator[RobustScaler, RobustScalerModel]
         (a, b) =>
           if (a.isEmpty) b
           else if (b.isEmpty) a
-          else a.zip(b).map { case (x, y) => x.compress().merge(y.compress()) })
+          else {
+            require(a.length == b.length,
+              s"RobustScaler.fit: inconsistent vector dimensions (${a.length} vs ${b.length})")
+            a.zip(b).map { case (x, y) => x.compress().merge(y.compress()) }
+          })
     require(agg.nonEmpty, "RobustScaler.fit: empty input")
     val q = agg.map { s0 =>
       val s = s0.compress()

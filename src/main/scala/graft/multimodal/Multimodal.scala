@@ -64,7 +64,10 @@ class ImageDecoder extends Transformer[ImageDecoder]
     val decode = udf { payload: Array[Byte] =>
       if (payload == null) None
       else {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+        // the factory defaults to a FileCache stream, which would create
+        // and delete a temp FILE on executor disk for every row
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)

@@ -64,7 +64,9 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
         "(disjoint merges cannot change each other's counts, and any " +
         "pair created or shrunk by an accepted merge is bounded by that " +
         "next candidate's count, so one-at-a-time BPE would pick the " +
-        "same prefix in the same order).", 1, ParamValidators.gt(0))
+        "same prefix in the same order). A merge whose output string " +
+        "collides with an already-existing symbol also closes its " +
+        "batch, since it changes counts of unscanned pairs.", 1, ParamValidators.gt(0))
   def getBatchSize: Int = get(batchSize)
   def setBatchSize(v: Int): BpeTrainer = set(batchSize, v)
 
@@ -86,6 +88,11 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // every multi-char symbol in `syms` is the concatenation of some
+    // past merge (initial symbols are single characters), so "does the
+    // symbol a+b already exist?" is answerable on the driver from the
+    // merge history alone — no corpus lookup needed
+    val createdSymbols = scala.collection.mutable.Set.empty[String]
     var done = false
     roundsRun0 = 0
     while (merges.size < getNumMerges && !done) {
@@ -103,16 +110,29 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
       // past its end means no follower exists at all
       val exhausted = top.length < fetch
 
-      // longest pairwise-disjoint prefix above minPairCount
+      // longest safe prefix above minPairCount: pairwise symbol-disjoint,
+      // consuming no symbol created this batch, and creating no symbol
+      // that already exists (a merge whose output string collides with a
+      // live symbol changes the counts of pairs we never scanned — e.g.
+      // (in,g) creating more "ing" while (ing,s) sits below the fetch
+      // window — so such a merge closes its batch immediately)
       val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       val used = scala.collection.mutable.Set.empty[String]
+      val batchConcats = scala.collection.mutable.Set.empty[String]
       var i = 0
       var blocked = false
       while (!blocked && i < top.length && accepted.size < cap) {
         val (a, b, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+        val disjoint = accepted.isEmpty ||
+          (!used(a) && !used(b) && !batchConcats(a) && !batchConcats(b) &&
+            !createdSymbols(a + b) && !batchConcats(a + b))
         if (c < getMinPairCount) blocked = true
-        else if (accepted.isEmpty || (!used(a) && !used(b))) {
-          accepted += ((a, b, c)); used += a; used += b; i += 1
+        else if (disjoint) {
+          accepted += ((a, b, c)); used += a; used += b; batchConcats += (a + b); i += 1
+          // the accepted merge itself may recreate an existing symbol;
+          // that is fine for THIS merge (it is the current argmax) but
+          // poisons every count below it — stop the batch here
+          if (createdSymbols(a + b)) blocked = true
         } else blocked = true
       }
       // strict-drop guard: everything a round's merges can perturb or
@@ -127,15 +147,25 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
         i -= 1
         val dropped = accepted.remove(accepted.size - 1)
         used -= dropped._1; used -= dropped._2
+        batchConcats -= (dropped._1 + dropped._2)
       }
 
       if (accepted.isEmpty) done = true
       else {
-        // all accepted merges in ONE projection: disjointness makes the
-        // rewrite order irrelevant
-        val merged = accepted.foldLeft(col("s")) { (c, m) =>
-          BpeTrainer.applyMerge(c, m._1, m._2)
-        }
+        // apply the whole batch in one pass. A single merge stays the
+        // codegen'd array expression; for > 1, nesting applyMerge
+        // expressions would re-evaluate the inner merge per element
+        // (HOF lambdas defeat CSE), so the batch runs as one compiled
+        // UDF walking the array once per merge — O(batch·len) per row
+        val merged =
+          if (accepted.size == 1) BpeTrainer.applyMerge(col("s"), accepted.head._1, accepted.head._2)
+          else {
+            val batch = accepted.map(m => (m._1, m._2)).toArray
+            val applyAll = udf { s: Seq[String] =>
+              if (s == null) null else BpeTrainer.applyMerges(s, batch)
+            }
+            applyAll(col("s"))
+          }
         val next = syms
           .select(col("freq"), merged.as("s"))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -149,6 +179,7 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
         syms.unpersist(blocking = false)
         syms = mat
         merges ++= accepted.map(m => (m._1, m._2))
+        createdSymbols ++= accepted.map(m => m._1 + m._2)
       }
     }
     syms.unpersist(blocking = false)
@@ -184,6 +215,29 @@ object BpeTrainer extends StageLoader[BpeTrainer] {
         .otherwise(cur)
     })
     filter(rewritten, x => x.isNotNull)
+  }
+
+  /** Sequentially applies each merge with the standard left-to-right
+    * scan (same loop as BpeModel's encoder); with pairwise-disjoint,
+    * non-self merges the result is order-independent. */
+  private[text] def applyMerges(s: Seq[String], ms: Array[(String, String)]): Seq[String] = {
+    var cur: Array[String] = s.toArray
+    var m = 0
+    while (m < ms.length) {
+      val (a, b) = ms(m)
+      if (cur.length > 1) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.toArray
+      }
+      m += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur)
   }
 
   def load(spark: SparkSession, path: String): BpeTrainer =

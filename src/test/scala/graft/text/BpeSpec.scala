@@ -73,7 +73,15 @@ class BpeSpec extends SparkSpec {
     val tie = ("ab " * 3) + ("cd " * 3)
     // real-word corpus from the order test above
     val words = "low low low lower lower newest"
-    for (text <- Seq(conflict, tie, words)) {
+    // randomized 3-letter-alphabet corpora: repeated substrings maximize
+    // merge interactions (shared symbols, recreated concatenations)
+    val rnd = new scala.util.Random(271)
+    val fuzz = (1 to 5).map { _ =>
+      (0 until 30).map { _ =>
+        (0 until (3 + rnd.nextInt(4))).map(_ => "abc" (rnd.nextInt(3))).mkString
+      }.mkString(" ")
+    }
+    for (text <- Seq(conflict, tie, words) ++ fuzz) {
       assert(mergesOf(text, 8) == mergesOf(text, 1), s"diverged on: $text")
     }
   }
