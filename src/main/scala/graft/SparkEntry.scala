@@ -539,6 +539,23 @@ object SparkEntry {
           lit(ms(0)).as("merge1"), lit(ms(1)).as("merge2"))
     }),
 
+    // --- Batched BPE must learn the SAME merges (batchSize > 1 takes
+    // the safe non-conflicting prefix per round); shares q_bpe's
+    // sequential-replay oracle, so the equivalence guarantee sits
+    // under the driver's correctness gate ---
+    "q_bpe_batched" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = new graft.text.BpeTrainer()
+        .setInputCol("text").setOutputCol("bpe").setNumMerges(2).setBatchSize(8)
+        .fit(docs)
+      val ms = model.getModelData.head.orderBy("rank").collect()
+        .map(r => r.getString(1) + "+" + r.getString(2))
+      model.transform(docs).head
+        .select(col("doc_id"),
+          col("bpe_count").as("n_subwords"),
+          lit(ms(0)).as("merge1"), lit(ms(1)).as("merge2"))
+    }),
+
     // --- C4-style corpus-level line dedup (planted boilerplate lines) ---
     "q_line_dedup" -> ((s, dir) => {
       val planted = t(s, dir, "documents").withColumn("ptext",
@@ -1555,7 +1572,8 @@ object SparkEntry {
    * diffs were these oracle constants plus one sub-1e-6 score tie in
    * q_swing's top-k broken by float summation order.
    */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+  val m = Map(
     "q_kbins_kmeans" -> kbinsKmeansOracleSql,
 
     "q_logreg_train" -> logregTrainOracleSql,
@@ -3016,4 +3034,7 @@ object SparkEntry {
                 ROUND((l_extendedprice - q.med) / (q.hi - q.lo), 6) AS scaled_price
          FROM lineitem, q"""
   )
+  // batched BPE must equal sequential BPE — literally the same replay
+  m + ("q_bpe_batched" -> m("q_bpe"))
+  }
 }

@@ -20,6 +20,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getString(2).equalsIgnoreCase("68656C6C")) // "hell"
   }
 
+  test("ImageDecoder recovers dimensions from real PNG bytes; non-images decode to null") {
+    import spark.implicits._
+    val png = ImageDecoder.syntheticPng(17, 9, seed = 5L)
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")), (3L, null))
+      .toDF("id", "img")
+    val out = new ImageDecoder().setInputCol("img").setOutputCol("meta")
+      .transform(df).head
+      .select("id", "meta.width", "meta.height", "meta.format")
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 17 && out(0).getInt(2) == 9 && out(0).getString(3) == "png", out(0))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
   test("FrameSampler chunks payloads and keeps every n-th frame") {
     import spark.implicits._
     val payload = ("a" * 10) + ("b" * 10) + ("c" * 10) + ("d" * 5)

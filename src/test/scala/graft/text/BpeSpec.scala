@@ -86,6 +86,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("applyMerges (batch UDF path) equals applyMerge (codegen expression path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(97)
+    val arrays = (0 until 40).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => "abcd" (rnd.nextInt(4)).toString)
+    }
+    // pairwise-disjoint non-self merges, as the batch selector guarantees
+    val batch = Array(("a", "b"), ("c", "d"))
+    val df = arrays.map(Tuple1(_)).toDF("s")
+    val viaExpr = batch.foldLeft(df)((d, m) =>
+        d.select(BpeTrainer.applyMerge(col("s"), m._1, m._2).as("s")))
+      .collect().map(_.getSeq[String](0))
+    val viaUdf = arrays.map(a => BpeTrainer.applyMerges(a, batch))
+    viaExpr.zip(viaUdf).foreach { case (e, u) => assert(e == u, s"$e vs $u") }
+  }
+
   test("BpeModel save/load round-trips merges and params") {
     import spark.implicits._
     val model = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
