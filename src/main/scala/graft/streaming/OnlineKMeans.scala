@@ -99,11 +99,15 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
   override def getModelData: Array[DataFrame] = Array(modelData)
 
   /** One mini-batch step; returns the model holding the new centroids.
-    * An empty micro-batch (routine for low-rate production streams —
-    * e.g. a rate/kafka source's first trigger) is a no-op. */
+    * A ZERO-PARTITION micro-batch (a rate/kafka source's first trigger)
+    * is a no-op — that is the only shape that crashes treeReduce, since
+    * mapPartitions emits one partial per partition even when all
+    * partitions are empty. Checking getNumPartitions is free; an
+    * isEmpty check here would cost one extra Spark job per mini-batch
+    * in the bounded fit loop. */
   def update(batch: DataFrame, featuresCol: String = getFeaturesCol): OnlineKMeansModel = {
     val spark = batch.sparkSession
-    if (batch.rdd.getNumPartitions == 0 || batch.isEmpty) return this
+    if (batch.rdd.getNumPartitions == 0) return this
     val measure = DistanceMeasure(getDistanceMeasure)
     val current = modelData.select("centroidId", "centroid", "weight").collect()
       .sortBy(_.getInt(0))
@@ -141,6 +145,11 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
         (s1, c1)
       }
     bc.destroy()
+
+    // a batch with rows in no cluster (all partitions empty) is a
+    // no-op: the reference's batches are never empty, and decaying
+    // weights on nothing would drift the model on idle streams
+    if (counts.forall(_ == 0L)) return this
 
     val newCentroids = new Array[Vector](kk)
     val newWeights = new Array[Double](kk)

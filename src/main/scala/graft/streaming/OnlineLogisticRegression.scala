@@ -102,12 +102,14 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
   }
   override def getModelData: Array[DataFrame] = Array(modelData)
 
-  /** One FTRL mini-batch step. An empty micro-batch (routine for
-    * low-rate production streams) is a no-op. */
+  /** One FTRL mini-batch step. A ZERO-PARTITION micro-batch (a
+    * rate/kafka source's first trigger) is a no-op — the only shape
+    * that crashes treeReduce; all-empty partitions still emit one
+    * partial each. getNumPartitions is free, unlike an isEmpty job. */
   def update(batch: DataFrame, featuresCol: String, labelCol: String,
       weightCol: String): OnlineLogisticRegressionModel = {
     val spark = batch.sparkSession
-    if (batch.rdd.getNumPartitions == 0 || batch.isEmpty) return this
+    if (batch.rdd.getNumPartitions == 0) return this
     val row = modelData.select("coefficient", "zParam", "nParam").head()
     val coefficient = row.getAs[Vector](0).toArray.clone()
     val zParam = row.getAs[Vector](1).toArray.clone()
@@ -151,6 +153,10 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
         (g1, w1)
       }
     bc.destroy()
+
+    // all partitions empty → zero gradient and weight: no-op rather
+    // than pushing a zero "observation" through the FTRL state
+    if (wsum.forall(_ == 0.0) && grad.forall(_ == 0.0)) return this
 
     val l1 = getElasticNet * getReg
     val l2 = (1.0 - getElasticNet) * getReg
