@@ -359,10 +359,23 @@ object DCT extends StageLoader[DCT] {
     * The naive transform spent ~99% of its time in math.cos (n² cos
     * calls per ROW); the table makes the hot loop pure multiply-add
     * with bit-identical results, at n² doubles per distinct dimension
-    * (80 KB for n=100) built once per executor JVM. */
+    * (80 KB for n=100) built once per executor JVM. Bounded: a table
+    * is only memoized for n ≤ [[MaxTableDim]] and while the cache
+    * total stays under [[MaxCacheBytes]] (a single ragged n=50k
+    * vector would otherwise pin 20 GB); above the bounds the loops
+    * fall back to direct math.cos — same results, O(1) memory. */
+  private val MaxTableDim = 4096 // n² doubles: 4096 → 128 MB, the per-entry ceiling
+  private val MaxCacheBytes = 512L << 20
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   private val cosTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
-  private def cosTable(n: Int): Array[Double] =
+  /** Null when the dimension is outside the memo bounds. */
+  private def cosTable(n: Int): Array[Double] = {
+    if (n > MaxTableDim) return null
+    val hit = cosTables.get(n)
+    if (hit != null) return hit
+    if (cachedBytes.get() + 8L * n * n > MaxCacheBytes) return null
     cosTables.computeIfAbsent(n, { m =>
+      cachedBytes.addAndGet(8L * m * m)
       val t = new Array[Double](m * m)
       var k = 0
       while (k < m) {
@@ -372,6 +385,7 @@ object DCT extends StageLoader[DCT] {
       }
       t
     })
+  }
 
   /** Orthogonal DCT-II. */
   private[feature] def dct2(x: Array[Double]): Array[Double] = {
@@ -384,7 +398,8 @@ object DCT extends StageLoader[DCT] {
     while (k < n) {
       var s = 0.0
       var i = 0
-      while (i < n) { s += x(i) * t(k * n + i); i += 1 }
+      if (t != null) while (i < n) { s += x(i) * t(k * n + i); i += 1 }
+      else while (i < n) { s += x(i) * math.cos(math.Pi * (i + 0.5) * k / n); i += 1 }
       out(k) = s * (if (k == 0) c0 else ck)
       k += 1
     }
@@ -402,7 +417,8 @@ object DCT extends StageLoader[DCT] {
     while (i < n) {
       var s = c0 * x(0)
       var k = 1
-      while (k < n) { s += ck * x(k) * t(k * n + i); k += 1 }
+      if (t != null) while (k < n) { s += ck * x(k) * t(k * n + i); k += 1 }
+      else while (k < n) { s += ck * x(k) * math.cos(math.Pi * (i + 0.5) * k / n); k += 1 }
       out(i) = s
       i += 1
     }

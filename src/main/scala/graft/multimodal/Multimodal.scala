@@ -76,7 +76,7 @@ class ImageDecoder extends Transformer[ImageDecoder]
             val r = readers.next()
             try {
               r.setInput(iis, true, true)
-              Some(ImageMeta(r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+              Some(ImageMeta(r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
             } catch { case _: Exception => None }
             finally r.dispose()
           }

@@ -63,10 +63,13 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
         "last member still counts strictly above the next candidate " +
         "(disjoint merges cannot change each other's counts, and any " +
         "pair created or shrunk by an accepted merge is bounded by that " +
-        "next candidate's count, so one-at-a-time BPE would pick the " +
-        "same prefix in the same order). A merge whose output string " +
-        "collides with an already-existing symbol also closes its " +
-        "batch, since it changes counts of unscanned pairs.", 1, ParamValidators.gt(0))
+        "next candidate's count — or, when the merge's own symbol " +
+        "self-abuts (word 'aab' under (a,b) creates (a,ab), bounded " +
+        "only by count(a,a)), by the symbol's self-adjacency count, " +
+        "which the batch also checks — so one-at-a-time BPE would pick " +
+        "the same prefix in the same order). A merge whose output " +
+        "string collides with an already-existing symbol also closes " +
+        "its batch, since it changes counts of unscanned pairs.", 1, ParamValidators.gt(0))
   def getBatchSize: Int = get(batchSize)
   def setBatchSize(v: Int): BpeTrainer = set(batchSize, v)
 
@@ -99,16 +102,36 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
       roundsRun0 += 1
       val cap = math.min(getBatchSize, getNumMerges - merges.size)
       val fetch = 2 * cap + 1
-      val top = syms
+      val pairCounts = syms
         .select(col("freq"), explode(NgramLm.bigrams(col("s"))).as("p"))
-        .where(col("p.w1") =!= col("p.w2")) // see scaladoc: no self-pairs
         .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
         .agg(sum("freq").as("cnt"))
+      if (cap > 1) pairCounts.persist(StorageLevel.MEMORY_AND_DISK)
+      val top = pairCounts
+        .where(col("a") =!= col("b")) // see scaladoc: no self-pair candidates
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(fetch).collect()
       // `exhausted` = the list above IS the complete pair set, so running
       // past its end means no follower exists at all
       val exhausted = top.length < fetch
+      // Self-adjacency counts for the candidate symbols. A merge (a, b)
+      // applied where its own symbol self-abuts creates pairs the
+      // non-self scan never bounds: word "aab" under (a, b) creates
+      // (a, ab), whose count is bounded only by count(a, a). Such a
+      // pair can outrank every remaining candidate, so a batch must
+      // not accept a merge counting <= any prior acceptance's
+      // self-adjacency bound. Only needed when batching (one merge
+      // per round is the plain argmax and always exact).
+      val selfCnt: Map[String, Long] =
+        if (cap <= 1 || top.isEmpty) Map.empty
+        else {
+          val symsInWindow = top.iterator
+            .flatMap(r => Iterator(r.getString(0), r.getString(1))).toSet.toSeq
+          pairCounts
+            .where(col("a") === col("b") && col("a").isin(symsInWindow: _*))
+            .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        }
+      if (cap > 1) pairCounts.unpersist(blocking = false)
 
       // longest safe prefix above minPairCount: pairwise symbol-disjoint,
       // consuming no symbol created this batch, and creating no symbol
@@ -121,14 +144,23 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
       val batchConcats = scala.collection.mutable.Set.empty[String]
       var i = 0
       var blocked = false
+      // max self-adjacency count over accepted merges' symbols: pairs a
+      // prior acceptance can create via self-abutment count at most this
+      var selfBound = Long.MinValue
       while (!blocked && i < top.length && accepted.size < cap) {
         val (a, b, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
         val disjoint = accepted.isEmpty ||
           (!used(a) && !used(b) && !batchConcats(a) && !batchConcats(b) &&
             !createdSymbols(a + b) && !batchConcats(a + b))
         if (c < getMinPairCount) blocked = true
+        // a pair created by an earlier acceptance may count up to
+        // selfBound and would outrank (or tie-contend with) this
+        // candidate in sequential order — close the batch
+        else if (accepted.nonEmpty && c <= selfBound) blocked = true
         else if (disjoint) {
           accepted += ((a, b, c)); used += a; used += b; batchConcats += (a + b); i += 1
+          selfBound = math.max(selfBound, math.max(
+            selfCnt.getOrElse(a, Long.MinValue), selfCnt.getOrElse(b, Long.MinValue)))
           // the accepted merge itself may recreate an existing symbol;
           // that is fine for THIS merge (it is the current argmax) but
           // poisons every count below it — stop the batch here

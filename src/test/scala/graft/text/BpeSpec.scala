@@ -73,6 +73,11 @@ class BpeSpec extends SparkSpec {
     val tie = ("ab " * 3) + ("cd " * 3)
     // real-word corpus from the order test above
     val words = "low low low lower lower newest"
+    // self-abutting merge: merging (a,b) in "aab" creates (a,ab) with
+    // count 5 > (c,d)'s 4, so a batch accepting both diverges from the
+    // sequential list [(a,b),(a,ab)] — the self-pair (a,a), excluded
+    // from the candidate scan, is the only bound on the created pair
+    val selfAbut = ("aab " * 5) + ("cd " * 4)
     // randomized 3-letter-alphabet corpora: repeated substrings maximize
     // merge interactions (shared symbols, recreated concatenations)
     val rnd = new scala.util.Random(271)
@@ -81,8 +86,16 @@ class BpeSpec extends SparkSpec {
         (0 until (3 + rnd.nextInt(4))).map(_ => "abc" (rnd.nextInt(3))).mkString
       }.mkString(" ")
     }
-    for (text <- Seq(conflict, tie, words) ++ fuzz) {
+    // 2-letter-alphabet corpora: long runs make self-abutting merges
+    // (the selfAbut case above) the common path, not the rare one
+    val runFuzz = (1 to 5).map { _ =>
+      (0 until 40).map { _ =>
+        (0 until (2 + rnd.nextInt(6))).map(_ => "ab" (rnd.nextInt(2))).mkString
+      }.mkString(" ")
+    }
+    for (text <- Seq(conflict, tie, words, selfAbut) ++ fuzz ++ runFuzz) {
       assert(mergesOf(text, 8) == mergesOf(text, 1), s"diverged on: $text")
+      assert(mergesOf(text, 3) == mergesOf(text, 1), s"diverged at batch=3 on: $text")
     }
   }
 
