@@ -11,15 +11,30 @@ import org.apache.spark.sql.SparkSession
   * does not curb). So the parent process forks a FRESH child JVM per
   * group of queries (same classpath/-Xmx/--add-opens as itself), and
   * each child times every query cold (first run) and warm (min of
-  * two further runs) after an untimed Spark warmup. The printed line
-  * carries totals plus the heaviest per-query warm timings so it
-  * stays inside the driver's stdout tail window; the complete
-  * cold+warm per-query detail goes to bench_out.json.
+  * two further runs) after an untimed Spark warmup.
+  *
+  * Round-5 lesson: ALPHABETICAL groups of 10 still contaminate — one
+  * heavy query (q_swing) leading a group degraded its 8 groupmates up
+  * to 12x vs isolated runs. Grouping is therefore COST-AWARE, seeded
+  * from the previous run's per-query warm timings
+  * (benchmarks/bench_costs.json, refreshed by every full run, plus
+  * any local bench_out.json overlay): each query whose prior warm
+  * cost is ≥ [[SoloCostSec]] — or is in the top [[SoloTopN]] — runs
+  * ALONE in its own child JVM; the cheap remainder packs into shared
+  * groups capped at [[GroupSize]] queries and [[GroupCostCap]]
+  * summed warm seconds, ordered cheapest-first so any residual JVM
+  * degradation lands on the query that caused it, not its followers.
+  * Any row with warm > cold (an impossible ordering for a healthy
+  * JVM) is retried once and, if it persists, published with
+  * `"suspect":true` instead of silently standing.
   *
   * Timing forces full execution through the noop datasource sink so
   * Catalyst cannot prune deterministic projection columns the way a
   * bare `.count()` would; failures surface as `"failed":[names]`
-  * rather than being silently swallowed.
+  * rather than being silently swallowed. The printed line carries
+  * totals plus the heaviest per-query warm timings so it stays
+  * inside the driver's stdout tail window; the complete cold+warm
+  * per-query detail goes to bench_out.json.
   *
   * Isolated single-query timing (the judge's TimeQ): pass the query
   * name(s) — `runMain graft.Bench q_swing` — which runs exactly one
@@ -28,6 +43,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val WarmRuns = 2
   private val GroupSize = 10
+  /** Prior warm cost (sec) at which a query gets a private child JVM. */
+  private val SoloCostSec = 3.0
+  /** The N heaviest-by-prior-cost queries always run solo. */
+  private val SoloTopN = 8
+  /** Max summed prior warm cost packed into one shared child JVM. */
+  private val GroupCostCap = 12.0
+  /** Prior cost assumed for queries never measured before. */
+  private val DefaultCostSec = 1.5
+  private val CostsPath = "benchmarks/bench_costs.json"
 
   def main(args: Array[String]): Unit = args match {
     case Array("--child", sfDir, outPath, names) =>
@@ -38,11 +62,49 @@ object Bench {
 
   // ---------------------------------------------------------------- parent
 
+  /** Per-query prior warm cost: committed seed overlaid by the local
+    * scratch detail of the most recent run, when present. */
+  private def loadCosts(): Map[String, Double] = {
+    def readFile(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      catch { case _: Exception => "" }
+    val flat = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r
+    val detail = """"([A-Za-z0-9_]+)":\{"cold":([0-9.]+),"warm":([0-9.]+)""".r
+    val seed = flat.findAllMatchIn(readFile(CostsPath))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val overlay = detail.findAllMatchIn(readFile("bench_out.json"))
+      .map(m => m.group(1) -> m.group(3).toDouble).toMap
+    seed ++ overlay
+  }
+
+  /** Cost-aware schedule: heavy queries solo, cheap ones packed
+    * cheapest-first under a size + summed-cost cap. */
+  private[graft] def schedule(names: Seq[String], costs: Map[String, Double]): Seq[Seq[String]] = {
+    def cost(n: String): Double = costs.getOrElse(n, DefaultCostSec)
+    if (names.size <= 1) return Seq(names).filter(_.nonEmpty)
+    val byCost = names.sortBy(n => (-cost(n), n))
+    val solo = byCost.take(SoloTopN) ++
+      byCost.drop(SoloTopN).filter(n => cost(n) >= SoloCostSec)
+    val soloSet = solo.toSet
+    val shared = names.filterNot(soloSet).sortBy(n => (cost(n), n))
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var curCost = 0.0
+    shared.foreach { n =>
+      if (cur.nonEmpty && (cur.size >= GroupSize || curCost + cost(n) > GroupCostCap)) {
+        groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty[String]; curCost = 0.0
+      }
+      cur += n; curCost += cost(n)
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    solo.map(Seq(_)) ++ groups.toSeq
+  }
+
   private def parent(only: Option[Set[String]]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val groups = names.grouped(GroupSize).toSeq
+    val groups = schedule(names, loadCosts())
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -51,21 +113,21 @@ object Bench {
       .map(n => s"unknown:$n"))
 
     groups.foreach { group =>
-      runChild(sfDir, group) match {
-        case Some(rows) =>
-          rows.foreach { case (n, c, w) => timings(n) = (c, w) }
-          val missing = group.filterNot(timings.contains)
-          // a query crashed the child mid-group: isolate the survivors
-          // one JVM each so one bad query can't zero its groupmates
-          missing.foreach { n =>
-            runChild(sfDir, Seq(n)) match {
-              case Some(Seq((`n`, c, w))) => timings(n) = (c, w)
-              case _ => failed += n
-            }
-          }
-        case None => failed ++= group
+      // a crashed child (even before its first row) only fails the
+      // queries that ALSO fail in one-JVM-per-query isolation
+      val rows = runChild(sfDir, group).getOrElse(Seq.empty)
+      rows.foreach { case (n, c, w) => timings(n) = (c, w) }
+      val missing = group.filterNot(timings.contains)
+      missing.foreach { n =>
+        runChild(sfDir, Seq(n)) match {
+          case Some(Seq((`n`, c, w))) => timings(n) = (c, w)
+          case _ => failed += n
+        }
       }
     }
+    // restore name order so output diffs cleanly across rounds
+    val ordered = names.flatMap(n => timings.get(n).map(n -> _))
+    timings.clear(); ordered.foreach { case (n, t) => timings(n) = t }
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val warmTotal = timings.values.map(_._2).sum
@@ -81,21 +143,39 @@ object Bench {
       "q_linsvc_predict", "q_logreg_train", "q_naive_bayes", "q_knn")
     val coreTotal = timings.collect { case (k, (_, w)) if r1Queries(k) => w }.sum
 
+    // warm > cold is impossible for a healthy JVM (warm is a min over
+    // later runs of the same work) — publish the contradiction as a
+    // flag instead of leaving the reader to spot it (round-5 lesson)
+    val suspects = timings.collect { case (k, (c, w)) if w > c => k }.toSeq
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     // full detail (every query, cold + warm) — survives as a repo file
     val detailJson = timings
-      .map { case (k, (c, w)) => s""""$k":{"cold":${fmt(c)},"warm":${fmt(w)}}""" }
+      .map { case (k, (c, w)) =>
+        val flag = if (w > c) ""","suspect":true""" else ""
+        s""""$k":{"cold":${fmt(c)},"warm":${fmt(w)}$flag}"""
+      }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"warm_runs_per_query":$WarmRuns,"queries":$detailJson,"sf":"$sfDir","failed":$failedJson}"""
+      s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"warm_runs_per_query":$WarmRuns,"queries":$detailJson,"sf":"$sfDir","failed":$failedJson,"suspect":$suspectJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), detailLine + "\n")
+
+    // a FULL run refreshes the committed cost seed so the next run's
+    // grouping reflects current reality (partial runs must not clobber)
+    if (only.isEmpty && timings.nonEmpty) {
+      val body = timings.toSeq.sortBy(-_._2._2)
+        .map { case (k, (_, w)) => s""" "$k": ${fmt(w)}""" }.mkString("{\n", ",\n", "\n}\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(CostsPath), body)
+      catch { case _: Exception => () } // read-only checkout: grouping just stays seeded
+    }
 
     // stdout line: top-N heaviest only, so the driver's tail window
     // never truncates it mid-JSON (the full 88-entry map did in r4)
     val top = timings.toSeq.sortBy(-_._2._2).take(30)
     val qs = top.map { case (k, (_, w)) => "\"" + k + "\":" + fmt(w) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"queries":$qs,"queries_shown":${top.size},"detail_file":"bench_out.json","sf":"$sfDir","failed":$failedJson}"""
+      s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"queries":$qs,"queries_shown":${top.size},"detail_file":"bench_out.json","sf":"$sfDir","failed":$failedJson,"suspect":$suspectJson}"""
     println(line)
     System.out.flush()
   }
@@ -170,7 +250,11 @@ object Bench {
       }
       try {
         val cold = once()
-        val warm = (1 to WarmRuns).map(_ => once()).min
+        var warm = (1 to WarmRuns).map(_ => once()).min
+        // warm > cold means a run got unlucky (GC pause, compilation
+        // storm); one retry usually resolves it — if not, the parent
+        // publishes the row as suspect
+        if (warm > cold) warm = math.min(warm, once())
         writer.println(s"$name\t$cold\t$warm")
       } catch {
         case e: Throwable =>

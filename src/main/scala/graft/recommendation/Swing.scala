@@ -35,7 +35,10 @@ import graft.util.ReadWrite
  * seed-dependent reservoir sampling over arrival order, which is
  * equally arbitrary but not reproducible across shuffles).
  *
- * Wall-clock audit (sf0.1, local[32], round 5): warm ≈ 8.4 s, and the
+ * Wall-clock audit (sf0.1, local[32]): warm ≈ 8.4–9.6 s in an
+ * isolated JVM (`runMain graft.Bench q_swing`) — the 24.2 s in the
+ * round-5 suite artifact was bench-group contamination, fixed in
+ * round 6 by cost-aware solo-JVM scheduling (Bench.scala); the
  * shuffle volume is already minimal for the semantics. Measured: the
  * 598,789 capped purchase rows fan out to 8,961,888 co-purchase rows
  * (8.5 M distinct user pairs; intersection avg 1.05, max 5) and

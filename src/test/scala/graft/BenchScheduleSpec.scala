@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BenchScheduleSpec extends AnyFunSuite {
+
+  test("heavy queries run solo; cheap ones pack cheapest-first under the cost cap") {
+    val costs = Map(
+      "q_heavy1" -> 9.6, "q_heavy2" -> 4.5, "q_heavy3" -> 4.1, "q_heavy4" -> 3.5,
+      "q_heavy5" -> 3.1, "q_heavy6" -> 2.8, "q_heavy7" -> 2.6, "q_heavy8" -> 2.5,
+      "q_a" -> 0.5, "q_b" -> 1.0, "q_c" -> 1.5, "q_d" -> 2.0, "q_e" -> 2.4)
+    val names = costs.keys.toSeq.sorted
+    val groups = Bench.schedule(names, costs)
+    // top-8 by cost each alone
+    val solos = groups.filter(_.size == 1).map(_.head).toSet
+    assert((1 to 8).map(i => s"q_heavy$i").forall(solos), solos)
+    // the cheap remainder is one or more shared groups in ascending cost order
+    val shared = groups.filter(_.size > 1)
+    assert(shared.flatten.toSet == Set("q_a", "q_b", "q_c", "q_d", "q_e"))
+    shared.foreach { g =>
+      val cs = g.map(costs)
+      assert(cs == cs.sorted, s"not cheapest-first: $g")
+      assert(cs.sum <= 12.0 + 1e-9, s"cost cap exceeded: $g")
+    }
+    // every query scheduled exactly once
+    assert(groups.flatten.sorted == names)
+  }
+
+  test("queries above the solo cost threshold run alone even outside the top-8") {
+    val costs = (1 to 8).map(i => s"q_big$i" -> 10.0).toMap ++
+      Map("q_alsoBig" -> 5.0, "q_small" -> 0.5)
+    val groups = Bench.schedule(costs.keys.toSeq.sorted, costs)
+    assert(groups.count(_ == Seq("q_alsoBig")) == 1, groups)
+  }
+
+  test("unknown queries get the default cost and share a group") {
+    val groups = Bench.schedule(Seq("q_x", "q_y", "q_z"), Map.empty)
+    // all equal default cost: top-8 rule makes 3 solos out of 3 total —
+    // with no cost data everything is 'heaviest', which is the safe side
+    assert(groups.flatten.sorted == Seq("q_x", "q_y", "q_z"))
+  }
+
+  test("a single requested query is one group (the TimeQ path)") {
+    assert(Bench.schedule(Seq("q_only"), Map("q_only" -> 0.1)) == Seq(Seq("q_only")))
+  }
+}
