@@ -877,10 +877,43 @@ object SparkEntry {
         .setGlobalBatchSize(60000)
         .setInitialModelData(graft.streaming.OnlineLogisticRegressionModel.zeroInit(s, 2))
         .fit(assembled)
-      model.getModelData.head.select(
+      // the model data is now a version stream; the check reads the
+      // final (latest) FTRL coefficients
+      model.getModelData.head.orderBy(col("version").desc).limit(1).select(
         posexplode(org.apache.spark.ml.functions.vector_to_array(col("coefficient")))
           .as(Seq("dim", "coef")))
         .select(col("dim"), round(col("coef"), 6).as("coef"))
+    }),
+
+    // --- OnlineLogisticRegression, versioned delay-gated inference:
+    // two count-batches over time-ordered events become model versions
+    // 1 and 2 stamped with each batch's max event time; every row is
+    // then scored by the EARLIEST version fresh enough for its own
+    // timestamp (reference HasMaxAllowedModelDelayMs buffering).
+    // Oracle contract: exact at sf0.01 (10000 events = exactly 2
+    // batches of 5000, which the SQL replays as two FTRL steps) ---
+    "q_online_logreg_versioned" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000000").as("tsm"),
+          (col("value") / 100.0).as("x"),
+          (col("event_type") === "click").cast("double").as("label"))
+        .orderBy("event_id")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("x").setOutputCol("features").setInputSizes(1)
+        .transform(ev).head
+      val model = new graft.streaming.OnlineLogisticRegression()
+        .setAlpha(0.1).setBeta(1.0).setReg(0.0).setElasticNet(0.0)
+        .setGlobalBatchSize(5000).setTimeCol("tsm")
+        .setInitialModelData(graft.streaming.OnlineLogisticRegressionModel.zeroInit(s, 1))
+        .fit(assembled)
+        .setMaxAllowedModelDelayMs(172800000L) // 2 days
+        .setTimeCol("tsm")
+      model.transform(assembled).head
+        .select(col("event_id"), col("version"),
+          round(element_at(
+            org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2), 6).as("p"),
+          col("prediction"))
     }),
 
     // --- AgglomerativeClustering (single linkage, 1-D, distance threshold) ---
@@ -2534,6 +2567,47 @@ object SparkEntry {
                 ROUND(CASE WHEN gv = 0 THEN 0.0
                       ELSE -gv / ((1.0 + sqrt(gv * gv)) / 0.1) END, 6) AS coef
          FROM g""",
+
+    // two FTRL steps (zero init; alpha 0.1, beta 1.0, l1 = l2 = 0) over
+    // the two 5000-row halves of time-ordered events, then per-row
+    // version pick: earliest model time >= tsm - 2 days
+    "q_online_logreg_versioned" ->
+      """WITH d AS (SELECT event_id, epoch_ms(ts) AS tsm, value / 100.0 AS x,
+                           CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y,
+                           ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx
+                    FROM events),
+         b1 AS (SELECT * FROM d WHERE idx < 5000),
+         b2 AS (SELECT * FROM d WHERE idx >= 5000 AND idx < 10000),
+         s1 AS (SELECT SUM((0.5 - y) * x) / COUNT(*) AS g1, MAX(tsm) AS t1 FROM b1),
+         w1t AS (SELECT g1, t1,
+                        CASE WHEN g1 = 0 THEN 0.0
+                             ELSE -g1 / ((1.0 + sqrt(g1 * g1)) / 0.1) END AS w1
+                 FROM s1),
+         s2 AS (SELECT SUM((1.0 / (1.0 + exp(-(w.w1 * b.x))) - b.y) * b.x) / COUNT(*) AS g2,
+                       MAX(b.tsm) AS t2
+                FROM b2 b CROSS JOIN w1t w),
+         w2t AS (SELECT w.t1, s.t2, w.w1,
+                        w.g1 + s.g2
+                          - ((sqrt(w.g1 * w.g1 + s.g2 * s.g2) - sqrt(w.g1 * w.g1)) / 0.1) * w.w1
+                          AS z2,
+                        w.g1 * w.g1 + s.g2 * s.g2 AS n2
+                 FROM w1t w CROSS JOIN s2 s),
+         w2f AS (SELECT t1, t2, w1,
+                        CASE WHEN z2 = 0 THEN 0.0
+                             ELSE -z2 / ((1.0 + sqrt(n2)) / 0.1) END AS w2
+                 FROM w2t),
+         pick AS (SELECT d.event_id, d.x,
+                         CASE WHEN f.t1 >= d.tsm - 172800000 THEN 1
+                              WHEN f.t2 >= d.tsm - 172800000 THEN 2
+                              ELSE -1 END AS version,
+                         CASE WHEN f.t1 >= d.tsm - 172800000 THEN f.w1
+                              WHEN f.t2 >= d.tsm - 172800000 THEN f.w2 END AS w
+                  FROM d CROSS JOIN w2f f)
+         SELECT event_id, CAST(version AS BIGINT) AS version,
+                ROUND(1.0 / (1.0 + exp(-(w * x))), 6) AS p,
+                CASE WHEN w IS NULL THEN NULL
+                     WHEN 1.0 / (1.0 + exp(-(w * x))) >= 0.5 THEN 1.0 ELSE 0.0 END AS prediction
+         FROM pick""",
 
     "q_agglomerative" ->
       """WITH o AS (

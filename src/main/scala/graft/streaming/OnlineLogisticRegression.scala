@@ -38,6 +38,14 @@ class OnlineLogisticRegression
   def getAlpha: Double = get(alpha)
   def getBeta: Double = get(beta)
 
+  final val timeCol: Param[String] =
+    param[String]("timeCol",
+      "Event-time column (milliseconds, long). When set, each mini-batch's " +
+        "model version is stamped with the batch's max event time, enabling " +
+        "delay-gated versioned inference on the fitted model.", null)
+  def getTimeCol: String = get(timeCol)
+  def setTimeCol(v: String): OnlineLogisticRegression = set(timeCol, v)
+
   private var initialModel: Option[DataFrame] = None
   def setInitialModelData(df: DataFrame): OnlineLogisticRegression = {
     initialModel = Some(df); this
@@ -54,17 +62,25 @@ class OnlineLogisticRegression
 
     val batchSize = getGlobalBatchSize
     val weightExpr = if (getWeightCol == null) lit(1.0) else col(getWeightCol).cast("double")
+    val timeExpr = if (getTimeCol == null) lit(Long.MaxValue) else col(getTimeCol).cast("long")
     import spark.implicits._
-    val indexed = df.select(col(getFeaturesCol), col(getLabelCol).cast("double"), weightExpr)
+    val indexed = df.select(col(getFeaturesCol), col(getLabelCol).cast("double"), weightExpr, timeExpr)
       .rdd.zipWithIndex()
-      .map { case (r, i) => (i / batchSize, r.getAs[Vector](0), r.getDouble(1), r.getDouble(2)) }
-      .toDF("batch", "features", "label", "w")
+      .map { case (r, i) =>
+        (i / batchSize, r.getAs[Vector](0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      }
+      .toDF("batch", "features", "label", "w", "t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBatches = indexed.count() / batchSize
     var b = 0L
     while (b < numBatches) {
-      model = model.update(indexed.where(col("batch") === b),
-        "features", "label", "w")
+      val batchDf = indexed.where(col("batch") === b)
+      // version timestamp = the batch's max event time (the moment the
+      // reference would emit this model version downstream)
+      val modelTime =
+        if (getTimeCol == null) Long.MaxValue
+        else batchDf.agg(max("t")).head().getLong(0)
+      model = model.update(batchDf, "features", "label", "w", modelTime)
       b += 1
     }
     indexed.unpersist(blocking = false)
@@ -77,10 +93,23 @@ object OnlineLogisticRegression extends StageLoader[OnlineLogisticRegression] {
 }
 
 /**
- * FTRL state + coefficients: model data rows
- * (coefficient vector, zParam vector, nParam vector). `update`
- * advances the state by one mini-batch (Structured Streaming hook:
- * call from foreachBatch).
+ * FTRL state + coefficients as a model STREAM: one row per version —
+ * (version, modelTimeMs, coefficient vector, zParam vector, nParam
+ * vector). `update` advances the state by one mini-batch and appends
+ * a version row (Structured Streaming hook: call from foreachBatch).
+ *
+ * Inference: by default each row is scored by the LATEST version;
+ * with `maxAllowedModelDelayMs >= 0` set, each row is scored by the
+ * EARLIEST version whose `modelTimeMs >= rowTime - delay` — the
+ * batch equivalent of the reference's row-buffering rule
+ * (OnlineLogisticRegressionModel.java:68,
+ * HasMaxAllowedModelDelayMs.java), mirroring
+ * [[OnlineStandardScalerModel]]'s gating. Rows earlier than every
+ * qualifying version get null predictions and version -1.
+ *
+ * Scale shape: the model stream is O(#versions) driver-built rows,
+ * so the as-of lookup is a broadcast binary search per row — no
+ * shuffle, no range-join explosion.
  */
 class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
     with HasFeaturesCol[OnlineLogisticRegressionModel]
@@ -96,24 +125,50 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
   def getAlpha: Double = get(alpha)
   def getBeta: Double = get(beta)
 
+  final val modelVersionCol: Param[String] =
+    param[String]("modelVersionCol", "Output column holding the model version used.", "version")
+  def getModelVersionCol: String = get(modelVersionCol)
+  def setModelVersionCol(v: String): OnlineLogisticRegressionModel = set(modelVersionCol, v)
+
+  final val maxAllowedModelDelayMs: Param[Long] =
+    param[Long]("maxAllowedModelDelayMs",
+      "If >= 0, rows are scored by the earliest model version with modelTimeMs >= rowTime - delay " +
+        "(reference HasMaxAllowedModelDelayMs); if < 0, the latest version scores everything.", -1L)
+  def getMaxAllowedModelDelayMs: Long = get(maxAllowedModelDelayMs)
+  def setMaxAllowedModelDelayMs(v: Long): OnlineLogisticRegressionModel =
+    set(maxAllowedModelDelayMs, v)
+
+  final val timeCol: Param[String] =
+    param[String]("timeCol", "Event-time column (milliseconds, long) for versioned scoring.", "ts")
+  def getTimeCol: String = get(timeCol)
+  def setTimeCol(v: String): OnlineLogisticRegressionModel = set(timeCol, v)
+
   private var modelData: DataFrame = _
   override def setModelData(data: DataFrame*): OnlineLogisticRegressionModel = {
     modelData = data.head; this
   }
   override def getModelData: Array[DataFrame] = Array(modelData)
 
+  /** Model data predating the version column (a bare FTRL state row)
+    * is accepted and treated as version 0 at time Long.MinValue. */
+  private def hasVersions: Boolean = modelData.columns.contains("version")
+  private def latestRow(): org.apache.spark.sql.Row =
+    if (hasVersions) modelData.orderBy(col("version").desc).limit(1).head()
+    else modelData.head()
+
   /** One FTRL mini-batch step. A ZERO-PARTITION micro-batch (a
     * rate/kafka source's first trigger) is a no-op — the only shape
     * that crashes treeReduce; all-empty partitions still emit one
     * partial each. getNumPartitions is free, unlike an isEmpty job. */
   def update(batch: DataFrame, featuresCol: String, labelCol: String,
-      weightCol: String): OnlineLogisticRegressionModel = {
+      weightCol: String, modelTimeMs: Long = Long.MaxValue): OnlineLogisticRegressionModel = {
     val spark = batch.sparkSession
     if (batch.rdd.getNumPartitions == 0) return this
-    val row = modelData.select("coefficient", "zParam", "nParam").head()
-    val coefficient = row.getAs[Vector](0).toArray.clone()
-    val zParam = row.getAs[Vector](1).toArray.clone()
-    val nParam = row.getAs[Vector](2).toArray.clone()
+    val row = latestRow()
+    val coefficient = row.getAs[Vector]("coefficient").toArray.clone()
+    val zParam = row.getAs[Vector]("zParam").toArray.clone()
+    val nParam = row.getAs[Vector]("nParam").toArray.clone()
+    val latestVersion = if (hasVersions) row.getAs[Long]("version") else 0L
     val dim = coefficient.length
     val bc = spark.sparkContext.broadcast(Vectors.dense(coefficient))
 
@@ -174,19 +229,34 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
     }
 
     import spark.implicits._
-    val next = Seq((coefficient, zParam, nParam)).toDF("c", "z", "n")
-      .select(org.apache.spark.ml.functions.array_to_vector(col("c")).as("coefficient"),
+    val next = Seq((latestVersion + 1, modelTimeMs, coefficient, zParam, nParam))
+      .toDF("version", "modelTimeMs", "c", "z", "n")
+      .select(col("version"), col("modelTimeMs"),
+        org.apache.spark.ml.functions.array_to_vector(col("c")).as("coefficient"),
         org.apache.spark.ml.functions.array_to_vector(col("z")).as("zParam"),
         org.apache.spark.ml.functions.array_to_vector(col("n")).as("nParam"))
-    val m = new OnlineLogisticRegressionModel().setModelData(next)
+    // append to the version stream (legacy single-row state becomes
+    // version 0 at MinValue — never servable under delay gating)
+    val base =
+      if (hasVersions)
+        modelData.select("version", "modelTimeMs", "coefficient", "zParam", "nParam")
+      else
+        modelData.select(lit(0L).as("version"), lit(Long.MinValue).as("modelTimeMs"),
+          col("coefficient"), col("zParam"), col("nParam"))
+    val m = new OnlineLogisticRegressionModel().setModelData(base.union(next))
     copyParamsTo(m)
     m
   }
 
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
-    val coeff = modelData.select("coefficient").head().getAs[Vector](0)
-    val bc = inputs.head.sparkSession.sparkContext.broadcast(coeff)
+    if (getMaxAllowedModelDelayMs >= 0L) transformVersioned(inputs.head)
+    else transformLatest(inputs.head)
+  }
+
+  private def transformLatest(input: DataFrame): Array[DataFrame] = {
+    val coeff = latestRow().getAs[Vector]("coefficient")
+    val bc = input.sparkSession.sparkContext.broadcast(coeff)
     val raw = udf { v: Vector =>
       if (v == null) null
       else {
@@ -195,21 +265,78 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
         Vectors.dense(1.0 - p, p): Vector
       }
     }
-    val out = inputs.head
+    val out = input
       .withColumn(getRawPredictionCol, raw(col(getFeaturesCol)))
       .withColumn(getPredictionCol,
         when(element_at(org.apache.spark.ml.functions.vector_to_array(col(getRawPredictionCol)), 2)
           >= 0.5, 1.0).otherwise(0.0))
     Array(out)
   }
+
+  /**
+   * As-of scoring: binary-search the (modelTimeMs-sorted) version
+   * stream per row, mirroring OnlineStandardScalerModel. Rows earlier
+   * than every qualifying version — the ones the reference would
+   * buffer forever on a bounded stream — get null outputs and
+   * version -1. The initial (zero) state carries modelTimeMs ==
+   * Long.MinValue and is excluded: it was never an emitted model.
+   */
+  private def transformVersioned(input: DataFrame): Array[DataFrame] = {
+    val delay = getMaxAllowedModelDelayMs
+    require(hasVersions,
+      "versioned scoring requires model data with (version, modelTimeMs) columns")
+    val versions = modelData
+      .where(col("modelTimeMs") > Long.MinValue)
+      .select(col("modelTimeMs").cast("long"), col("version").cast("long"), col("coefficient"))
+      .orderBy("modelTimeMs", "version")
+      .collect()
+    val times = versions.map(_.getLong(0))
+    val vers = versions.map(_.getLong(1))
+    val coefs = versions.map(_.getAs[Vector]("coefficient"))
+    val spark = input.sparkSession
+    val bTimes = spark.sparkContext.broadcast(times)
+    val bVers = spark.sparkContext.broadcast(vers)
+    val bCoefs = spark.sparkContext.broadcast(coefs)
+
+    val score = udf { (v: Vector, ts: Long) =>
+      val es = bTimes.value
+      // lower bound: first index with es(i) >= ts - delay
+      var lo = 0; var hi = es.length
+      val key = ts - delay
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (es(mid) >= key) hi = mid else lo = mid + 1
+      }
+      if (lo == es.length || v == null) (null: Vector, -1L)
+      else {
+        val margin = graft.linalg.BLAS.dot(bCoefs.value(lo), v)
+        val p = 1.0 / (1.0 + math.exp(-margin))
+        (Vectors.dense(1.0 - p, p): Vector, bVers.value(lo))
+      }
+    }
+    val applied = input.withColumn("__scored",
+      score(col(getFeaturesCol), col(getTimeCol).cast("long")))
+    Array(applied
+      .withColumn(getRawPredictionCol, col("__scored._1"))
+      .withColumn(getPredictionCol,
+        when(col("__scored._1").isNotNull,
+          when(element_at(
+            org.apache.spark.ml.functions.vector_to_array(col(getRawPredictionCol)), 2) >= 0.5,
+            1.0).otherwise(0.0)))
+      .withColumn(getModelVersionCol, col("__scored._2"))
+      .drop("__scored"))
+  }
 }
 object OnlineLogisticRegressionModel extends StageLoader[OnlineLogisticRegressionModel] {
-  /** Zero-initialized FTRL state for `dim` features. */
+  /** Zero-initialized FTRL state for `dim` features: version 0 at
+    * time Long.MinValue — the pre-training state, never servable
+    * under delay-gated scoring. */
   def zeroInit(spark: SparkSession, dim: Int): DataFrame = {
     import spark.implicits._
-    Seq((new Array[Double](dim), new Array[Double](dim), new Array[Double](dim)))
-      .toDF("c", "z", "n")
-      .select(org.apache.spark.ml.functions.array_to_vector(col("c")).as("coefficient"),
+    Seq((0L, Long.MinValue, new Array[Double](dim), new Array[Double](dim), new Array[Double](dim)))
+      .toDF("version", "modelTimeMs", "c", "z", "n")
+      .select(col("version"), col("modelTimeMs"),
+        org.apache.spark.ml.functions.array_to_vector(col("c")).as("coefficient"),
         org.apache.spark.ml.functions.array_to_vector(col("z")).as("zParam"),
         org.apache.spark.ml.functions.array_to_vector(col("n")).as("nParam"))
   }

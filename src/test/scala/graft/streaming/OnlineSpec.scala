@@ -242,7 +242,8 @@ class OnlineSpec extends SparkSpec {
     stream.addData((1.0, 1.0)) // same point as the hand-computed second FTRL step
     query.processAllAvailable()
     query.stop()
-    val w2 = model.getModelData.head.select("coefficient").head().getAs[Vector](0)(0)
+    val w2 = model.getModelData.head.orderBy(col("version").desc).limit(1)
+      .select("coefficient").head().getAs[Vector](0)(0)
     assert(math.abs(w2 - 0.062234) < 1e-5)
   }
 
@@ -299,15 +300,59 @@ class OnlineSpec extends SparkSpec {
       .setAlpha(0.1).setBeta(1.0).setReg(0.0).setElasticNet(0.0)
       .setGlobalBatchSize(1).setInitialModelData(init)
     val m1 = est.fit(batch)
-    val w1 = m1.getModelData.head.select("coefficient").head().getAs[Vector](0)(0)
+    def latestCoef(m: OnlineLogisticRegressionModel): Double =
+      m.getModelData.head.orderBy(col("version").desc).limit(1)
+        .select("coefficient").head().getAs[Vector](0)(0)
+    val w1 = latestCoef(m1)
     // g=−0.5, σ=5, z=−0.5, n=0.25 → w = 0.5/((1+0.5)/0.1) = 1/30
     assert(math.abs(w1 - 0.5 / 15) < eps)
     val m2 = m1.update(batch.withColumn("w", org.apache.spark.sql.functions.lit(1.0)),
       "features", "label", "w")
-    val w2 = m2.getModelData.head.select("coefficient").head().getAs[Vector](0)(0)
+    val w2 = latestCoef(m2)
     assert(math.abs(w2 - 0.062234) < 1e-5)
     // prediction crosses 0.5 with a positive coefficient and x=1
     val out = m2.transform(batch).head.select("prediction").head().getDouble(0)
     assert(out == 1.0)
+  }
+
+  test("OnlineLogisticRegressionModel versioned scoring: earliest qualifying version per row") {
+    import spark.implicits._
+    def featDf(rows: Seq[(Double, Double)]) = rows.toDF("x", "label")
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("x"))).as("features"),
+        col("label"), org.apache.spark.sql.functions.lit(1.0).as("w"))
+    val init = OnlineLogisticRegressionModel.zeroInit(spark, 1)
+    val m0 = new OnlineLogisticRegressionModel().setModelData(init)
+    m0.set(m0.reg, 0.0); m0.set(m0.elasticNet, 0.0)
+    m0.set(m0.alpha, 0.1); m0.set(m0.beta, 1.0)
+    // version 1 at t=1000 (one step toward label 1), version 2 at t=2000
+    val m1 = m0.update(featDf(Seq((1.0, 1.0))), "features", "label", "w", 1000L)
+    val m2 = m1.update(featDf(Seq((1.0, 1.0))), "features", "label", "w", 2000L)
+    val stream = m2.getModelData.head.orderBy("version").collect()
+    assert(stream.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L, 2L))
+    assert(stream.map(_.getAs[Long]("modelTimeMs")).toSeq ==
+      Seq(Long.MinValue, 1000L, 2000L))
+
+    val probes = Seq((0L, 1.0), (1500L, 1.0), (9999L, 1.0)).toDF("ts", "x")
+      .select(col("ts"), org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(col("x"))).as("features"))
+    val scored = m2.setMaxAllowedModelDelayMs(0L).setTimeCol("ts")
+      .setModelVersionCol("ver")
+      .transform(probes).head.orderBy("ts")
+      .select("ver", "prediction", "rawPrediction").collect()
+    // ts=0 → earliest version with time >= 0 is v1 (the zero-init v0 at
+    // MinValue is never servable); ts=1500 → v2; ts=9999 → none: buffered
+    assert(scored(0).getLong(0) == 1L && scored(0).getDouble(1) == 1.0)
+    val p1 = scored(0).getAs[Vector](2)(1)
+    assert(math.abs(p1 - 1.0 / (1.0 + math.exp(-0.5 / 15))) < eps)
+    assert(scored(1).getLong(0) == 2L)
+    val p2 = scored(1).getAs[Vector](2)(1)
+    assert(math.abs(p2 - 1.0 / (1.0 + math.exp(-0.062234))) < 1e-5)
+    assert(scored(2).getLong(0) == -1L && scored(2).get(1) == null && scored(2).get(2) == null)
+    // a larger delay lets a late row use an OLDER version
+    val relaxed = m2.setMaxAllowedModelDelayMs(1500L)
+      .transform(probes).head.orderBy("ts").select("ver").collect()
+    assert(relaxed(1).getLong(0) == 1L)  // key = 1500-1500 = 0 → v1
+    assert(relaxed(2).getLong(0) == -1L) // key = 8499 > every modelTimeMs
   }
 }
