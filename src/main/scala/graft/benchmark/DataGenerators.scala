@@ -115,4 +115,80 @@ object DataGenerators {
         }
       }.toDF("text")
   }
+
+  private val Stopwords = Array("the", "and", "of", "to", "in", "is", "that", "for", "with", "as")
+
+  /** Deterministic pseudo-word for a vocabulary slot (3–8 lowercase letters). */
+  private def word(vocabSeed: Long, slot: Int): String = {
+    val r = new java.util.Random(vocabSeed * 7919L + slot)
+    val n = 3 + r.nextInt(6)
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) { sb.append(('a' + r.nextInt(26)).toChar); i += 1 }
+    sb.toString
+  }
+
+  /** Skewed vocabulary draw (quadratic bias toward low slots) with a
+    * 30% stopword mix — enough shingle sharing to look like text. */
+  private def drawToken(rnd: java.util.Random, vocabSeed: Long, vocabSize: Int): String =
+    if (rnd.nextDouble() < 0.3) Stopwords(rnd.nextInt(Stopwords.length))
+    else word(vocabSeed, (vocabSize * rnd.nextDouble() * rnd.nextDouble()).toInt)
+
+  /**
+   * A documents-like corpus (doc_id, text, source) with PLANTED
+   * duplicate structure for dedup scale-up runs: ids are grouped in
+   * fives — members 0–2 are unique ~tokensPerDoc-token documents,
+   * member 3 is an EXACT duplicate of member 0, member 4 is a
+   * NEAR-duplicate of member 0 (every 10th token resubstituted, so
+   * 3-gram Jaccard stays well above 0.5). Every row's text is a pure
+   * function of (seed, ids): generation is partition-parallel,
+   * shuffle-free, and reproducible at any scale.
+   */
+  def documentsLike(spark: SparkSession, numDocs: Long, tokensPerDoc: Int = 50,
+      vocabSize: Int = 20000, seed: Long = 7L, numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, numDocs, 1, numPartitions).rdd
+      .map { boxedId =>
+        val id = boxedId.toLong
+        val group = id / 5
+        val member = (id % 5).toInt
+        val baseId = if (member >= 3) group * 5 else id
+        val rnd = new java.util.Random(seed ^ (baseId * 0x9E3779B97F4A7C15L))
+        val tokens = Array.fill(tokensPerDoc)(drawToken(rnd, seed, vocabSize))
+        if (member == 4) {
+          // near-dup: deterministic resubstitution of every 10th token
+          val mut = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+          var i = 0
+          while (i < tokens.length) { tokens(i) = drawToken(mut, seed, vocabSize); i += 10 }
+        }
+        (id, tokens.mkString(" "), s"src_${group % 5}")
+      }.toDF("doc_id", "text", "source")
+  }
+
+  /**
+   * An embeddings-like table (vec_id, vec) with planted cosine
+   * near-duplicates: ids grouped in fours, member 3 = member 0 plus
+   * N(0, 0.01) noise (cosine ≈ 0.999 at dim ≥ 32); other members are
+   * independent uniform vectors. Same pure-function-of-ids shape as
+   * [[documentsLike]].
+   */
+  def embeddingsLike(spark: SparkSession, numVecs: Long, dim: Int = 64,
+      seed: Long = 11L, numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, numVecs, 1, numPartitions).rdd
+      .map { boxedId =>
+        val id = boxedId.toLong
+        val group = id / 4
+        val member = (id % 4).toInt
+        val baseId = if (member == 3) group * 4 else id
+        val rnd = new java.util.Random(seed ^ (baseId * 0x9E3779B97F4A7C15L))
+        val values = Array.fill(dim)(rnd.nextDouble() - 0.5)
+        if (member == 3) {
+          val noise = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+          var i = 0
+          while (i < dim) { values(i) += noise.nextGaussian() * 0.01; i += 1 }
+        }
+        (id, Vectors.dense(values): Vector)
+      }.toDF("vec_id", "vec")
+  }
 }

@@ -1,0 +1,208 @@
+package graft.benchmark
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scale-up run for the dedup / ANN / curation tier: the
+ * sf0.1 test corpus is 5k documents / 2k embeddings, so the plan
+ * audits ("banded join, never all-pairs, gated driver
+ * materialization") rest on shapes, not measurements. This main
+ * generates a corpus two orders of magnitude past sf0.1 with planted
+ * duplicate structure ([[DataGenerators.documentsLike]] /
+ * [[DataGenerators.embeddingsLike]]) and drives every heavy
+ * component end-to-end, recording per-stage wall-clock, total
+ * shuffle read/write, the largest single-task shuffle read (the skew
+ * / partition-pressure proxy), and output rows. Results land in one
+ * JSON line per stage plus a summary line; the measured table lives
+ * in BASELINE.md §scale-up.
+ *
+ *   sbt "runMain graft.benchmark.ScaleUp [numDocs] [numVecs] [dim]"
+ *
+ * defaults: 500000 docs (100x sf0.1), 200000 vectors (100x), dim 64.
+ */
+object ScaleUp {
+
+  private class TaskMetricsListener extends SparkListener {
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxTaskShuffleRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        val sr = m.shuffleReadMetrics.totalBytesRead
+        shuffleRead.addAndGet(sr)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        maxTaskShuffleRead.getAndUpdate(v => math.max(v, sr))
+        peakExecMem.getAndUpdate(v => math.max(v, m.peakExecutionMemory))
+      }
+    }
+  }
+
+  private def fmtMb(bytes: Long): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(bytes / 1048576.0))
+
+  def main(args: Array[String]): Unit = {
+    val (nums, stageNames) = args.partition(a => a.forall(_.isDigit))
+    val numDocs = nums.lift(0).map(_.toLong).getOrElse(500000L)
+    val numVecs = nums.lift(1).map(_.toLong).getOrElse(200000L)
+    val dim = nums.lift(2).map(_.toInt).getOrElse(64)
+    val only: Set[String] = stageNames.toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stage(name: String)(body: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name) && !name.startsWith("gen_")) return
+      val l = new TaskMetricsListener
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      val line =
+        s"""{"stage":"$name","sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+          s""""rows":$rows,"shuffle_read_mb":${fmtMb(l.shuffleRead.get)},""" +
+          s""""shuffle_write_mb":${fmtMb(l.shuffleWrite.get)},""" +
+          s""""max_task_shuffle_read_mb":${fmtMb(l.maxTaskShuffleRead.get)},""" +
+          s""""peak_exec_mem_mb":${fmtMb(l.peakExecMem.get)}}"""
+      println(line)
+      System.out.flush()
+      results += line
+      spark.catalog.clearCache()
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft_scaleup").toString
+    val docsPath = s"$base/documents.parquet"
+    val vecsPath = s"$base/embeddings.parquet"
+
+    stage("gen_documents") {
+      DataGenerators.documentsLike(spark, numDocs, numPartitions = cpus.toInt)
+        .write.mode("overwrite").parquet(docsPath)
+      numDocs
+    }
+    stage("gen_embeddings") {
+      DataGenerators.embeddingsLike(spark, numVecs, dim, numPartitions = cpus.toInt)
+        .write.mode("overwrite").parquet(vecsPath)
+      numVecs
+    }
+    def docs: DataFrame = spark.read.parquet(docsPath)
+    def vecs: DataFrame = spark.read.parquet(vecsPath)
+
+    stage("exact_dedup") {
+      new graft.text.ExactDeduplicator()
+        .setIdCol("doc_id").setInputCol("text")
+        .transform(docs).head
+        .where(col("is_exact_duplicate")).count()
+    }
+
+    // q_dedup's pipeline at scale, with HashingTF in place of the
+    // fitted CountVectorizer — shingle hashing needs no vocabulary
+    // pass, which is the choice a 100 TB corpus forces anyway
+    stage("minhash_dedup") {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(docs).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val tf = new graft.feature.HashingTF()
+        .setInputCol("shingles").setOutputCol("tf").setNumFeatures(1 << 20).setBinary(true)
+        .transform(grams).head
+        .select("doc_id", "tf")
+      // banding r=2: a single globally-min-hashed common shingle makes
+      // giant r=1 buckets (measured: 523 s / 8.5 GB shuffle at 500k
+      // docs); requiring BOTH band hashes to match collapses them
+      // (measured: same recall on the planted dups, ~7x faster)
+      new graft.dedup.MinHashDeduplicator()
+        .setIdCol("doc_id").setInputCol("tf")
+        .setSeed(2022L).setNumHashTables(10).setNumHashFunctionsPerTable(2)
+        .setThreshold(0.5)
+        .transform(tf).head
+        .where(col("is_duplicate")).count()
+    }
+
+    stage("simhash_join") {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(docs).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val hasher = new graft.dedup.SimHasher()
+        .setInputCol("shingles").setOutputCol("fp")
+      val hashed = hasher.transform(grams).head
+        .select("doc_id", "fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = hasher.similarityJoin(hashed, "doc_id", maxHamming = 3, numBands = 4).count()
+      hashed.unpersist(blocking = false)
+      n
+    }
+
+    stage("embedding_dedup") {
+      // bucket bits must grow with corpus size: at 12 bits, 8 bands x
+      // C(200k,2)/2^12 ~ 39M random pairs reach the exact-cosine
+      // verify (measured: 248 s / 9.5 GB shuffle); 20 bits cuts the
+      // coincidence rate 256x with ~0.9999 recall on cosine-0.999
+      // near-dups
+      new graft.dedup.CosineDeduplicator()
+        .setIdCol("vec_id").setInputCol("vec")
+        .setSeed(2022L).setNumHashTables(8).setNumPlanes(20)
+        .setMinSimilarity(0.95)
+        .transform(vecs).head
+        .where(col("is_duplicate")).count()
+    }
+
+    stage("ann_ivf") {
+      val queries = vecs.where(col("vec_id") % lit(math.max(numVecs / 100, 1L)) === 0)
+      new graft.ann.IvfCosineKnn()
+        .setIdCol("vec_id").setVecCol("vec").setK(10)
+        .setNumLists(64).setNprobe(4).setTrainIters(3).setSeed(5L)
+        .transform(vecs, queries).head.count()
+    }
+
+    stage("curate") {
+      val deduped = new graft.text.ExactDeduplicator()
+        .setIdCol("doc_id").setInputCol("text")
+        .transform(docs).head
+        .where(!col("is_exact_duplicate"))
+        .drop("content_fingerprint", "canonical_id", "is_exact_duplicate")
+      val quality = new graft.text.TextQualityScorer().setInputCol("text")
+        .transform(deduped).head
+        .where(col("quality_score") >= 0.0)
+        .drop("n_chars", "n_tokens", "mean_token_len", "alpha_ratio",
+          "punct_ratio", "stopword_ratio")
+      val mixed = new graft.feature.StratifiedSampler()
+        .setIdCol("doc_id").setSeed(7L).setFraction(0.7)
+        .transform(quality).head
+      new graft.text.SequencePacker()
+        .setInputCol("text").setIdCol("doc_id").setGroupCol("source")
+        .setTokenBudget(512)
+        .transform(mixed).head.count()
+    }
+
+    // batched BPE at production merge count over the generated corpus
+    stage("bpe_1000_merges") {
+      val trainer = new graft.text.BpeTrainer()
+        .setInputCol("text").setOutputCol("bpe")
+        .setNumMerges(1000).setMinPairCount(2).setBatchSize(32)
+      val model = trainer.fit(docs)
+      val merges = model.getModelData.head.count()
+      println(s"""{"bpe_rounds":${trainer.lastFitRounds},"bpe_merges":$merges}""")
+      merges
+    }
+
+    println(s"""{"scaleup_done":true,"num_docs":$numDocs,"num_vecs":$numVecs,"dim":$dim}""")
+    spark.stop()
+  }
+}

@@ -119,16 +119,20 @@ class CosineDeduplicator extends AlgoOperator[CosineDeduplicator]
       .where(col("src") < col("dst"))
       .select("src", "dst").distinct()
 
-    val va = df.select(col(getIdCol).as("src"), col(getInputCol).as("va"))
-    val vb = df.select(col(getIdCol).as("dst"), col(getInputCol).as("vb"))
-    val cosine = udf { (x: Vector, y: Vector) =>
-      val nx = math.sqrt(graft.linalg.BLAS.dot(x, x))
-      val ny = math.sqrt(graft.linalg.BLAS.dot(y, y))
+    // norms are computed once per ROW here, not once per candidate
+    // pair in the verify join (candidates >> rows whenever the bucket
+    // width is generous for the corpus size)
+    val norm = udf { v: Vector => math.sqrt(graft.linalg.BLAS.dot(v, v)) }
+    val va = df.select(col(getIdCol).as("src"), col(getInputCol).as("va"),
+      norm(col(getInputCol)).as("na"))
+    val vb = df.select(col(getIdCol).as("dst"), col(getInputCol).as("vb"),
+      norm(col(getInputCol)).as("nb"))
+    val cosine = udf { (x: Vector, y: Vector, nx: Double, ny: Double) =>
       if (nx == 0.0 || ny == 0.0) 0.0 else graft.linalg.BLAS.dot(x, y) / (nx * ny)
     }
     val edges = candidates
       .join(va, "src").join(vb, "dst")
-      .where(cosine(col("va"), col("vb")) >= minSim)
+      .where(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minSim)
       .select("src", "dst")
 
     val components = ConnectedComponents.run(edges)

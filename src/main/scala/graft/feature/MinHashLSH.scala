@@ -210,12 +210,17 @@ class MinHashLSHModel extends Model[MinHashLSHModel] with LSHParams[MinHashLSHMo
     // projection is cached, never the caller's full table.
     val pa = slimPersist(datasetA, idCol)
     val pb = if (datasetB eq datasetA) pa else slimPersist(datasetB, idCol)
+    // the (table, signature-array) bucket key is folded to one long
+    // before the shuffle: 8-byte join keys instead of array<double>
+    // comparisons. A 64-bit hash coincidence only ADDS a candidate
+    // pair, and every candidate passes the exact-distance filter
+    // below, so the output is unchanged.
     val ea = explodeHashes(pa, idCol).select(col("id").as("datasetA_id"),
-      col("t"), col("h"))
+      xxhash64(col("t"), col("h")).as("bucket"))
     val eb = explodeHashes(pb, idCol).select(col("id").as("datasetB_id"),
-      col("t"), col("h"))
+      xxhash64(col("t"), col("h")).as("bucket"))
     // candidate pairs: same (table, signature) bucket in at least one table
-    val candidates = ea.join(eb, Seq("t", "h"))
+    val candidates = ea.join(eb, Seq("bucket"))
       .select("datasetA_id", "datasetB_id").distinct()
     val va = pa.select(col(idCol).as("datasetA_id"), col(getInputCol).as("va"))
     val vb = pb.select(col(idCol).as("datasetB_id"), col(getInputCol).as("vb"))

@@ -73,7 +73,25 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
   def getBatchSize: Int = get(batchSize)
   def setBatchSize(v: Int): BpeTrainer = set(batchSize, v)
 
-  /** Pair-count rounds the last fit ran (observability for batching). */
+  final val driverWordLimit: Param[Long] =
+    param[Long]("driverWordLimit",
+      "When the distinct-word table has at most this many rows, the " +
+        "merge loop runs ON THE DRIVER over the collected (word, freq) " +
+        "table instead of as distributed pair-count rounds — identical " +
+        "results (same counts, tie-break, and stop rule), but 1000 " +
+        "merges cost seconds instead of ~800 driver round-trips " +
+        "(measured: batching accepts only ~1.25 merges/round on " +
+        "text-like corpora because top pairs share symbols). This is " +
+        "how distributed BPE scales: the corpus collapses to its " +
+        "vocabulary in one distributed pass, and vocabularies up to " +
+        "the limit fit comfortably in driver memory (1M words x ~50 B " +
+        "= 50 MB). Set 0 to force the distributed rounds.",
+      1L << 20, ParamValidators.gtEq(0L))
+  def getDriverWordLimit: Long = get(driverWordLimit)
+  def setDriverWordLimit(v: Long): BpeTrainer = set(driverWordLimit, v)
+
+  /** Distributed pair-count rounds the last fit ran (0 when the
+    * driver-side merge loop handled the vocabulary). */
   @volatile private var roundsRun0 = 0
   def lastFitRounds: Int = roundsRun0
 
@@ -85,10 +103,28 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
     val words = df
       .select(explode(NgramLm.tokens(col(getInputCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    roundsRun0 = 0
+    if (getDriverWordLimit > 0L && words.count() <= getDriverWordLimit) {
+      // vocabulary fits on the driver: learn merges locally over the
+      // aggregated (word, freq) table — exact same sequence as the
+      // distributed rounds, without their per-round job latency
+      val collected = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      words.unpersist(blocking = false)
+      val learned = BpeTrainer.fitOnDriver(collected, getNumMerges, getMinPairCount)
+      import spark.implicits._
+      val modelDf = learned.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "left", "right")
+      val m = new BpeModel().setModelData(modelDf)
+      copyParamsTo(m)
+      return m
+    }
     // initial symbols = characters
     var syms = words
       .select(col("freq"), split(col("w"), "").as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    words.unpersist(blocking = false)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // every multi-char symbol in `syms` is the concatenation of some
@@ -227,6 +263,53 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
 }
 object BpeTrainer extends StageLoader[BpeTrainer] {
   val CheckpointEvery = 10
+
+  /**
+   * Sequential BPE over a driver-resident weighted vocabulary —
+   * byte-for-byte the sequence the distributed rounds learn: every
+   * adjacent position counts (weighted by word frequency), self-pairs
+   * are never candidates, argmax tie-break (count desc, left asc,
+   * right asc), stop below minPairCount. O(numMerges · Σ|word|).
+   */
+  private[text] def fitOnDriver(words: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    var arrays: Array[Array[String]] = words.map(_._1.split(""))
+    val freqs: Array[Long] = words.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < arrays.length) {
+        val a = arrays(i); val f = freqs(i)
+        var j = 0
+        while (j < a.length - 1) {
+          if (a(j) != a(j + 1)) {
+            val k = (a(j), a(j + 1))
+            counts(k) = counts.getOrElse(k, 0L) + f
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      counts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC < minPairCount) done = true
+      else {
+        merges += best
+        val m = Array(best)
+        arrays = arrays.map(a => if (a.length > 1) applyMerges(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(a), m).toArray else a)
+      }
+    }
+    merges.toSeq
+  }
 
   /**
    * Order-free merge of every (a, b) adjacency in a symbol array —

@@ -51,6 +51,7 @@ class BpeSpec extends SparkSpec {
       ("ab " * 5) + ("cd " * 4) + ("ef " * 3) + ("gh " * 2)).toDF("text")
     val trainer = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
       .setNumMerges(10).setMinPairCount(2).setBatchSize(8)
+      .setDriverWordLimit(0L) // force the distributed rounds under test
     val model = trainer.fit(corpus)
     val merges = model.getModelData.head.orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -64,6 +65,7 @@ class BpeSpec extends SparkSpec {
     def mergesOf(text: String, batch: Int): Seq[(String, String)] = {
       val t = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
         .setNumMerges(10).setMinPairCount(2).setBatchSize(batch)
+        .setDriverWordLimit(0L) // batching is distributed-path machinery
       t.fit(Seq(text).toDF("text")).getModelData.head.orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
     }
@@ -96,6 +98,32 @@ class BpeSpec extends SparkSpec {
     for (text <- Seq(conflict, tie, words, selfAbut) ++ fuzz ++ runFuzz) {
       assert(mergesOf(text, 8) == mergesOf(text, 1), s"diverged on: $text")
       assert(mergesOf(text, 3) == mergesOf(text, 1), s"diverged at batch=3 on: $text")
+    }
+  }
+
+  test("driver-side merge loop equals the distributed rounds on every corpus") {
+    import spark.implicits._
+    def mergesOf(text: String, driverLimit: Long): Seq[(String, String)] = {
+      val t = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+        .setNumMerges(10).setMinPairCount(2).setDriverWordLimit(driverLimit)
+      t.fit(Seq(text).toDF("text")).getModelData.head.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+    val rnd = new scala.util.Random(1337)
+    val fuzz = (1 to 4).map { _ =>
+      (0 until 30).map { _ =>
+        (0 until (2 + rnd.nextInt(5))).map(_ => "abc" (rnd.nextInt(3))).mkString
+      }.mkString(" ")
+    }
+    val corpora = Seq(
+      "low low low lower lower newest",
+      ("aab " * 5) + ("cd " * 4),
+      ("abc " * 3) + "ab",
+      ("ab " * 3) + ("cd " * 3)) ++ fuzz
+    for (text <- corpora) {
+      val driver = mergesOf(text, 1L << 20)
+      val dist = mergesOf(text, 0L)
+      assert(driver == dist, s"paths diverged on: $text")
     }
   }
 
