@@ -539,14 +539,18 @@ object SparkEntry {
           lit(ms(0)).as("merge1"), lit(ms(1)).as("merge2"))
     }),
 
-    // --- Batched BPE must learn the SAME merges (batchSize > 1 takes
-    // the safe non-conflicting prefix per round); shares q_bpe's
-    // sequential-replay oracle, so the equivalence guarantee sits
-    // under the driver's correctness gate ---
+    // --- Batched DISTRIBUTED BPE must learn the SAME merges
+    // (batchSize > 1 takes the safe non-conflicting prefix per round;
+    // driverWordLimit 0 forces the distributed rounds, since the
+    // default would route this corpus to the driver-side loop that
+    // q_bpe already gates); shares q_bpe's sequential-replay oracle,
+    // so the equivalence guarantee sits under the driver's
+    // correctness gate ---
     "q_bpe_batched" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = new graft.text.BpeTrainer()
         .setInputCol("text").setOutputCol("bpe").setNumMerges(2).setBatchSize(8)
+        .setDriverWordLimit(0L)
         .fit(docs)
       val ms = model.getModelData.head.orderBy("rank").collect()
         .map(r => r.getString(1) + "+" + r.getString(2))
@@ -757,6 +761,30 @@ object SparkEntry {
       val behavior = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
       val out = new graft.recommendation.Swing().setK(10)
+        .transform(behavior).head
+      val entry = split(col("entry"), ",")
+      out.select(col("item"), explode(split(col("output"), ";")).as("entry"))
+        .select(col("item"),
+          entry.getItem(0).cast("long").as("sim_item"),
+          round(entry.getItem(1).cast("double"), 6).as("score"))
+    }),
+
+    // --- Swing with the reference's hot-item cap engaged
+    // (maxUserNumPerItem=100, the SwingParams.java default region).
+    // Measured on this workload: the most-purchased item has 49
+    // qualifying users at sf0.01 and 53 at sf0.1, so the cap NEVER
+    // binds — output is byte-identical to q_swing (same oracle), and
+    // the bench row shows the cap machinery costs nothing when idle.
+    // q_swing's wall-clock is inherent per-user breadth fan-out
+    // (Σ|U_i|² with |U_i| ≤ 53), not hot items, so on THIS data the
+    // cap lever cannot shrink it; the knob matters for catalogs with
+    // genuinely hot items. ---
+    "q_swing_capped" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val behavior = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      val out = new graft.recommendation.Swing().setK(10).setMaxUserNumPerItem(100)
         .transform(behavior).head
       val entry = split(col("entry"), ",")
       out.select(col("item"), explode(split(col("output"), ";")).as("entry"))
@@ -1605,6 +1633,27 @@ object SparkEntry {
    * diffs were these oracle constants plus one sub-1e-6 score tie in
    * q_swing's top-k broken by float summation order.
    */
+  private val swingOracleSql: String =
+    """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ui AS (SELECT u, list_sort(list(i)) AS items, COUNT(*) AS c FROM p GROUP BY u),
+         v AS (SELECT * FROM ui WHERE c BETWEEN 10 AND 1000),
+         vp AS (SELECT p.i, p.u, v.items, v.c FROM p JOIN v ON p.u = v.u),
+         up AS (SELECT a.i, a.items AS it1, b.items AS it2, a.c AS c1, b.c AS c2
+                FROM vp a JOIN vp b ON a.i = b.i AND a.u < b.u),
+         inter AS (SELECT i, list_intersect(it1, it2) AS xs, c1, c2 FROM up),
+         contrib AS (
+           SELECT i, unnest(list_filter(xs, x -> x <> i)) AS sim,
+                  (1.0 / POWER(15 + c1, 0.3)) * (1.0 / POWER(15 + c2, 0.3))
+                    / (0 + len(xs)) AS s
+           FROM inter),
+         scores AS (SELECT i, sim, SUM(s) AS score FROM contrib GROUP BY i, sim),
+         ranked AS (SELECT i, sim, score,
+                           ROW_NUMBER() OVER (PARTITION BY i ORDER BY score DESC, sim ASC) AS rk
+                    FROM scores)
+         SELECT i AS item, sim AS sim_item, ROUND(score, 6) AS score
+         FROM ranked WHERE rk <= 10"""
+
   def oracleSql: Map[String, String] = {
   val m = Map(
     "q_kbins_kmeans" -> kbinsKmeansOracleSql,
@@ -2447,26 +2496,12 @@ object SparkEntry {
            FROM e CROSS JOIN lohi)
          SELECT vec_id, s.dim AS dim, s.code AS code, s.dequant AS dequant FROM rows_""",
 
-    "q_swing" ->
-      """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
-                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         ui AS (SELECT u, list_sort(list(i)) AS items, COUNT(*) AS c FROM p GROUP BY u),
-         v AS (SELECT * FROM ui WHERE c BETWEEN 10 AND 1000),
-         vp AS (SELECT p.i, p.u, v.items, v.c FROM p JOIN v ON p.u = v.u),
-         up AS (SELECT a.i, a.items AS it1, b.items AS it2, a.c AS c1, b.c AS c2
-                FROM vp a JOIN vp b ON a.i = b.i AND a.u < b.u),
-         inter AS (SELECT i, list_intersect(it1, it2) AS xs, c1, c2 FROM up),
-         contrib AS (
-           SELECT i, unnest(list_filter(xs, x -> x <> i)) AS sim,
-                  (1.0 / POWER(15 + c1, 0.3)) * (1.0 / POWER(15 + c2, 0.3))
-                    / (0 + len(xs)) AS s
-           FROM inter),
-         scores AS (SELECT i, sim, SUM(s) AS score FROM contrib GROUP BY i, sim),
-         ranked AS (SELECT i, sim, score,
-                           ROW_NUMBER() OVER (PARTITION BY i ORDER BY score DESC, sim ASC) AS rk
-                    FROM scores)
-         SELECT i AS item, sim AS sim_item, ROUND(score, 6) AS score
-         FROM ranked WHERE rk <= 10""",
+    // same oracle as q_swing: the 100-user cap never binds on this
+    // data (measured max 49/53 qualifying users per item), so capped
+    // output == uncapped output
+    "q_swing_capped" -> swingOracleSql,
+
+    "q_swing" -> swingOracleSql,
 
     "q_online_scaler" ->
       """WITH d AS (SELECT epoch_ms(ts) AS tsm, value FROM events),

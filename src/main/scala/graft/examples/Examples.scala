@@ -219,6 +219,112 @@ object ServableExample {
   }
 }
 
+/** Shared accessor for the generated test tables: the examples below
+  * run against real parquet, as a cluster job would. */
+private[examples] object ExampleData {
+  def dir: String = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+  def table(spark: SparkSession, name: String) =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Swing item-to-item recommendation over co-purchases
+  * (reference SwingExample.java). */
+object SwingExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("SwingExample")
+    val li = ExampleData.table(spark, "lineitem")
+    val ord = ExampleData.table(spark, "orders")
+    val behavior = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+    val out = new graft.recommendation.Swing()
+      .setK(5).setMinUserBehavior(2)
+      .transform(behavior).head
+    out.orderBy("item").show(10, false)
+    spark.stop()
+  }
+}
+
+/** Gaussian-free multinomial NaiveBayes train + score
+  * (reference NaiveBayesExample.java). */
+object NaiveBayesExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("NaiveBayesExample")
+    val li = ExampleData.table(spark, "lineitem")
+      .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+    val assembled = new graft.feature.VectorAssembler()
+      .setInputCols("l_linenumber", "l_tax").setOutputCol("features")
+      .setInputSizes(1, 1)
+      .transform(li).head
+    val model = new graft.classification.NaiveBayes().fit(assembled)
+    model.transform(assembled).head
+      .groupBy("label", "prediction").count().orderBy("label", "prediction")
+      .show(false)
+    spark.stop()
+  }
+}
+
+/** Linear regression on order totals (reference LinearRegressionExample.java). */
+object LinearRegressionExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("LinearRegressionExample")
+    val li = ExampleData.table(spark, "lineitem")
+    val assembled = new graft.feature.VectorAssembler()
+      .setInputCols("l_quantity", "l_discount").setOutputCol("features")
+      .setInputSizes(1, 1)
+      .transform(li).head
+      .withColumn("label", col("l_extendedprice"))
+    val model = new graft.regression.LinearRegression()
+      .setMaxIter(30).setLearningRate(0.01).setGlobalBatchSize(1000)
+      .fit(assembled)
+    model.transform(assembled).head
+      .select("l_quantity", "l_discount", "label", "prediction").show(5, false)
+    spark.stop()
+  }
+}
+
+/** K-nearest-neighbor classification over the embeddings table
+  * (reference KnnExample.java). */
+object KnnExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("KnnExample")
+    val emb = ExampleData.table(spark, "embeddings")
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("features"),
+        col("label").cast("double").as("label"), col("vec_id"))
+    val train = emb.where(col("vec_id") % 10 =!= 0)
+    val test = emb.where(col("vec_id") % 10 === 0)
+    val model = new graft.classification.Knn().setK(5).fit(train)
+    model.transform(test).head.select("vec_id", "label", "prediction").show(10, false)
+    spark.stop()
+  }
+}
+
+/** OnlineStandardScaler with event-time windows and delay-gated
+  * versioned scoring (reference OnlineStandardScalerExample.java). */
+object OnlineStandardScalerExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("OnlineStandardScalerExample")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = ExampleData.table(spark, "events")
+      .select(expr("ts div 1000000").as("tsm"), col("value"))
+    val assembled = new graft.feature.VectorAssembler()
+      .setInputCols("value").setOutputCol("features").setInputSizes(1)
+      .transform(ev).head
+    val model = new graft.streaming.OnlineStandardScaler()
+      .setInputCol("features").setTimeCol("tsm")
+      .setWindows(graft.streaming.EventTimeTumblingWindows(24L * 3600 * 1000))
+      .fit(assembled)
+      .setOutputCol("scaled")
+      .setMaxAllowedModelDelayMs(24L * 3600 * 1000)
+    println("model versions (one per day window):")
+    model.getModelData.head.orderBy("version").show(5, false)
+    println("each row scored by the earliest fresh-enough version:")
+    model.transform(assembled).head
+      .select("tsm", "value", "version", "scaled").show(5, false)
+    spark.stop()
+  }
+}
+
 /** End-to-end LLM-corpus curation: dedup → quality filter → pack. */
 object CorpusCurationExample {
   def main(args: Array[String]): Unit = {
