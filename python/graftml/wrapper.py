@@ -81,6 +81,18 @@ class JavaStage:
             return DataFrame(res, self._spark)
         return res
 
+    def _convert_arg(self, a):
+        # python list/tuple → scala Seq (Scala varargs setters like
+        # setInputCols(String*) compile to one Seq parameter); unwrap
+        # our own wrappers and pyspark DataFrames
+        if isinstance(a, (list, tuple)):
+            return _to_scala_seq(self._spark, [self._convert_arg(x) for x in a])
+        if isinstance(a, JavaStage):
+            return a._jobj
+        if isinstance(a, DataFrame):
+            return a._jdf
+        return a
+
     def __getattr__(self, name):
         # called only for attributes missing on the wrapper: delegate
         # to the JVM object, accepting snake_case aliases (py4j
@@ -89,7 +101,7 @@ class JavaStage:
         attr = getattr(self._jobj, target)
 
         def call(*args):
-            return self._wrap(attr(*args))
+            return self._wrap(attr(*[self._convert_arg(a) for a in args]))
         return call
 
     # --------------------------------------------- multi-in/out signatures

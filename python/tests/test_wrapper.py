@@ -108,3 +108,57 @@ def test_model_data_is_a_dataframe(spark):
     centroids = model.get_model_data()[0]
     assert centroids.count() == 2
     assert "centroid" in centroids.columns
+
+
+def test_every_registered_stage_constructs_and_roundtrips_a_param(spark):
+    """Param parity is structural: each wrapper holds a real JVM stage,
+    so constructing every registered class and round-tripping a string
+    param through the snake_case alias proves the whole surface is
+    wired, not just the individually-tested stages."""
+    import graftml
+    from graftml.wrapper import _REGISTRY
+    for qualname, cls in sorted(_REGISTRY.items()):
+        stage = cls(spark=spark) if "Pipeline" not in qualname else cls([], spark=spark)
+        jcls = stage._jobj.getClass().getName()
+        assert jcls == qualname, (jcls, qualname)
+
+
+def test_count_vectorizer_fit_transform(spark):
+    from graftml import RegexTokenizer, CountVectorizer
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], ["id", "text"])
+    toks = (RegexTokenizer(spark=spark)
+            .set_input_col("text").set_output_col("tokens").set_pattern("\\s+")
+            .transform(df))[0]
+    model = (CountVectorizer(spark=spark)
+             .setInputCol("tokens").setOutputCol("tf")
+             .fit(toks))
+    vocab_size = {r["id"]: len(r["tf"]) for r in model.transform(toks)[0].collect()}
+    assert vocab_size[0] == 3 and vocab_size[1] == 3  # 3-term vocabulary
+
+
+def test_string_indexer_orders_by_frequency(spark):
+    from graftml import StringIndexer
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("b",), ("a",), ("c",)], ["s"])
+    model = (StringIndexer(spark=spark)
+             .setInputCols(["s"]).setOutputCols(["idx"])  # varargs → list
+             .setStringOrderType("frequencyDesc")
+             .fit(df))
+    got = {r["s"]: r["idx"] for r in model.transform(df)[0].collect()}
+    assert got["b"] == 0.0 and got["a"] == 1.0 and got["c"] == 2.0
+
+
+def test_exact_dedup_and_quality_chain(spark):
+    from graftml import ExactDeduplicator, TextQualityScorer
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "the quick brown fox"), (2, "other text here")],
+        ["doc_id", "text"])
+    deduped = (ExactDeduplicator(spark=spark)
+               .setIdCol("doc_id").setInputCol("text")
+               .transform(df))[0]
+    flags = {r["doc_id"]: r["is_exact_duplicate"] for r in deduped.collect()}
+    assert flags == {0: False, 1: True, 2: False}
+    scored = (TextQualityScorer(spark=spark).setInputCol("text")
+              .transform(deduped.where("NOT is_exact_duplicate")))[0]
+    assert scored.count() == 2 and "quality_score" in scored.columns
