@@ -1,13 +1,120 @@
 """graftml: Python surface for the graft Spark-native engine.
 
 A thin pyspark/py4j delegation layer (see wrapper.py) exposing
-Pipeline plus a first slice of stages with full param parity —
-the JVM stage owns every param, so names/defaults/validation match
-the Scala surface exactly. Mirrors the reference's
-flink-ml-python/pyflink/ml package layout.
+Pipeline plus EVERY public stage with full param parity — the JVM
+stage owns every param name, default, and validator, so the two
+surfaces cannot drift, and a wrapper class is three lines of
+registration. Mirrors the reference's flink-ml-python/pyflink/ml
+package layout (wrapper.py:24,65-104 delegation pattern).
+
+Usage::
+
+    from graftml import Pipeline, Tokenizer, StandardScaler, KMeans
+    model = Pipeline([...stages...]).fit(df)   # DataFrames in/out
+    out = model.transform(df)[0]
+
+Scala camelCase setters and snake_case aliases both work:
+``stage.setInputCol("x")`` == ``stage.set_input_col("x")``. Varargs
+setters take python lists (``setInputCols(["a", "b"])``).
 """
 
 from .wrapper import JavaStage, JavaPipeline, register
+
+# Every public stage in the Scala surface, grouped as in the package
+# map. The registry sweep test constructs each one against its JVM
+# class, so a typo here fails CI, not a user.
+_STAGES = [
+    # api
+    # (Pipeline/PipelineModel are defined below: list-constructed)
+    # feature: transformers
+    "graft.feature.Binarizer",
+    "graft.feature.Bucketizer",
+    "graft.feature.DCT",
+    "graft.feature.ElementwiseProduct",
+    "graft.feature.FeatureHasher",
+    "graft.feature.HashingTF",
+    "graft.feature.Interaction",
+    "graft.feature.NGram",
+    "graft.feature.Normalizer",
+    "graft.feature.PolynomialExpansion",
+    "graft.feature.RandomSplitter",
+    "graft.feature.RegexTokenizer",
+    "graft.feature.SQLTransformer",
+    "graft.feature.StopWordsRemover",
+    "graft.feature.Tokenizer",
+    "graft.feature.VectorAssembler",
+    "graft.feature.VectorSlicer",
+    "graft.feature.IndexToStringModel",
+    # feature: estimators + models
+    "graft.feature.CountVectorizer", "graft.feature.CountVectorizerModel",
+    "graft.feature.IDF", "graft.feature.IDFModel",
+    "graft.feature.Imputer", "graft.feature.ImputerModel",
+    "graft.feature.KBinsDiscretizer", "graft.feature.KBinsDiscretizerModel",
+    "graft.feature.MaxAbsScaler", "graft.feature.MaxAbsScalerModel",
+    "graft.feature.MinHashLSH", "graft.feature.MinHashLSHModel",
+    "graft.feature.MinMaxScaler", "graft.feature.MinMaxScalerModel",
+    "graft.feature.OneHotEncoder", "graft.feature.OneHotEncoderModel",
+    "graft.feature.RobustScaler", "graft.feature.RobustScalerModel",
+    "graft.feature.StandardScaler", "graft.feature.StandardScalerModel",
+    "graft.feature.StringIndexer", "graft.feature.StringIndexerModel",
+    "graft.feature.UnivariateFeatureSelector",
+    "graft.feature.UnivariateFeatureSelectorModel",
+    "graft.feature.VarianceThresholdSelector",
+    "graft.feature.VarianceThresholdSelectorModel",
+    "graft.feature.VectorIndexer", "graft.feature.VectorIndexerModel",
+    # feature: data-pipeline operators
+    "graft.feature.DeterministicShuffler",
+    "graft.feature.GroupedSplitter",
+    "graft.feature.StratifiedSampler",
+    "graft.feature.WeightedMixer",
+    # classification / regression / clustering
+    "graft.classification.Knn", "graft.classification.KnnModel",
+    "graft.classification.LinearSVC", "graft.classification.LinearSVCModel",
+    "graft.classification.LogisticRegression",
+    "graft.classification.LogisticRegressionModel",
+    "graft.classification.NaiveBayes", "graft.classification.NaiveBayesModel",
+    "graft.regression.LinearRegression", "graft.regression.LinearRegressionModel",
+    "graft.clustering.AgglomerativeClustering",
+    "graft.clustering.KMeans", "graft.clustering.KMeansModel",
+    # stats / evaluation / recommendation
+    "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
+    "graft.evaluation.BinaryClassificationEvaluator",
+    "graft.recommendation.Swing",
+    # streaming
+    "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",
+    "graft.streaming.OnlineLogisticRegression",
+    "graft.streaming.OnlineLogisticRegressionModel",
+    "graft.streaming.OnlineStandardScaler",
+    "graft.streaming.OnlineStandardScalerModel",
+    "graft.streaming.Sessionizer",
+    # dedup / text / ann / multimodal / join
+    "graft.dedup.CosineDeduplicator",
+    "graft.dedup.Decontaminator",
+    "graft.dedup.MinHashDeduplicator",
+    "graft.dedup.NgramJaccardJoin",
+    "graft.dedup.SimHasher",
+    "graft.text.Bm25Scorer",
+    "graft.text.BpeTrainer", "graft.text.BpeModel",
+    "graft.text.ChunkSplitter",
+    "graft.text.DocumentFingerprinter",
+    "graft.text.ExactDeduplicator",
+    "graft.text.LanguageDetector",
+    "graft.text.LineDeduplicator",
+    "graft.text.NgramLm", "graft.text.NgramLmModel",
+    "graft.text.PiiRedactor",
+    "graft.text.RepetitionStats",
+    "graft.text.SequencePacker",
+    "graft.text.TextQualityScorer",
+    "graft.text.TokenCounter",
+    "graft.ann.BruteForceCosineKnn",
+    "graft.ann.CosineLshKnn",
+    "graft.ann.IvfCosineKnn",
+    "graft.ann.ScalarQuantizer", "graft.ann.ScalarQuantizerModel",
+    "graft.multimodal.BinaryDecodeStub",
+    "graft.multimodal.FrameSampler",
+    "graft.multimodal.ImageDecoder",
+    "graft.join.AsOfJoiner",
+]
 
 
 @register("graft.api.Pipeline")
@@ -20,156 +127,11 @@ class PipelineModel(JavaPipeline):
     pass
 
 
-@register("graft.feature.Tokenizer")
-class Tokenizer(JavaStage):
-    pass
+def _define(qualname):
+    name = qualname.rsplit(".", 1)[1]
+    cls = register(qualname)(type(name, (JavaStage,), {"__module__": __name__}))
+    globals()[name] = cls
+    return name
 
 
-@register("graft.feature.StandardScaler")
-class StandardScaler(JavaStage):
-    pass
-
-
-@register("graft.feature.StandardScalerModel")
-class StandardScalerModel(JavaStage):
-    pass
-
-
-@register("graft.clustering.KMeans")
-class KMeans(JavaStage):
-    pass
-
-
-@register("graft.clustering.KMeansModel")
-class KMeansModel(JavaStage):
-    pass
-
-
-@register("graft.classification.LogisticRegression")
-class LogisticRegression(JavaStage):
-    pass
-
-
-@register("graft.classification.LogisticRegressionModel")
-class LogisticRegressionModel(JavaStage):
-    pass
-
-
-@register("graft.dedup.MinHashDeduplicator")
-class MinHashDeduplicator(JavaStage):
-    pass
-
-
-@register("graft.feature.RegexTokenizer")
-class RegexTokenizer(JavaStage):
-    pass
-
-
-@register("graft.feature.NGram")
-class NGram(JavaStage):
-    pass
-
-
-@register("graft.feature.StopWordsRemover")
-class StopWordsRemover(JavaStage):
-    pass
-
-
-@register("graft.feature.CountVectorizer")
-class CountVectorizer(JavaStage):
-    pass
-
-
-@register("graft.feature.CountVectorizerModel")
-class CountVectorizerModel(JavaStage):
-    pass
-
-
-@register("graft.feature.StringIndexer")
-class StringIndexer(JavaStage):
-    pass
-
-
-@register("graft.feature.StringIndexerModel")
-class StringIndexerModel(JavaStage):
-    pass
-
-
-@register("graft.feature.VectorAssembler")
-class VectorAssembler(JavaStage):
-    pass
-
-
-@register("graft.feature.MinMaxScaler")
-class MinMaxScaler(JavaStage):
-    pass
-
-
-@register("graft.feature.MinMaxScalerModel")
-class MinMaxScalerModel(JavaStage):
-    pass
-
-
-@register("graft.feature.Bucketizer")
-class Bucketizer(JavaStage):
-    pass
-
-
-@register("graft.feature.OneHotEncoder")
-class OneHotEncoder(JavaStage):
-    pass
-
-
-@register("graft.feature.OneHotEncoderModel")
-class OneHotEncoderModel(JavaStage):
-    pass
-
-
-@register("graft.classification.NaiveBayes")
-class NaiveBayes(JavaStage):
-    pass
-
-
-@register("graft.classification.NaiveBayesModel")
-class NaiveBayesModel(JavaStage):
-    pass
-
-
-@register("graft.regression.LinearRegression")
-class LinearRegression(JavaStage):
-    pass
-
-
-@register("graft.regression.LinearRegressionModel")
-class LinearRegressionModel(JavaStage):
-    pass
-
-
-@register("graft.text.ExactDeduplicator")
-class ExactDeduplicator(JavaStage):
-    pass
-
-
-@register("graft.text.TextQualityScorer")
-class TextQualityScorer(JavaStage):
-    pass
-
-
-@register("graft.dedup.CosineDeduplicator")
-class CosineDeduplicator(JavaStage):
-    pass
-
-
-__all__ = [
-    "Pipeline", "PipelineModel", "Tokenizer", "StandardScaler",
-    "StandardScalerModel", "KMeans", "KMeansModel", "LogisticRegression",
-    "LogisticRegressionModel", "MinHashDeduplicator",
-    "RegexTokenizer", "NGram", "StopWordsRemover",
-    "CountVectorizer", "CountVectorizerModel",
-    "StringIndexer", "StringIndexerModel", "VectorAssembler",
-    "MinMaxScaler", "MinMaxScalerModel", "Bucketizer",
-    "OneHotEncoder", "OneHotEncoderModel",
-    "NaiveBayes", "NaiveBayesModel",
-    "LinearRegression", "LinearRegressionModel",
-    "ExactDeduplicator", "TextQualityScorer", "CosineDeduplicator",
-]
+__all__ = ["Pipeline", "PipelineModel"] + [_define(q) for q in _STAGES]
