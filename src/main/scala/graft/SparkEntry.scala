@@ -1626,7 +1626,9 @@ object SparkEntry {
    * the ENGINE side is scale-independent, but a few oracles are
    * sf0.01-specific by construction — q_kbins_quantile /
    * q_kbins_kmeans unroll exact ranks/iterations against the 60,000-row
-   * lineitem (the SQL constants, not the operator, pin the scale), and
+   * lineitem (the SQL constants, not the operator, pin the scale),
+   * q_online_logreg (and its _versioned variant) replay a fixed batch
+   * count that only equals the engine's count-batching at sf0.01, and
    * the signature-recomputing oracles (q_minhash_join, q_simhash,
    * q_dedup family) are O(too slow) in DuckDB above sf0.01. At sf0.1
    * 22/25 scale-sensitive queries re-verified green; the remaining

@@ -9,6 +9,22 @@ import graft.param._
 import graft.util.ReadWrite
 
 private[ann] object CosineMath {
+  /** Query-side rows are collected and broadcast (queries are the
+    * SMALL side: a probe batch, a dedup seed set); this cap fails a
+    * mistakenly huge probe set fast instead of OOMing the driver —
+    * the KnnModel.MaxProbes pattern. 100k dim-1k doubles ≈ 800 MB,
+    * the edge of comfortable broadcast. */
+  val MaxQueries = 100000
+
+  /** Collect at most MaxQueries+1 rows and reject oversized sets. */
+  def collectQueries(ds: org.apache.spark.sql.Dataset[(Long, Vector)]): Array[(Long, Vector)] = {
+    val rows = ds.limit(MaxQueries + 1).collect()
+    require(rows.length <= MaxQueries,
+      s"query side exceeds $MaxQueries rows; broadcast-probe ANN needs a small query side — " +
+        "batch the probes, or swap the sides if the data side is the smaller one")
+    rows
+  }
+
   def dot(a: Vector, b: Vector): Double = graft.linalg.BLAS.dot(a, b)
 
   def cosine(a: Vector, aNorm: Double, b: Vector, bNorm: Double): Double = {
@@ -72,8 +88,9 @@ class BruteForceCosineKnn extends AlgoOperator[BruteForceCosineKnn] {
     val Seq(data, queries) = inputs.toSeq
     val spark = data.sparkSession
     import spark.implicits._
-    val qs = queries.select(col(getIdCol).cast("long"), col(getVecCol)).as[(Long, Vector)]
-      .collect().map { case (id, v) => (id, v, math.sqrt(CosineMath.dot(v, v))) }
+    val qs = CosineMath.collectQueries(
+      queries.select(col(getIdCol).cast("long"), col(getVecCol)).as[(Long, Vector)])
+      .map { case (id, v) => (id, v, math.sqrt(CosineMath.dot(v, v))) }
     val bc = spark.sparkContext.broadcast(qs)
     val kk = getK
     val partial = data.select(col(getIdCol).cast("long"), col(getVecCol)).as[(Long, Vector)]
@@ -123,8 +140,8 @@ class CosineLshKnn extends AlgoOperator[CosineLshKnn] with HasSeed[CosineLshKnn]
     val Seq(data, queries) = inputs.toSeq
     val spark = data.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(getIdCol).cast("long"), col(getVecCol)).as[(Long, Vector)]
-      .collect()
+    val qRows = CosineMath.collectQueries(
+      queries.select(col(getIdCol).cast("long"), col(getVecCol)).as[(Long, Vector)])
     require(qRows.nonEmpty, "query side must not be empty")
     val dim = qRows.head._2.size
     // Gaussian hyperplanes from the seed — model-free and reproducible
@@ -251,8 +268,8 @@ class IvfCosineKnn extends AlgoOperator[IvfCosineKnn] with HasSeed[IvfCosineKnn]
     require(centroids.length > 0, "empty codebook")
     val cNorms = centroids.map(c => math.sqrt(CosineMath.dot(c, c)))
 
-    val qRows = queries.select(col(getIdCol).cast("long"), col(getVecCol)).as[(Long, Vector)]
-      .collect()
+    val qRows = CosineMath.collectQueries(
+      queries.select(col(getIdCol).cast("long"), col(getVecCol)).as[(Long, Vector)])
     require(qRows.nonEmpty, "query side must not be empty")
     val qs = qRows.map { case (id, v) => (id, v, math.sqrt(CosineMath.dot(v, v))) }
     val np = math.min(getNprobe, centroids.length)

@@ -72,15 +72,19 @@ class OnlineLogisticRegression
       .toDF("batch", "features", "label", "w", "t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBatches = indexed.count() / batchSize
+    // version timestamp = the batch's max event time (the moment the
+    // reference would emit this model version downstream); ONE
+    // aggregation over the persisted batch table instead of one job
+    // per batch
+    val batchTimes: Map[Long, Long] =
+      if (getTimeCol == null) Map.empty
+      else indexed.groupBy("batch").agg(max("t").as("mt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     var b = 0L
     while (b < numBatches) {
       val batchDf = indexed.where(col("batch") === b)
-      // version timestamp = the batch's max event time (the moment the
-      // reference would emit this model version downstream)
-      val modelTime =
-        if (getTimeCol == null) Long.MaxValue
-        else batchDf.agg(max("t")).head().getLong(0)
-      model = model.update(batchDf, "features", "label", "w", modelTime)
+      model = model.update(batchDf, "features", "label", "w",
+        batchTimes.getOrElse(b, Long.MaxValue))
       b += 1
     }
     indexed.unpersist(blocking = false)
