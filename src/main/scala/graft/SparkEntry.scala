@@ -1629,13 +1629,16 @@ object SparkEntry {
    * sf0.01-specific by construction — q_kbins_quantile /
    * q_kbins_kmeans unroll exact ranks/iterations against the 60,000-row
    * lineitem (the SQL constants, not the operator, pin the scale),
-   * q_online_logreg (and its _versioned variant) replay a fixed batch
-   * count that only equals the engine's count-batching at sf0.01, and
-   * the signature-recomputing oracles (q_minhash_join, q_simhash,
-   * q_dedup family) are O(too slow) in DuckDB above sf0.01. At sf0.1
-   * 22/25 scale-sensitive queries re-verified green; the remaining
-   * diffs were these oracle constants plus one sub-1e-6 score tie in
-   * q_swing's top-k broken by float summation order.
+   * q_online_logreg (+ _versioned) and q_online_kmeans replay a fixed
+   * mini-batch count that only equals the engine's count-batching at
+   * sf0.01, and the signature-recomputing oracles (q_minhash_join,
+   * q_simhash, q_dedup family) are O(too slow) in DuckDB above
+   * sf0.01. Round-6 full cross-check at sf0.1: 78/78 of the
+   * scale-independent oracles re-verified green (incl. both
+   * versioned-model queries); the only diffs were exactly the
+   * documented fixed-constant oracles above plus q_swing's sub-1e-6
+   * score tie broken by float summation order (and q_swing_capped,
+   * which is row-identical to q_swing at both scales).
    */
   private val swingOracleSql: String =
     """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
