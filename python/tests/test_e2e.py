@@ -1,0 +1,210 @@
+"""Deeper end-to-end coverage of the Python surface: persistence
+round-trips (stage, model, multi-stage pipeline) and the dedup /
+text-curation tier driven entirely from Python — the operations a
+pyflink user of the reference's Python API would expect to keep
+(mirrors flink-ml-python/pyflink/ml/tests save/load patterns)."""
+
+import tempfile
+
+from pyspark.ml.linalg import Vectors
+
+
+def _tmp():
+    return tempfile.mkdtemp(prefix="graftml-test-")
+
+
+# ------------------------------------------------------------ persistence
+
+def test_stage_save_load_roundtrip_params(spark):
+    from graftml import Tokenizer
+    t = Tokenizer(spark=spark).setInputCol("body").setOutputCol("toks")
+    path = _tmp()
+    t.save(path)
+    back = Tokenizer.load(path, spark=spark)
+    assert back.getInputCol() == "body"
+    assert back.getOutputCol() == "toks"
+
+
+def test_model_save_load_roundtrip_transform(spark):
+    from graftml import StandardScaler, StandardScalerModel
+    df = spark.createDataFrame(
+        [(Vectors.dense([1.0]),), (Vectors.dense([2.0]),), (Vectors.dense([3.0]),)],
+        ["features"])
+    model = (StandardScaler(spark=spark)
+             .setInputCol("features").setOutputCol("scaled")
+             .setWithMean(True).setWithStd(True).fit(df))
+    path = _tmp()
+    model.save(path)
+    back = StandardScalerModel.load(path, spark=spark)
+    want = sorted(r["scaled"][0] for r in model.transform(df)[0].collect())
+    got = sorted(r["scaled"][0] for r in back.transform(df)[0].collect())
+    assert all(abs(a - b) < 1e-12 for a, b in zip(want, got))
+
+
+def test_pipeline_model_save_load_roundtrip_three_stages(spark):
+    from graftml import Pipeline, PipelineModel, RegexTokenizer, CountVectorizer, IDF
+    df = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b c d"), (2, "a d d")], ["id", "text"])
+    pipeline = Pipeline(
+        [RegexTokenizer(spark=spark).setInputCol("text").setOutputCol("tokens")
+             .setPattern("\\s+"),
+         CountVectorizer(spark=spark).setInputCol("tokens").setOutputCol("tf"),
+         IDF(spark=spark).setInputCol("tf").setOutputCol("tfidf")],
+        spark=spark)
+    model = pipeline.fit(df)
+    path = _tmp()
+    model.save(path)
+    back = PipelineModel.load(path, spark=spark)
+    want = {r["id"]: list(r["tfidf"]) for r in model.transform(df)[0].collect()}
+    got = {r["id"]: list(r["tfidf"]) for r in back.transform(df)[0].collect()}
+    assert want.keys() == got.keys()
+    for k in want:
+        assert all(abs(a - b) < 1e-12 for a, b in zip(want[k], got[k]))
+
+
+def test_pipeline_estimator_save_load_keeps_stage_params(spark):
+    from graftml import Pipeline, Tokenizer, StandardScaler
+    pipeline = Pipeline(
+        [Tokenizer(spark=spark).setInputCol("text").setOutputCol("toks"),
+         StandardScaler(spark=spark).setInputCol("v").setOutputCol("s")],
+        spark=spark)
+    path = _tmp()
+    pipeline.save(path)
+    back = Pipeline.load(path, spark=spark)
+    jstages = back._jobj.stages()
+    assert jstages.size() == 2
+    assert jstages.apply(0).getClass().getName() == "graft.feature.Tokenizer"
+
+
+# ------------------------------------------------------- dedup tier, e2e
+
+def test_minhash_dedup_full_text_chain(spark):
+    """The q_dedup shape from Python: tokenize → shingle → hash →
+    MinHashDeduplicator, near-duplicate text flagged to its canonical."""
+    from graftml import RegexTokenizer, NGram, HashingTF, MinHashDeduplicator
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    other = "completely different words in this unrelated document about spark"
+    df = spark.createDataFrame(
+        [(0, base), (1, other), (2, near)], ["doc_id", "text"])
+    toks = (RegexTokenizer(spark=spark)
+            .setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
+            .transform(df))[0]
+    grams = (NGram(spark=spark).setInputCol("tokens").setOutputCol("sh").setN(2)
+             .transform(toks))[0]
+    tf = (HashingTF(spark=spark).setInputCol("sh").setOutputCol("tf")
+          .setNumFeatures(1 << 16).setBinary(True).transform(grams))[0]
+    out = (MinHashDeduplicator(spark=spark)
+           .setIdCol("doc_id").setInputCol("tf")
+           .setSeed(2022).setNumHashTables(8).setThreshold(0.5)
+           .transform(tf.select("doc_id", "tf")))[0]
+    got = {r["doc_id"]: r["is_duplicate"] for r in out.collect()}
+    assert got[0] is False and got[1] is False and got[2] is True
+
+
+def test_simhash_fingerprint_and_join(spark):
+    from graftml import SimHasher
+    a = ["tok%d" % i for i in range(40)]
+    b = list(a)
+    b[0] = "changed"                      # hamming-near neighbour
+    c = ["other%d" % i for i in range(40)]
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["id", "tokens"])
+    hasher = SimHasher(spark=spark).setInputCol("tokens").setOutputCol("fp")
+    hashed = hasher.transform(df)[0]
+    fps = {r["id"]: r["fp"] for r in hashed.collect()}
+    assert fps[0] != fps[2]
+    pairs = hasher._jobj.similarityJoin(hashed._jdf, "id", 3, 4)
+    from pyspark.sql import DataFrame as PyDF
+    rows = PyDF(pairs, spark).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+
+
+def test_cosine_deduplicator_flags_near_vector(spark):
+    from graftml import CosineDeduplicator
+    v = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    near = [x * 1.001 + 0.0005 for x in v]          # cosine ~ 1.0
+    far = [8.0, -7.0, 6.0, -5.0, 4.0, -3.0, 2.0, -1.0]
+    df = spark.createDataFrame(
+        [(0, Vectors.dense(v)), (1, Vectors.dense(far)), (2, Vectors.dense(near))],
+        ["vec_id", "vec"])
+    out = (CosineDeduplicator(spark=spark)
+           .setIdCol("vec_id").setInputCol("vec")
+           .setSeed(2022).setNumHashTables(8).setNumPlanes(8)
+           .setMinSimilarity(0.99)
+           .transform(df))[0]
+    got = {r["vec_id"]: r["is_duplicate"] for r in out.collect()}
+    assert got[0] is False and got[1] is False and got[2] is True
+
+
+def test_decontaminator_removes_benchmark_overlaps(spark):
+    from graftml import Decontaminator
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "totally clean training document with no overlap here")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], ["id", "text"])
+    out = (Decontaminator(spark=spark)
+           .setIdCol("doc_id").setInputCol("text")
+           .transform(train, bench))[0]
+    flags = {r["doc_id"]: r["is_contaminated"] for r in out.collect()}
+    assert flags[0] is True and flags[1] is False
+
+
+def test_ngram_jaccard_join_finds_near_pair(spark):
+    from graftml import NgramJaccardJoin
+    base = "one two three four five six seven eight nine ten"
+    near = "one two three four five six seven eight nine eleven"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, "nothing in common at all whatsoever right")],
+        ["id", "text"])
+    pairs = (NgramJaccardJoin(spark=spark)
+             .setIdCol("id").setInputCol("text").setN(2).setThreshold(0.5)
+             .transform(df))[0]
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and len(got) == 1
+
+
+# ------------------------------------------------------ text tier extras
+
+def test_bpe_train_and_encode(spark):
+    from graftml import BpeTrainer
+    df = spark.createDataFrame(
+        [("low lower lowest",), ("low low lower",)], ["text"])
+    model = (BpeTrainer(spark=spark)
+             .setInputCol("text").setOutputCol("bpe")
+             .setNumMerges(5).setMinPairCount(2).fit(df))
+    merges = model.get_model_data()[0]
+    assert merges.count() > 0
+    out = model.transform(df)[0]
+    assert "bpe" in out.columns and out.count() == 2
+
+
+def test_swing_packed_topk_from_python(spark):
+    """Reference SwingTest fixture through the Python wrapper."""
+    from graftml import Swing
+    rows = [(0, 10), (0, 11), (0, 12), (1, 13), (1, 12), (2, 10), (2, 11),
+            (2, 12), (3, 13), (3, 12), (4, 12), (4, 10), (4, 11), (4, 12), (4, 13)]
+    df = spark.createDataFrame(
+        [(int(u), int(i)) for u, i in rows], ["user", "item"]) \
+        .selectExpr("cast(user as long) user", "cast(item as long) item")
+    out = (Swing(spark=spark).setMinUserBehavior(2).setMaxUserBehavior(3)
+           .transform(df))[0]
+    packed = {r["item"]: r["output"] for r in out.collect()}
+    assert packed[13] == "12,0.09134833828228624"
+    assert packed[10].startswith("11,0.058845768947156235")
+
+
+def test_asof_joiner_two_input_transform(spark):
+    from graftml import AsOfJoiner
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205)], ["k", "ts"]).selectExpr(
+        "cast(k as long) k", "cast(ts as long) ts")
+    right = spark.createDataFrame(
+        [(1, 90, "v0"), (1, 200, "v1")], ["k", "ts", "val"]).selectExpr(
+        "cast(k as long) k", "cast(ts as long) ts", "val")
+    out = (AsOfJoiner(spark=spark)
+           .setLeftTimeCol("ts").setRightTimeCol("ts").setKeyCols(["k"])
+           .transform(left, right))[0]
+    got = {r["ts"]: r["val"] for r in out.collect()}
+    assert got[100] == "v0" and got[205] == "v1"

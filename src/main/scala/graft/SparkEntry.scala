@@ -775,8 +775,13 @@ object SparkEntry {
     // qualifying users at sf0.01 and 53 at sf0.1, so the cap NEVER
     // binds — output is byte-identical to q_swing (same oracle;
     // verified empirically at sf0.1: 199,727 rows each, symmetric
-    // diff 0), and the bench row shows the cap machinery costs
-    // nothing when idle.
+    // diff 0). Round 6 measured the idle cap machinery at ~33%
+    // overhead (12.4 vs 9.3 s isolated) despite never binding; since
+    // round 7, Swing detects the no-hot-items case with one cheap
+    // aggregation job and drops the cap plan entirely (Swing.scala
+    // `capEngaged`), so this query differs from q_swing only by that
+    // detection job. The cap's engaged path is exercised for real by
+    // SwingSpec's two-phase-cap test and the Zipfian ScaleUp stage.
     // q_swing's wall-clock is inherent per-user breadth fan-out
     // (Σ|U_i|² with |U_i| ≤ 53), not hot items, so on THIS data the
     // cap lever cannot shrink it; the knob matters for catalogs with

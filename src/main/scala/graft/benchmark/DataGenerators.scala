@@ -191,4 +191,29 @@ object DataGenerators {
         (id, Vectors.dense(values): Vector)
       }.toDF("vec_id", "vec")
   }
+
+  /**
+   * A (user, item) behavior table with ZIPFIAN item popularity —
+   * the catalog shape Swing's maxUserNumPerItem cap exists for
+   * (the TPC-H-ish test tables are uniform: max 53 purchasers/item,
+   * so the cap never binds there). Items are drawn log-uniformly:
+   * item = ⌊exp(U·ln N)⌋, giving count(item x) ∝ 1/x — item 0 is
+   * bought by nearly every user while the tail is sparse, so with
+   * E events over N items roughly E/(cap·ln N) items exceed a
+   * purchaser cap. Users are uniform. Pure function of (seed, row
+   * id): partition-parallel, shuffle-free, reproducible.
+   */
+  def behaviorsLike(spark: SparkSession, numEvents: Long, numUsers: Long,
+      numItems: Long, seed: Long = 13L, numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val logN = math.log(numItems.toDouble)
+    spark.range(0, numEvents, 1, numPartitions).rdd
+      .map { boxedId =>
+        val id = boxedId.toLong
+        val rnd = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+        val user = (rnd.nextDouble() * numUsers).toLong
+        val item = math.min(numItems - 1, math.exp(rnd.nextDouble() * logN).toLong - 1L)
+        (user, math.max(0L, item))
+      }.toDF("user", "item")
+  }
 }

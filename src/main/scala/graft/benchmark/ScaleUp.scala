@@ -202,6 +202,50 @@ object ScaleUp {
       merges
     }
 
+    // Swing on a ZIPFIAN catalog — the cap's hot path (two-phase
+    // salted rank + bounded pair enumeration) has never executed at
+    // scale on the uniform TPC-H-ish tables (max 53 purchasers/item);
+    // here item 0 is bought by nearly every user, ~2% of items exceed
+    // the cap, and auto strategy switches to the arrays path. The
+    // flat self-join would materialize ~10¹⁰ co-purchase rows on this
+    // catalog; the arrays path is bounded by items·cap².
+    stage("swing_zipf") {
+      val behaviors = DataGenerators.behaviorsLike(
+        spark, 2000000L, 100000L, 20000L, numPartitions = cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      behaviors.count()
+      val n = new graft.recommendation.Swing()
+        .setK(10).setMaxUserNumPerItem(100).setMinUserBehavior(5)
+        .transform(behaviors).head
+        .count()
+      behaviors.unpersist(blocking = false)
+      n
+    }
+
+    // capped-vs-uncapped top-k agreement on a corpus small enough to
+    // afford the uncapped ground truth: how much ranking quality does
+    // the cap's sampling actually cost on a skewed catalog?
+    stage("swing_cap_recall") {
+      val behaviors = DataGenerators.behaviorsLike(
+        spark, 50000L, 5000L, 1000L, numPartitions = cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      behaviors.count()
+      def topSims(cap: Int, name: String): DataFrame =
+        new graft.recommendation.Swing()
+          .setK(10).setMaxUserNumPerItem(cap).setMinUserBehavior(5)
+          .transform(behaviors).head
+          .select(col("item"), expr(
+            "transform(split(output, ';'), e -> cast(split(e, ',')[0] as bigint))").as(name))
+      val joined = topSims(100, "capped").join(topSims(Int.MaxValue, "full"), "item")
+        .select((size(array_intersect(col("capped"), col("full"))).cast("double")
+          / size(col("full"))).as("overlap"))
+      val recall = joined.agg(avg("overlap")).head.getDouble(0)
+      val n = joined.count()
+      behaviors.unpersist(blocking = false)
+      println(s"""{"swing_cap_recall_overlap_at_10":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(recall))}}""")
+      n
+    }
+
     println(s"""{"scaleup_done":true,"num_docs":$numDocs,"num_vecs":$numVecs,"dim":$dim}""")
     spark.stop()
   }

@@ -368,23 +368,30 @@ object DCT extends StageLoader[DCT] {
   private val MaxCacheBytes = 512L << 20
   private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   private val cosTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
-  /** Null when the dimension is outside the memo bounds. */
+  /** Null when the dimension is outside the memo bounds. The budget
+    * is RESERVED with addAndGet before building (rolled back if the
+    * reservation overshoots or another thread built the same table
+    * first): a plain check-then-build would let 32 racing first
+    * calls for distinct dims each pass the check and collectively
+    * commit ~4 GB past the cap. */
   private def cosTable(n: Int): Array[Double] = {
     if (n > MaxTableDim) return null
     val hit = cosTables.get(n)
     if (hit != null) return hit
-    if (cachedBytes.get() + 8L * n * n > MaxCacheBytes) return null
-    cosTables.computeIfAbsent(n, { m =>
-      cachedBytes.addAndGet(8L * m * m)
-      val t = new Array[Double](m * m)
-      var k = 0
-      while (k < m) {
-        var i = 0
-        while (i < m) { t(k * m + i) = math.cos(math.Pi * (i + 0.5) * k / m); i += 1 }
-        k += 1
-      }
-      t
-    })
+    val bytes = 8L * n * n
+    if (cachedBytes.addAndGet(bytes) > MaxCacheBytes) {
+      cachedBytes.addAndGet(-bytes)
+      return null
+    }
+    val t = new Array[Double](n * n)
+    var k = 0
+    while (k < n) {
+      var i = 0
+      while (i < n) { t(k * n + i) = math.cos(math.Pi * (i + 0.5) * k / n); i += 1 }
+      k += 1
+    }
+    val prev = cosTables.putIfAbsent(n, t)
+    if (prev != null) { cachedBytes.addAndGet(-bytes); prev } else t
   }
 
   /** Orthogonal DCT-II. */

@@ -62,7 +62,13 @@ class OnlineLogisticRegression
 
     val batchSize = getGlobalBatchSize
     val weightExpr = if (getWeightCol == null) lit(1.0) else col(getWeightCol).cast("double")
-    val timeExpr = if (getTimeCol == null) lit(Long.MaxValue) else col(getTimeCol).cast("long")
+    // a null event time coalesces to Long.MinValue ("unobserved"): it
+    // never raises a batch's max-time stamp, and an all-null batch is
+    // stamped MinValue — i.e. never servable under delay gating —
+    // instead of NPE-ing the fit loop on r.getLong
+    val timeExpr =
+      if (getTimeCol == null) lit(Long.MaxValue)
+      else coalesce(col(getTimeCol).cast("long"), lit(Long.MinValue))
     import spark.implicits._
     val indexed = df.select(col(getFeaturesCol), col(getLabelCol).cast("double"), weightExpr, timeExpr)
       .rdd.zipWithIndex()
@@ -247,7 +253,19 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
       else
         modelData.select(lit(0L).as("version"), lit(Long.MinValue).as("modelTimeMs"),
           col("coefficient"), col("zParam"), col("nParam"))
-    val m = new OnlineLogisticRegressionModel().setModelData(base.union(next))
+    // each update unions one row onto the chain; left alone, plan
+    // depth (and Catalyst re-analysis cost in latestRow) would grow
+    // per micro-batch — O(n²) over a long foreachBatch run and a
+    // stack-depth risk after thousands of batches. Compacting every
+    // [[OnlineLogisticRegressionModel.CompactEvery]] versions with an
+    // eager localCheckpoint truncates lineage so the chain stays O(1)
+    // per update (same pattern as BpeTrainer/ConnectedComponents).
+    val chained = base.union(next)
+    val stream =
+      if ((latestVersion + 1) % OnlineLogisticRegressionModel.CompactEvery == 0)
+        chained.localCheckpoint(true)
+      else chained
+    val m = new OnlineLogisticRegressionModel().setModelData(stream)
     copyParamsTo(m)
     m
   }
@@ -327,11 +345,20 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
           when(element_at(
             org.apache.spark.ml.functions.vector_to_array(col(getRawPredictionCol)), 2) >= 0.5,
             1.0).otherwise(0.0)))
-      .withColumn(getModelVersionCol, col("__scored._2"))
+      // a null event time short-circuits the primitive-Long udf to a
+      // null struct; surface it as the documented "no qualifying
+      // version" contract (null predictions, version -1), not a null
+      // version
+      .withColumn(getModelVersionCol, coalesce(col("__scored._2"), lit(-1L)))
       .drop("__scored"))
   }
 }
 object OnlineLogisticRegressionModel extends StageLoader[OnlineLogisticRegressionModel] {
+  /** Version-stream compaction period: every this-many appended
+    * versions the model DataFrame is eagerly localCheckpoint-ed so
+    * plan depth stays bounded on long foreachBatch runs. */
+  val CompactEvery = 32
+
   /** Zero-initialized FTRL state for `dim` features: version 0 at
     * time Long.MinValue — the pre-training state, never servable
     * under delay-gated scoring. */

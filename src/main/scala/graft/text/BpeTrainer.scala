@@ -84,8 +84,11 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
         "text-like corpora because top pairs share symbols). This is " +
         "how distributed BPE scales: the corpus collapses to its " +
         "vocabulary in one distributed pass, and vocabularies up to " +
-        "the limit fit comfortably in driver memory (1M words x ~50 B " +
-        "= 50 MB). Set 0 to force the distributed rounds.",
+        "the limit fit comfortably in driver memory. The row limit is " +
+        "paired with a total-characters cap (DriverCollectCharLimit) " +
+        "measured in the same aggregation, so 1M URL- or blob-sized " +
+        "'words' cannot OOM the collect; either bound exceeded falls " +
+        "back to the distributed rounds. Set 0 to force them.",
       1L << 20, ParamValidators.gtEq(0L))
   def getDriverWordLimit: Long = get(driverWordLimit)
   def setDriverWordLimit(v: Long): BpeTrainer = set(driverWordLimit, v)
@@ -105,7 +108,19 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     roundsRun0 = 0
-    if (getDriverWordLimit > 0L && words.count() <= getDriverWordLimit) {
+    // row count alone does not bound driver memory — 1M "words" that
+    // are URLs or base64 blobs collect to gigabytes. The same
+    // materializing aggregation also sums symbol lengths, and the
+    // driver path additionally requires the total under
+    // [[BpeTrainer.DriverCollectCharLimit]]; oversized vocabularies
+    // fall back to the distributed rounds.
+    val vocabStats = words
+      .agg(count(lit(1)).as("n"), coalesce(sum(length(col("w"))), lit(0L)).as("chars"))
+      .head()
+    val vocabRows = vocabStats.getLong(0)
+    val vocabChars = vocabStats.getLong(1)
+    if (getDriverWordLimit > 0L && vocabRows <= getDriverWordLimit &&
+        vocabChars <= BpeTrainer.DriverCollectCharLimit) {
       // vocabulary fits on the driver: learn merges locally over the
       // aggregated (word, freq) table — exact same sequence as the
       // distributed rounds, without their per-round job latency
@@ -264,6 +279,12 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
 object BpeTrainer extends StageLoader[BpeTrainer] {
   val CheckpointEvery = 10
 
+  /** Upper bound on total characters the driver-merge path may
+    * collect (~128 MB of String payload at 2 B/char, plus per-row
+    * overhead) — the byte-side guard behind driverWordLimit's row
+    * bound. */
+  val DriverCollectCharLimit: Long = 1L << 26
+
   /**
    * Sequential BPE over a driver-resident weighted vocabulary —
    * byte-for-byte the sequence the distributed rounds learn: every
@@ -271,6 +292,23 @@ object BpeTrainer extends StageLoader[BpeTrainer] {
    * are never candidates, argmax tie-break (count desc, left asc,
    * right asc), stop below minPairCount. O(numMerges · Σ|word|).
    */
+  /** Code-point-wise string comparison == UTF-8 binary order ==
+    * Spark's UTF8String ordering. Java String '<' compares UTF-16
+    * code UNITS, which ranks supplementary characters (surrogate
+    * pairs, 0xD800–0xDBFF lead) BELOW U+E000–U+FFFF — the opposite of
+    * Spark's orderBy — so a count tie between such symbols would
+    * resolve differently on the driver vs the distributed rounds,
+    * breaking their identical-results contract. */
+  private[text] def codePointCompare(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   private[text] def fitOnDriver(words: Array[(String, Long)], numMerges: Int,
       minPairCount: Long): Seq[(String, String)] = {
     var arrays: Array[Array[String]] = words.map(_._1.split(""))
@@ -296,7 +334,8 @@ object BpeTrainer extends StageLoader[BpeTrainer] {
       var bestC = Long.MinValue
       counts.foreach { case (p, c) =>
         if (c > bestC || (c == bestC &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            { val l = codePointCompare(p._1, best._1)
+              l < 0 || (l == 0 && codePointCompare(p._2, best._2) < 0) })) {
           best = p; bestC = c
         }
       }

@@ -62,6 +62,43 @@ class SwingSpec extends SparkSpec {
     assert(out(10L) === "11,0.058845768947156235")
   }
 
+  private def parseScores(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.collect().flatMap { r =>
+      val i = r.getLong(0)
+      r.getString(1).split(";").filter(_.nonEmpty).map { e =>
+        val parts = e.split(","); ((i, parts(0).toLong), parts(1).toDouble)
+      }
+    }.toMap
+
+  test("flat and arrays pair strategies score identically (uncapped fixture)") {
+    val flat = parseScores(new Swing().setMinUserBehavior(2).setMaxUserBehavior(3)
+      .setPairStrategy("flat").transform(input).head)
+    val arr = parseScores(new Swing().setMinUserBehavior(2).setMaxUserBehavior(3)
+      .setPairStrategy("arrays").transform(input).head)
+    assert(flat.keySet == arr.keySet)
+    flat.foreach { case (k, v) => assert(math.abs(v - arr(k)) <= 1e-9, s"$k: $v vs ${arr(k)}") }
+  }
+
+  test("flat and arrays pair strategies score identically under a binding cap") {
+    import spark.implicits._
+    // skewed catalog: every user buys hot item 0 plus 3 tail items,
+    // cap=5 binds on item 0 — both strategies share the same
+    // deterministic hash-ranked capped purchaser set
+    val rows = (0L until 30L).flatMap { u =>
+      Seq((u, 0L)) ++ (1L to 3L).map(j => (u, 1L + (u * 3 + j) % 15L))
+    }
+    val df = rows.toDF("user", "item")
+    def run(strategy: String) = parseScores(
+      new Swing().setMinUserBehavior(2).setMaxUserBehavior(10)
+        .setMaxUserNumPerItem(5).setK(200).setPairStrategy(strategy)
+        .transform(df).head)
+    val flat = run("flat")
+    val arr = run("arrays")
+    assert(flat.keySet == arr.keySet)
+    assert(flat.nonEmpty)
+    flat.foreach { case (k, v) => assert(math.abs(v - arr(k)) <= 1e-9, s"$k: $v vs ${arr(k)}") }
+  }
+
   test("param defaults match the reference") {
     val s = new Swing()
     assert(s.getUserCol == "user" && s.getItemCol == "item")

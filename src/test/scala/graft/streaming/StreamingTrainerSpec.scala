@@ -85,6 +85,68 @@ class StreamingTrainerSpec extends SparkSpec {
     assert(math.abs(rows(1).getAs[Vector]("mean")(0) - 3.0) < 1e-9)
   }
 
+  test("versioned online-LR through Structured Streaming survives kill/restart " +
+      "with version continuity and correct delay-gated scoring") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val chk = java.nio.file.Files.createTempDirectory("graft-lr-chk").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Double, Double, Double, Long)]
+    val rows = stream.toDF()
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        array(col("_1"), col("_2"))).as("features"),
+        col("_3").as("label"), col("_4").as("ts"), lit(1.0).as("w"))
+
+    def updateFn(m: OnlineLogisticRegressionModel,
+        b: org.apache.spark.sql.DataFrame): OnlineLogisticRegressionModel = {
+      val mt = b.agg(max("ts")).head() match {
+        case r if r.isNullAt(0) => Long.MaxValue
+        case r => r.getLong(0)
+      }
+      m.update(b, "features", "label", "w", mt)
+    }
+
+    val init = new OnlineLogisticRegressionModel()
+      .setModelData(OnlineLogisticRegressionModel.zeroInit(spark, 2))
+    val h1 = StreamingTrainer.attach[OnlineLogisticRegressionModel](
+      rows, init, updateFn, checkpoint = Some(chk))
+    stream.addData((1.0, 0.0, 1.0, 1000L), (-1.0, 0.0, 0.0, 1000L))
+    h1.query.processAllAvailable()
+    h1.query.stop() // simulated failure after batch 0 committed
+
+    // arrives while the trainer is down
+    stream.addData((0.0, 1.0, 1.0, 2000L), (0.0, -1.0, 0.0, 2000L))
+
+    // restart on the SAME checkpoint with the surviving model: batch 0
+    // must not replay, the version stream must continue 1 → 2
+    val h2 = StreamingTrainer.attach[OnlineLogisticRegressionModel](
+      rows, h1.latest(), updateFn, checkpoint = Some(chk))
+    h2.query.processAllAvailable()
+    h2.query.stop()
+
+    val model = h2.latest()
+    val versions = model.getModelData.head.orderBy("version")
+      .select("version", "modelTimeMs").collect()
+    // zeroInit(v0, MinValue) + exactly one version per micro-batch; a
+    // replayed batch 0 would append a fourth row
+    assert(versions.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L), versions.toSeq)
+    assert(versions.map(_.getLong(1)).drop(1).toSeq == Seq(1000L, 2000L), versions.toSeq)
+
+    // delay-gated scoring across the restart boundary: a row at t=1000
+    // is served by the pre-crash version, one at t=2000 by the
+    // post-restart version — the reference's row-buffering rule
+    // (OnlineLogisticRegressionModel.java:68)
+    val scoring = Seq((1.0, 0.0, 1000L), (1.0, 0.0, 2000L), (1.0, 0.0, 99999L))
+      .toDF("x1", "x2", "ts")
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        array(col("x1"), col("x2"))).as("features"), col("ts"))
+    val scored = model.setMaxAllowedModelDelayMs(0L).setTimeCol("ts")
+      .transform(scoring).head
+      .select("ts", "version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored == Map(1000L -> 1L, 2000L -> 2L, 99999L -> -1L), scored)
+  }
+
   test("StreamingTrainer latest() reflects every committed batch for the scaler") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
