@@ -105,15 +105,15 @@ def test_minhash_dedup_full_text_chain(spark):
 def test_simhash_fingerprint_and_join(spark):
     from graftml import SimHasher
     a = ["tok%d" % i for i in range(40)]
-    b = list(a)
-    b[0] = "changed"                      # hamming-near neighbour
+    b = a + ["extra"]                     # hamming-near neighbour
     c = ["other%d" % i for i in range(40)]
     df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["id", "tokens"])
     hasher = SimHasher(spark=spark).setInputCol("tokens").setOutputCol("fp")
     hashed = hasher.transform(df)[0]
     fps = {r["id"]: r["fp"] for r in hashed.collect()}
     assert fps[0] != fps[2]
-    pairs = hasher._jobj.similarityJoin(hashed._jdf, "id", 3, 4)
+    # near pair well under 16 bits, unrelated docs ~32 bits apart
+    pairs = hasher._jobj.similarityJoin(hashed._jdf, "id", 16, 32)
     from pyspark.sql import DataFrame as PyDF
     rows = PyDF(pairs, spark).collect()
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
@@ -136,31 +136,46 @@ def test_cosine_deduplicator_flags_near_vector(spark):
     assert got[0] is False and got[1] is False and got[2] is True
 
 
-def test_decontaminator_removes_benchmark_overlaps(spark):
-    from graftml import Decontaminator
-    train = spark.createDataFrame(
+def test_decontaminator_flags_benchmark_overlaps(spark):
+    """Token-shingle decontamination: a train doc sharing n-grams with
+    the eval set is flagged `contaminated` with its match count."""
+    from graftml import RegexTokenizer, NGram, Decontaminator
+
+    def shingled(df):
+        toks = (RegexTokenizer(spark=spark)
+                .setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
+                .transform(df))[0]
+        return (NGram(spark=spark).setInputCol("tokens").setOutputCol("sh").setN(3)
+                .transform(toks))[0].selectExpr("doc_id", "sh")
+
+    train = shingled(spark.createDataFrame(
         [(0, "alpha beta gamma delta epsilon zeta eta theta"),
-         (1, "totally clean training document with no overlap here")],
-        ["doc_id", "text"])
-    bench = spark.createDataFrame(
-        [(100, "alpha beta gamma delta epsilon zeta eta theta")], ["id", "text"])
+         (1, "totally clean training document with no overlap anywhere here")],
+        ["doc_id", "text"]))
+    bench = shingled(spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]))
     out = (Decontaminator(spark=spark)
-           .setIdCol("doc_id").setInputCol("text")
+           .setIdCol("doc_id").setInputCol("sh")
            .transform(train, bench))[0]
-    flags = {r["doc_id"]: r["is_contaminated"] for r in out.collect()}
+    flags = {r["doc_id"]: r["contaminated"] for r in out.collect()}
     assert flags[0] is True and flags[1] is False
 
 
 def test_ngram_jaccard_join_finds_near_pair(spark):
-    from graftml import NgramJaccardJoin
+    from graftml import RegexTokenizer, NGram, NgramJaccardJoin
     base = "one two three four five six seven eight nine ten"
     near = "one two three four five six seven eight nine eleven"
     df = spark.createDataFrame(
         [(0, base), (1, near), (2, "nothing in common at all whatsoever right")],
-        ["id", "text"])
+        ["doc_id", "text"])
+    toks = (RegexTokenizer(spark=spark)
+            .setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
+            .transform(df))[0]
+    grams = (NGram(spark=spark).setInputCol("tokens").setOutputCol("sh").setN(2)
+             .transform(toks))[0]
     pairs = (NgramJaccardJoin(spark=spark)
-             .setIdCol("id").setInputCol("text").setN(2).setThreshold(0.5)
-             .transform(df))[0]
+             .setIdCol("doc_id").setInputCol("sh").setThreshold(0.5)
+             .transform(grams.select("doc_id", "sh")))[0]
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got and len(got) == 1
 
@@ -204,7 +219,8 @@ def test_asof_joiner_two_input_transform(spark):
         [(1, 90, "v0"), (1, 200, "v1")], ["k", "ts", "val"]).selectExpr(
         "cast(k as long) k", "cast(ts as long) ts", "val")
     out = (AsOfJoiner(spark=spark)
-           .setLeftTimeCol("ts").setRightTimeCol("ts").setKeyCols(["k"])
+           .setOnCols(["k"]).setLeftTimeCol("ts").setRightTimeCol("ts")
+           .setValueCols(["val"])
            .transform(left, right))[0]
     got = {r["ts"]: r["val"] for r in out.collect()}
     assert got[100] == "v0" and got[205] == "v1"

@@ -39,9 +39,11 @@ import org.apache.spark.sql.SparkSession
   * Round-6 lesson: the bench inherited whatever -Xmx the launcher
   * had (a stray SPARK_DRIVER_MEM=90g turned a 9.3 s query into an
   * 86.6 s published row via GC collapse). Child JVMs now run a
-  * PINNED canonical heap + GC ([[benchHeapMb]], default 8 GiB, G1),
-  * and bench_out.json records {child_heap_mb, gc, cpus, loadavg} so
-  * no number can be divorced from its config. Partial runs write
+  * PINNED canonical heap + GC ([[benchHeapMb]] default 8 GiB;
+  * [[benchGc]] default ParallelGC — G1 measured 2–6× slower and
+  * unstable at large heaps on this profile), and bench_out.json
+  * records {child_heap_mb, gc, cpus, loadavg} so no number can be
+  * divorced from its config. Partial runs write
   * bench_out_partial.json instead of clobbering the full artifact.
   *
   * Isolated single-query timing (the judge's TimeQ): pass the query
@@ -80,6 +82,18 @@ object Bench {
     * SPARK_GRAFT_BENCH_HEAP_MB when studying heap sensitivity. */
   private def benchHeapMb: Int =
     sys.env.get("SPARK_GRAFT_BENCH_HEAP_MB").flatMap(_.toIntOption).getOrElse(8192)
+
+  /** Canonical child GC. Measured on q_swing/q_swing_capped at 90 GiB
+    * heap (tools/bench_child.sh, round 7): G1 is unstable and 2–6×
+    * slower for this shuffle/sort-heavy profile (warm 12–61 s across
+    * runs; 32 s total GC, 9.3 s max pause, humongous-allocation
+    * storms from ≥16 MB task pages vs its 32 MB regions), while
+    * ParallelGC runs 8.5/7.3 s and ZGC 9.2/8.3 s — at or BELOW the
+    * 8 GiB G1 numbers. Large executors should run this engine on a
+    * throughput collector; the bench encodes that recommendation and
+    * records it. Override with SPARK_GRAFT_BENCH_GC=G1|Parallel|Z. */
+  private def benchGc: String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "Parallel")
 
   /** Per-query prior warm cost: committed seed overlaid by the local
     * scratch detail of the most recent full run, then any partial run
@@ -182,7 +196,7 @@ object Bench {
     val loadavg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val envJson =
-      s"""{"child_heap_mb":$benchHeapMb,"gc":"G1","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg":${fmt(loadavg)}}"""
+      s"""{"child_heap_mb":$benchHeapMb,"gc":"$benchGc","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg":${fmt(loadavg)}}"""
     val detailLine =
       s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"warm_runs_per_query":$WarmRuns,"env":$envJson,"queries":$detailJson,"sf":"$sfDir","failed":$failedJson,"suspect":$suspectJson}"""
     // a partial run (explicit query names) must not clobber the full
@@ -223,7 +237,7 @@ object Bench {
       .filter(a => a.startsWith("--add-opens") || a.startsWith("-X") || a.startsWith("-D"))
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-XX:+Use"))
     val cmd = Seq(javaBin) ++ jvmFlags ++
-      Seq(s"-Xmx${benchHeapMb}m", "-XX:+UseG1GC") ++ Seq(
+      Seq(s"-Xmx${benchHeapMb}m", s"-XX:+Use${benchGc}GC") ++ Seq(
       "-cp", sys.props("java.class.path"),
       "graft.Bench", "--child", sfDir, out.toString, group.mkString(","))
     val pb = new ProcessBuilder(cmd.asJava)

@@ -37,7 +37,14 @@ import graft.util.ReadWrite
  * 8 GiB heaps, but 8.5 M aggregation list buffers made it uniquely
  * GC-bound on big heaps — 9.3 s at 8 g vs 47.2 s at 90 g, the
  * executor shape a real deployment uses. The flat self-join form
- * removed the sensitivity; see the A/B below.) Everything stays in
+ * reduced the allocation profile, but the decisive round-7 finding
+ * is the COLLECTOR: on 90 GiB heaps G1 stays unstable for this
+ * shuffle/sort profile (warm 12–61 s across identical runs —
+ * humongous-allocation storms from ≥16 MB Spark task pages against
+ * 32 MB G1 regions, 9.3 s max pause), while ParallelGC and ZGC run
+ * 7.3–9.2 s, at or below the 8 GiB numbers. Deploy large executors
+ * of this engine on a throughput collector; graft.Bench pins and
+ * records exactly that.) Everything stays in
  * whole-stage codegen; there is no UDF on the hot path. The
  * maxUserNumPerItem cap bounds the quadratic pair blow-up per hot
  * item; it is applied as a deterministic hash-ranked top-N per item

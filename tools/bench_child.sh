@@ -14,7 +14,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-java $OPENS -Xmx"$HEAP" -XX:+UseG1GC "$@" \
+GC="-XX:+UseParallelGC"
+case "$*" in *UseG1GC*|*UseZGC*|*UseParallelGC*|*UseSerialGC*) GC="";; esac
+java $OPENS -Xmx"$HEAP" $GC "$@" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench --child "$SF_DIR" "$OUT" "$QUERIES" 2>/dev/null
