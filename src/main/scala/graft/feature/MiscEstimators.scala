@@ -145,10 +145,20 @@ class OneHotEncoder extends Estimator[OneHotEncoder, OneHotEncoderModel]
     require(inputs.size == 1)
     val df = inputs.head
     val cols = getInputCols
-    val row = df.select(cols.map(c => max(col(c).cast("double")).as(c)).toIndexedSeq: _*).head()
+    // one aggregation pass per fit: the max index AND a witness of any
+    // non-indexed value (fractional or negative) per column — checking
+    // only the max would let an interior 0.5 through, where the
+    // reference rejects any non-indexed train value
+    // (OneHotEncoderTest.java testNonIndexedTrainData)
+    val row = df.select(cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(max(d).as(s"max_$c"),
+        max(when(d =!= floor(d) || d < 0, d)).as(s"bad_$c"))
+    }.toIndexedSeq: _*).head()
     val maxIndices = cols.indices.map { i =>
-      val m = row.getDouble(i)
-      require(m == math.floor(m) && m >= 0, s"Value $m cannot be parsed as indexed integer.")
+      require(row.isNullAt(2 * i + 1),
+        s"Value ${row.getDouble(2 * i + 1)} cannot be parsed as indexed integer.")
+      val m = row.getDouble(2 * i)
       (i, m.toInt)
     }
     val spark = df.sparkSession

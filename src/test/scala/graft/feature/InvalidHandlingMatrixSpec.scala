@@ -107,4 +107,94 @@ class InvalidHandlingMatrixSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(got == Map(0 -> 3.0, 1 -> 2.0, 2 -> 4.0)) // mean of {2,4}
   }
+
+  // -------------------------------------------------------- VectorAssembler
+
+  // VectorAssemblerTest fixtures: (id, vec dense-2, num, sparseVec size-5)
+  import org.apache.spark.ml.linalg.{Vector, Vectors}
+
+  private def assemblerInput(vecOf: Int => Vector, numOf: Int => Double) = {
+    import spark.implicits._
+    val sparse1 = Vectors.sparse(5, Array(3), Array(1.0))
+    val sparse2 = Vectors.sparse(5, Array(1, 2, 3, 4), Array(1.0, 2.0, 3.0, 4.0))
+    Seq(
+      (0, vecOf(0), numOf(0), sparse1),
+      (1, vecOf(1), numOf(1), sparse2),
+      (2, vecOf(2), numOf(2), sparse2)).toDF("id", "vec", "num", "sparseVec")
+  }
+  private val denseA = Vectors.dense(2.1, 3.1)
+  private val denseB = Vectors.dense(2.0, 2.1)
+
+  private def assemble(df: org.apache.spark.sql.DataFrame, invalid: String,
+      sizes: Seq[Int] = Seq(2, 1, 5)) = new VectorAssembler()
+    .setInputCols("vec", "num", "sparseVec").setOutputCol("out")
+    .setInputSizes(sizes: _*).setHandleInvalid(invalid)
+    .transform(df).head.select("id", "out").collect()
+    .map(r => r.getInt(0) -> r.getAs[Vector]("out")).toMap
+
+  test("VectorAssembler keep: null vector column fills its slots with NaN") {
+    // VectorAssemblerTest.testKeepInvalidWithNull / EXPECTED_OUTPUT_DATA_4
+    val df = assemblerInput(i => if (i == 0) denseA else null, _ => 1.0)
+    val got = assemble(df, "keep")
+    assert(got(0) == Vectors.sparse(8, Array(0, 1, 2, 6), Array(2.1, 3.1, 1.0, 1.0)))
+    val exp4 = Vectors.dense(Double.NaN, Double.NaN, 1.0, 0.0, 1.0, 2.0, 3.0, 4.0)
+    Seq(1, 2).foreach { id =>
+      assert(got(id).toArray.zip(exp4.toArray).forall {
+        case (a, b) => (a.isNaN && b.isNaN) || a == b
+      }, s"id=$id: ${got(id)}")
+    }
+  }
+
+  test("VectorAssembler keep: NaN numeric propagates into the assembled vector") {
+    // testKeepInvalidWithNaN / EXPECTED_OUTPUT_DATA_5
+    val df = assemblerInput(i => if (i == 2) denseB else denseA,
+      i => if (i == 2) Double.NaN else 1.0)
+    val got = assemble(df, "keep")
+    val exp5 = Vectors.dense(2.0, 2.1, Double.NaN, 0.0, 1.0, 2.0, 3.0, 4.0)
+    assert(got(2).toArray.zip(exp5.toArray).forall {
+      case (a, b) => (a.isNaN && b.isNaN) || a == b
+    }, got(2).toString)
+  }
+
+  test("VectorAssembler error: null input raises the reference message") {
+    val df = assemblerInput(i => if (i == 0) denseA else null, _ => 1.0)
+    val e = intercept[Exception] { assemble(df, "error") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Input column value is null")), msgs(e).mkString(" | "))
+  }
+
+  test("VectorAssembler error: declared-size mismatch raises; keep tolerates it") {
+    val df = assemblerInput(_ => denseA, _ => 1.0)
+    val e = intercept[Exception] { assemble(df, "error", sizes = Seq(2, 1, 4)) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("size does not meet")), msgs(e).mkString(" | "))
+    assert(assemble(df, "keep", sizes = Seq(2, 1, 4)).size == 3) // rows all kept
+  }
+
+  // --------------------------------------------------------- OneHotEncoder
+
+  test("OneHotEncoder rejects non-indexed TRAIN values anywhere, not just the max") {
+    // OneHotEncoderTest.testNonIndexedTrainData: {0.5, 1.0, 2.0, 0.0}
+    import spark.implicits._
+    val df = Seq(0.5, 1.0, 2.0, 0.0).map(Tuple1(_)).toDF("c")
+    val e = intercept[IllegalArgumentException] {
+      new OneHotEncoder().setInputCols("c").setOutputCols("v").fit(df)
+    }
+    assert(e.getMessage.contains("0.5 cannot be parsed as indexed integer"), e.getMessage)
+  }
+
+  test("OneHotEncoder rejects non-indexed PREDICT values at transform") {
+    import spark.implicits._
+    val train = Seq(0.0, 1.0, 2.0, 0.0).map(Tuple1(_)).toDF("c")
+    val model = new OneHotEncoder().setInputCols("c").setOutputCols("v")
+      .setDropLast(false).fit(train)
+    val bad = Seq(0.5).map(Tuple1(_)).toDF("c")
+    val e = intercept[Exception] { model.transform(bad).head.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot be parsed as indexed integer")),
+      msgs(e).mkString(" | "))
+  }
 }
