@@ -1524,7 +1524,7 @@ object SparkEntry {
         |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM pts),
         |c0 AS (""".stripMargin)
     sb.append((0 until k).map { i =>
-      s"SELECT $i AS cid, x AS v FROM r, nn WHERE rn = FLOOR(($i + 0.5) * nn.n / $k) + 1"
+      s"SELECT $i AS cid, x AS v FROM r, nn WHERE rn = FLOOR($i * (nn.n / $k)) + 1"
     }.mkString(" UNION ALL "))
     sb.append("),\n")
     for (t <- 1 to iters) {

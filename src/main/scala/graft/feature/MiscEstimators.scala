@@ -507,10 +507,28 @@ class KBinsDiscretizer extends Estimator[KBinsDiscretizer, KBinsDiscretizerModel
                 val width = feats.length.toDouble / k
                 Array.tabulate(k)(i => feats((i * width).toInt)) :+ feats.last
               } else feats
-            val dedup = raw.distinct
-            if (dedup.length == 1) Array(dedup(0), dedup(0)) else dedup
+            KBinsDiscretizer.mergeZeroWidthBins(raw)
           } else { // kmeans on 1-D sample
-            KBinsDiscretizer.kmeans1D(feats, k)
+            // the reference switches to UNIFORM when a column has at
+            // most numBins distinct values — k-means on fewer points
+            // than clusters is degenerate (KBinsDiscretizer.java
+            // findBinEdgesWithKMeansStrategy distinct check)
+            val distinctCount = {
+              var c = 1; var i = 1
+              while (i < feats.length && c <= k) {
+                if (feats(i) != feats(i - 1)) c += 1
+                i += 1
+              }
+              c
+            }
+            if (distinctCount <= k) {
+              val (lo, hi) = (feats.head, feats.last)
+              val width = (hi - lo) / k
+              val e = new Array[Double](k + 1)
+              e(0) = lo
+              var i = 1; while (i <= k) { e(i) = e(i - 1) + width; i += 1 }
+              e
+            } else KBinsDiscretizer.kmeans1D(feats, k)
           }
         }
     }
@@ -527,11 +545,44 @@ object KBinsDiscretizer extends StageLoader[KBinsDiscretizer] {
   def load(spark: SparkSession, path: String): KBinsDiscretizer =
     ReadWrite.applyParams(new KBinsDiscretizer, path)
 
+  /** The reference's zero-width-bin repair for quantile edges
+    * (KBinsDiscretizer.java findBinEdgesWithQuantileStrategy): an edge
+    * value that appears more than once keeps exactly TWO copies, and
+    * each consecutive-equal pair is then split by replacing the right
+    * copy with the average of its neighbors (the last pair splits its
+    * LEFT copy) — so a duplicated quantile edge preserves its bin
+    * instead of collapsing, which a plain .distinct (our pre-round-7
+    * behavior) silently lost: train [1,1,1,4,...] at numBins=10 must
+    * produce edges [1, 2.5, 4, ...], not [1, 4, ...]. */
+  private[feature] def mergeZeroWidthBins(raw: Array[Double]): Array[Double] = {
+    val counts = scala.collection.mutable.LinkedHashMap.empty[Double, Int]
+    raw.foreach(e => counts(e) = counts.getOrElse(e, 0) + 1)
+    val edges = counts.iterator
+      .flatMap { case (e, c) => if (c > 1) Iterator(e, e) else Iterator.single(e) }
+      .toArray
+    java.util.Arrays.sort(edges)
+    if (edges.length == 1) return Array(edges(0), edges(0))
+    var i = 1
+    while (i < edges.length - 1) {
+      if (edges(i) == edges(i - 1)) edges(i) = (edges(i + 1) + edges(i - 1)) / 2
+      i += 1
+    }
+    if (edges(i) == edges(i - 1)) edges(i - 1) = (edges(i) + edges(i - 2)) / 2
+    edges
+  }
+
   /** Lloyd's k-means on sorted 1-D data; bin edges = midpoints between
-    * adjacent final centroids (reference findBinEdgesWithKMeansStrategy). */
+    * adjacent final centroids (reference findBinEdgesWithKMeansStrategy).
+    * Init picks sorted((i·n/k)) — the reference's rank-based seeding —
+    * and iterates to the membership fixed point (the reference stops
+    * at |Δloss| ≤ 1e-4, which at the fixed point is 0, so the fixed
+    * point is a superset-faithful stop rule the SQL oracle can unroll). */
   private[feature] def kmeans1D(sorted: Array[Double], k: Int): Array[Double] = {
     val n = sorted.length
-    var centroids = Array.tabulate(k)(i => sorted(((i + 0.5) * n / k).toInt.min(n - 1)))
+    // (i * (n/k as double)).toInt — the reference's exact index
+    // arithmetic, kept bit-for-bit (integer division can differ by one
+    // when n/k rounds below an exact multiple)
+    var centroids = Array.tabulate(k)(i => sorted((i * (n.toDouble / k)).toInt.min(n - 1)))
     var iter = 0
     var moved = true
     while (iter < 100 && moved) {

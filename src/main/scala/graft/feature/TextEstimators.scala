@@ -53,6 +53,10 @@ class CountVectorizer extends Estimator[CountVectorizer, CountVectorizerModel]
     lazy val numDocs = df.count()
     val minDfCount = if (getMinDF >= 1.0) getMinDF else getMinDF * numDocs
     val maxDfCount = if (getMaxDF >= 1.0) getMaxDF else getMaxDF * numDocs
+    // reference CountVectorizer rejects maxDF < minDF at fit (the
+    // resolved counts make mixed int/fraction settings comparable)
+    require(maxDfCount >= minDfCount,
+      s"maxDF must be >= minDF but got minDF=$getMinDF, maxDF=$getMaxDF.")
 
     // single pass: pre-aggregate term counts inside each document, then
     // one shuffle gets both the corpus term count (sum of local counts)
