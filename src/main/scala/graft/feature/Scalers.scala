@@ -367,7 +367,10 @@ class RobustScaler extends Estimator[RobustScaler, RobustScalerModel]
           require(v.size == a.length,
             s"RobustScaler.fit: inconsistent vector dimensions (${v.size} vs ${a.length})")
           var i = 0
-          while (i < a.length) { a(i) = a(i).insert(v(i)); i += 1 }
+          // NaN is skipped per dimension (reference RobustScaler fits
+          // each dim's quantiles over its non-NaN values only; a NaN
+          // input still transforms to NaN via the arithmetic)
+          while (i < a.length) { if (!v(i).isNaN) a(i) = a(i).insert(v(i)); i += 1 }
           a
         },
         (a, b) =>
@@ -381,7 +384,11 @@ class RobustScaler extends Estimator[RobustScaler, RobustScalerModel]
     require(agg.nonEmpty, "RobustScaler.fit: empty input")
     val q = agg.map { s0 =>
       val s = s0.compress()
-      (s.query(getLower).get, s.query(0.5).get, s.query(getUpper).get)
+      // an all-NaN dimension has an empty sketch: its median/range are
+      // NaN and every transformed value in that dim is NaN
+      (s.query(getLower).getOrElse(Double.NaN),
+        s.query(0.5).getOrElse(Double.NaN),
+        s.query(getUpper).getOrElse(Double.NaN))
     }
     val medians = q.map(_._2)
     val ranges = q.map(t => t._3 - t._1)
