@@ -185,6 +185,40 @@ class InvalidHandlingMatrixSpec extends SparkSpec {
     assert(e.getMessage.contains("0.5 cannot be parsed as indexed integer"), e.getMessage)
   }
 
+  // -------------------------------------------------- StopWordsRemover
+
+  test("StopWordsRemover case sensitivity matrix (reference :226-241)") {
+    import spark.implicits._
+    val df = Seq(Seq("A"), Seq("The", "the")).map(Tuple1(_)).toDF("raw")
+    val insensitive = new StopWordsRemover().setInputCols("raw").setOutputCols("filtered")
+      .transform(df).head.select("filtered").collect().map(_.getSeq[String](0))
+    assert(insensitive.toSeq == Seq(Seq.empty, Seq.empty))
+    val sensitive = new StopWordsRemover().setInputCols("raw").setOutputCols("filtered")
+      .setCaseSensitive(true)
+      .transform(df).head.select("filtered").collect().map(_.getSeq[String](0))
+    assert(sensitive.toSeq == Seq(Seq("A"), Seq("The")))
+  }
+
+  test("StopWordsRemover custom lists add and ignore words (reference :283-328)") {
+    import spark.implicits._
+    val df = Seq(Seq("python", "scala", "a"), Seq("Python", "Scala", "swift"))
+      .map(Tuple1(_)).toDF("raw")
+    val base = StopWordsRemover.loadDefaultStopWords("english").toSet
+    def run(words: Set[String]) = new StopWordsRemover()
+      .setInputCols("raw").setOutputCols("filtered").setStopWords(words.toArray)
+      .transform(df).head.select("filtered").collect().map(_.getSeq[String](0)).toSeq
+    assert(run(base - "a") == Seq(Seq("python", "scala", "a"), Seq("Python", "Scala", "swift")))
+    assert(run(base ++ Seq("python", "scala")) == Seq(Seq.empty, Seq("swift")))
+  }
+
+  test("default stop words of every supported language are non-empty") {
+    Seq("danish", "dutch", "english", "finnish", "french", "german", "hungarian",
+      "italian", "norwegian", "portuguese", "russian", "spanish", "swedish", "turkish")
+      .foreach { lang =>
+        assert(StopWordsRemover.loadDefaultStopWords(lang).nonEmpty, lang)
+      }
+  }
+
   test("OneHotEncoder rejects non-indexed PREDICT values at transform") {
     import spark.implicits._
     val train = Seq(0.0, 1.0, 2.0, 0.0).map(Tuple1(_)).toDF("c")
