@@ -769,6 +769,34 @@ object SparkEntry {
           round(entry.getItem(1).cast("double"), 6).as("score"))
     }),
 
+    // --- Swing through the ARRAYS pair strategy (the reference's own
+    // bounded shape: capped-list pair enumeration + array_intersect of
+    // per-user item arrays — the path auto engages on hot catalogs,
+    // where the flat self-join is quadratic in the hottest item's
+    // degree). Same oracle as q_swing: both strategies enumerate the
+    // identical contribution multiset, and at 6-dp rounding the
+    // differing float summation orders agree — verified at sf0.01
+    // (oracle MATCH) and at sf0.1, where the two strategies'
+    // outputs are byte-identical to each other and share exactly
+    // q_swing's documented sub-1e-6 rank-tie diff vs DuckDB (the
+    // scale-contract exclusion below). This row puts the arrays
+    // path — exercised at scale by the swing_zipf ScaleUp stage —
+    // under the driver's oracle gate, not just the SwingSpec
+    // equivalence test. ---
+    "q_swing_arrays" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val behavior = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      val out = new graft.recommendation.Swing().setK(10).setPairStrategy("arrays")
+        .transform(behavior).head
+      val entry = split(col("entry"), ",")
+      out.select(col("item"), explode(split(col("output"), ";")).as("entry"))
+        .select(col("item"),
+          entry.getItem(0).cast("long").as("sim_item"),
+          round(entry.getItem(1).cast("double"), 6).as("score"))
+    }),
+
     // --- Swing with the reference's hot-item cap engaged
     // (maxUserNumPerItem=100, the SwingParams.java default region).
     // Measured on this workload: the most-purchased item has 49
@@ -1642,8 +1670,10 @@ object SparkEntry {
    * scale-independent oracles re-verified green (incl. both
    * versioned-model queries); the only diffs were exactly the
    * documented fixed-constant oracles above plus q_swing's sub-1e-6
-   * score tie broken by float summation order (and q_swing_capped,
-   * which is row-identical to q_swing at both scales).
+   * score tie broken by float summation order (and q_swing_capped /
+   * q_swing_arrays, which are row-identical to q_swing at both
+   * scales — cross-checked round 7: all three share the same single
+   * tie diff at sf0.1).
    */
   private val swingOracleSql: String =
     """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
@@ -2512,6 +2542,10 @@ object SparkEntry {
     // data (measured max 49/53 qualifying users per item), so capped
     // output == uncapped output
     "q_swing_capped" -> swingOracleSql,
+
+    // same oracle as q_swing: identical contribution multiset through
+    // the arrays pair strategy (see the queries entry)
+    "q_swing_arrays" -> swingOracleSql,
 
     "q_swing" -> swingOracleSql,
 
