@@ -36,6 +36,63 @@ class TransformerFixtureSpec extends SparkSpec {
       Vectors.sparse(17, Array(11, 12), Array(1.0, 1.0))))
   }
 
+  test("ElementwiseProduct dense + sparse fixtures (explicit zeros preserved)") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Vectors.dense(2.1, 3.1),
+        Vectors.sparse(5, Array(3), Array(1.0)): Vector),
+      (1, Vectors.dense(1.1, 3.3),
+        Vectors.sparse(5, Array(1, 2, 3, 4), Array(1.0, 2.0, 3.0, 4.0)): Vector),
+      (2, null, null)).toDF("id", "vec", "sparseVec")
+    val dense = new ElementwiseProduct().setInputCol("vec").setOutputCol("out")
+      .setScalingVec(Vectors.dense(1.1, 1.1))
+      .transform(df).head.orderBy("id").select("out").collect().map(_.getAs[Vector](0))
+    assert(dense(0).toArray.zip(Array(2.31, 3.41)).forall { case (a, b) => math.abs(a - b) < 1e-5 })
+    assert(dense(1).toArray.zip(Array(1.21, 3.63)).forall { case (a, b) => math.abs(a - b) < 1e-5 })
+    assert(dense(2) == null)
+    // scaling sparse(5, {0:1.1, 1:1.1}): products at absent scaling
+    // indices become EXPLICIT zeros — nnz structure is preserved
+    val sparse = new ElementwiseProduct().setInputCol("sparseVec").setOutputCol("out")
+      .setScalingVec(Vectors.sparse(5, Array(0, 1), Array(1.1, 1.1)))
+      .transform(df).head.orderBy("id").select("out").collect().map(_.getAs[Vector](0))
+    assert(sparse(0) == Vectors.sparse(5, Array(3), Array(0.0)))
+    val s1 = sparse(1).asInstanceOf[org.apache.spark.ml.linalg.SparseVector]
+    assert(s1.indices.toSeq == Seq(1, 2, 3, 4))
+    assert(s1.values.zip(Array(1.1, 0.0, 0.0, 0.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-5
+    })
+  }
+
+  test("Interaction dense and sparse fixtures (row-major outer product, nulls -> null)") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, Vectors.dense(1.0, 2.0), Vectors.dense(3.0, 4.0),
+        Vectors.sparse(17, Array(0, 3, 9), Array(1.0, 2.0, 7.0)): Vector),
+      (2.0, Vectors.dense(2.0, 8.0), Vectors.dense(3.0, 4.0, 5.0),
+        Vectors.sparse(17, Array(0, 2, 14), Array(5.0, 4.0, 1.0)): Vector))
+      .toDF("f0", "f1", "f2", "f3")
+    val dense = new Interaction().setInputCols("f0", "f1", "f2").setOutputCol("out")
+      .transform(df).head.select("out").collect().map(_.getAs[Vector](0))
+    assert(dense(0) == Vectors.dense(3.0, 4.0, 6.0, 8.0))
+    assert(dense(1) == Vectors.dense(12.0, 16.0, 20.0, 48.0, 64.0, 80.0))
+
+    val sparse = new Interaction().setInputCols("f0", "f1", "f2", "f3").setOutputCol("out")
+      .transform(df).head.select("out").collect().map(_.getAs[Vector](0))
+    assert(sparse(0) == Vectors.sparse(68,
+      Array(0, 3, 9, 17, 20, 26, 34, 37, 43, 51, 54, 60),
+      Array(3.0, 6.0, 21.0, 4.0, 8.0, 28.0, 6.0, 12.0, 42.0, 8.0, 16.0, 56.0)))
+    assert(sparse(1) == Vectors.sparse(102,
+      Array(0, 2, 14, 17, 19, 31, 34, 36, 48, 51, 53, 65, 68, 70, 82, 85, 87, 99),
+      Array(60.0, 48.0, 12.0, 80.0, 64.0, 16.0, 100.0, 80.0, 20.0, 240.0, 192.0,
+        48.0, 320.0, 256.0, 64.0, 400.0, 320.0, 80.0)))
+
+    val withNull = Seq((3.0, null.asInstanceOf[Vector], null.asInstanceOf[Vector]))
+      .toDF("f0", "f1", "f2")
+    val nulled = new Interaction().setInputCols("f0", "f1", "f2").setOutputCol("out")
+      .transform(withNull).head.select("out").head()
+    assert(nulled.isNullAt(0))
+  }
+
   test("NGram on inputs shorter than n yields empty arrays (reference fixture)") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("a", "b", "c"), Seq("a", "b", "c", "d"))
