@@ -93,6 +93,47 @@ class TransformerFixtureSpec extends SparkSpec {
     assert(nulled.isNullAt(0))
   }
 
+  test("PolynomialExpansion dense degree-2/3 and sparse degree-3 reference fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      (Vectors.dense(1.0, 2.0, 3.0),
+        Vectors.sparse(5, Array(1, 4), Array(2.0, 3.0)): Vector),
+      (Vectors.dense(2.0, 3.0),
+        Vectors.sparse(5, Array(1, 4), Array(2.0, 1.0)): Vector)).toDF("denseVec", "sparseVec")
+    def run(in: String, degree: Int) = new PolynomialExpansion()
+      .setInputCol(in).setOutputCol("out").setDegree(degree)
+      .transform(df).head.select("out").collect().map(_.getAs[Vector](0)).toSeq
+    assert(run("denseVec", 2) == Seq(
+      Vectors.dense(1.0, 1.0, 2.0, 2.0, 4.0, 3.0, 3.0, 6.0, 9.0),
+      Vectors.dense(2.0, 4.0, 3.0, 6.0, 9.0)))
+    assert(run("denseVec", 3) == Seq(
+      Vectors.dense(1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 4.0, 4.0, 8.0, 3.0, 3.0, 3.0,
+        6.0, 6.0, 12.0, 9.0, 9.0, 18.0, 27.0),
+      Vectors.dense(2.0, 4.0, 8.0, 3.0, 6.0, 12.0, 9.0, 18.0, 27.0)))
+    assert(run("sparseVec", 3) == Seq(
+      Vectors.sparse(55, Array(3, 6, 8, 34, 37, 39, 49, 51, 54),
+        Array(2.0, 4.0, 8.0, 3.0, 6.0, 12.0, 9.0, 18.0, 27.0)),
+      Vectors.sparse(55, Array(3, 6, 8, 34, 37, 39, 49, 51, 54),
+        Array(2.0, 4.0, 8.0, 1.0, 2.0, 4.0, 1.0, 2.0, 1.0))))
+  }
+
+  test("VectorSlicer dense and sparse reference fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Vectors.dense(2.1, 3.1, 2.3, 3.4, 5.3, 5.1),
+        Vectors.sparse(5, Array(1, 3, 4), Array(0.1, 0.2, 0.3)): Vector),
+      (1, Vectors.dense(2.3, 4.1, 1.3, 2.4, 5.1, 4.1),
+        Vectors.sparse(5, Array(1, 2, 4), Array(0.1, 0.2, 0.3)): Vector))
+      .toDF("id", "vec", "sparseVec")
+    def run(in: String) = new VectorSlicer().setInputCol(in).setOutputCol("out")
+      .setIndices(0, 1, 2)
+      .transform(df).head.orderBy("id").select("out").collect().map(_.getAs[Vector](0)).toSeq
+    assert(run("vec") == Seq(Vectors.dense(2.1, 3.1, 2.3), Vectors.dense(2.3, 4.1, 1.3)))
+    assert(run("sparseVec") == Seq(
+      Vectors.sparse(3, Array(1), Array(0.1)),
+      Vectors.sparse(3, Array(1, 2), Array(0.1, 0.2))))
+  }
+
   test("NGram on inputs shorter than n yields empty arrays (reference fixture)") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("a", "b", "c"), Seq("a", "b", "c", "d"))
