@@ -69,6 +69,58 @@ class ScalerMatrixSpec extends SparkSpec {
     assert(collectVecs(model.transform(robustPredict).head).forall(_.forall(_ == 0.0)))
   }
 
+  test("MaxAbsScaler dense fixture incl. an all-zero dimension (reference :67-102)") {
+    val train = df(Seq(Vectors.dense(0.0, 3.0, 0.0), Vectors.dense(2.1, 0.0, 0.0),
+      Vectors.dense(4.1, 5.1, 0.0), Vectors.dense(6.1, 8.1, 0.0),
+      Vectors.dense(200.0, -400.0, 0.0)))
+    val predict = df(Seq(Vectors.dense(150.0, 90.0, 1.0), Vectors.dense(50.0, 40.0, 1.0),
+      Vectors.dense(100.0, 50.0, 0.5)))
+    val model = new MaxAbsScaler().setInputCol("input").setOutputCol("output").fit(train)
+    assert(collectVecs(model.transform(predict).head) == Seq(
+      Seq(0.75, 0.225, 1.0), Seq(0.25, 0.1, 1.0), Seq(0.5, 0.125, 0.5)))
+  }
+
+  test("MaxAbsScaler sparse fixture stays sparse (reference :80-110)") {
+    val train = df(Seq(
+      Vectors.sparse(4, Array(1, 3), Array(4.0, 3.0)),
+      Vectors.sparse(4, Array(0, 2), Array(2.0, -6.0)),
+      Vectors.sparse(4, Array(1, 2), Array(1.0, 3.0)),
+      Vectors.sparse(4, Array(0, 1), Array(2.0, 8.0)),
+      Vectors.sparse(4, Array(1, 3), Array(1.0, 5.0))))
+    val predict = df(Seq(
+      Vectors.sparse(4, Array(0, 1), Array(2.0, 4.0)),
+      Vectors.sparse(4, Array(0, 2), Array(1.0, 3.0)),
+      Vectors.sparse(4, Array.empty[Int], Array.empty[Double]),
+      Vectors.sparse(4, Array(1, 3), Array(1.0, 2.0))))
+    val model = new MaxAbsScaler().setInputCol("input").setOutputCol("output").fit(train)
+    val got = model.transform(predict).head.select("output").collect().map(_.getAs[Vector](0))
+    assert(got.toSeq == Seq(
+      Vectors.sparse(4, Array(0, 1), Array(1.0, 0.5)),
+      Vectors.sparse(4, Array(0, 2), Array(0.5, 0.5)),
+      Vectors.sparse(4, Array.empty[Int], Array.empty[Double]),
+      Vectors.sparse(4, Array(1, 3), Array(0.125, 0.4))))
+  }
+
+  test("IDF fixture: ln((m+1)/(df+1)) weighting and minDocFreq zeroing (IDFTest :57-67)") {
+    val input = df(Seq(Vectors.dense(0.0, 1.0, 0.0, 2.0), Vectors.dense(0.0, 1.0, 2.0, 3.0),
+      Vectors.dense(0.0, 1.0, 0.0, 0.0)))
+    def run(minDf: Int) = collectVecs(
+      new IDF().setMinDocFreq(minDf).setInputCol("input").setOutputCol("output")
+        .fit(input).transform(input).head)
+    val expected = Seq(
+      Seq(0.0, 0.0, 0.0, 0.5753641), Seq(0.0, 0.0, 1.3862943, 0.8630462),
+      Seq(0.0, 0.0, 0.0, 0.0))
+    run(0).zip(expected).foreach { case (g, e) =>
+      g.zip(e).foreach { case (a, b) => assert(math.abs(a - b) < 1e-7, s"$g vs $e") }
+    }
+    val expected2 = Seq(
+      Seq(0.0, 0.0, 0.0, 0.5753641), Seq(0.0, 0.0, 0.0, 0.8630462),
+      Seq(0.0, 0.0, 0.0, 0.0))
+    run(2).zip(expected2).foreach { case (g, e) =>
+      g.zip(e).foreach { case (a, b) => assert(math.abs(a - b) < 1e-7, s"$g vs $e") }
+    }
+  }
+
   test("RobustScaler ignores NaN in fit and passes NaN through in transform") {
     val train = df(Seq(Vectors.dense(0.0, Double.NaN), Vectors.dense(Double.NaN, 0.0),
       Vectors.dense(1.0, -1.0), Vectors.dense(2.0, -2.0), Vectors.dense(3.0, -3.0),
