@@ -59,6 +59,14 @@ class NaiveBayes extends Estimator[NaiveBayes, NaiveBayesModel]
       .map { case (k, rows) => k -> rows.map(r => r._3 -> r._4).toMap }
 
     val totalDocs = docCount.values.sum
+    // ragged inputs would silently train a model that indexes past the
+    // short vectors; the reference rejects them at fit
+    // (NaiveBayes.java — "Feature vectors should be of equal length.").
+    // Every feature index must appear exactly once per document:
+    val perFeatureTotals: Map[Int, Long] =
+      counts.groupBy(_._2).map { case (j, rows) => j -> rows.map(_._4).sum }
+    require((0 until numFeatures).forall(j => perFeatureTotals.getOrElse(j, 0L) == totalDocs),
+      "Feature vectors should be of equal length.")
     val piLog = math.log(totalDocs.toDouble * numFeatures + labels.length * sm)
 
     // model rows: (labelIdx, label, pi, fidx, value, logProb)

@@ -142,6 +142,38 @@ class MLSpec extends SparkSpec {
     assert(out2.toSeq == out.map(_.getDouble(1)).toSeq)
   }
 
+  test("NaiveBayes reference fixture predictions + ragged-vector rejection") {
+    import spark.implicits._
+    // NaiveBayesTest.java:67-92 — exact train/predict/expected
+    val train = Seq(
+      (Vectors.dense(0.0, 0.0), 11.0), (Vectors.dense(1.0, 0.0), 10.0),
+      (Vectors.dense(1.0, 1.0), 10.0)).toDF("features", "label")
+    val model = new NaiveBayes().setSmoothing(1.0).fit(train)
+    val predict = Seq(Vectors.dense(0.0, 1.0), Vectors.dense(0.0, 0.0),
+      Vectors.dense(1.0, 0.0), Vectors.dense(1.0, 1.0)).map(Tuple1(_)).toDF("features")
+    val got = model.transform(predict).head
+      .select("features", "prediction").collect()
+      .map(r => r.getAs[Vector](0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      Vectors.dense(0.0, 1.0) -> 11.0, Vectors.dense(0.0, 0.0) -> 11.0,
+      Vectors.dense(1.0, 0.0) -> 10.0, Vectors.dense(1.0, 1.0) -> 10.0))
+
+    // ragged vectors are rejected at fit with the reference's message
+    // (NaiveBayesTest testVectorWithDiffLen) — not silently mistrained
+    val ragged = Seq(
+      (Vectors.dense(0.0, 0.0), 11.0), (Vectors.dense(1.0, 0.0), 10.0),
+      (Vectors.dense(1.0), 10.0)).toDF("features", "label")
+    val e = intercept[IllegalArgumentException] { new NaiveBayes().fit(ragged) }
+    assert(e.getMessage.contains("equal length"), e.getMessage)
+
+    // unseen feature VALUE at predict: the reference NPEs
+    // (testPredictUnseenFeature); we score the label -Inf instead and
+    // still emit a deterministic prediction — graceful by design
+    val unseen = Seq(Vectors.dense(2.0, 1.0)).map(Tuple1(_)).toDF("features")
+    val p = model.transform(unseen).head.select("prediction").as[Double].head()
+    assert(p == 10.0 || p == 11.0)
+  }
+
   test("Knn classifies by majority of k nearest") {
     import spark.implicits._
     val train = Seq(
