@@ -97,6 +97,19 @@ class MLSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"mispredicted: $r"))
   }
 
+  test("LinearSVC threshold extremes flip every prediction (reference testThreshold)") {
+    import spark.implicits._
+    val binomial = (1 to 5).map(i => (Vectors.dense(i.toDouble, 1.0), 0.0)) ++
+      (11 to 15).map(i => (Vectors.dense(i.toDouble, 1.0), 1.0))
+    val df = binomial.toDF("features", "label")
+    def preds(threshold: Double): Seq[Double] =
+      new LinearSVC().setMaxIter(50).setLearningRate(0.05).setGlobalBatchSize(10)
+        .setThreshold(threshold).fit(df)
+        .transform(df).head.select("prediction").as[Double].collect().toSeq
+    assert(preds(-Double.MaxValue).forall(_ == 1.0))
+    assert(preds(Double.MaxValue).forall(_ == 0.0))
+  }
+
   test("LinearRegression fits y = 2x + 1") {
     import spark.implicits._
     val df = (1 to 20).map { i =>
