@@ -134,6 +134,23 @@ class TransformerFixtureSpec extends SparkSpec {
       Vectors.sparse(3, Array(1, 2), Array(0.1, 0.2))))
   }
 
+  test("RegexTokenizer option matrix (reference RegexTokenizerTest :99-155)") {
+    import spark.implicits._
+    val df = Seq("Test for tokenization.", "Te,st. punct").map(Tuple1(_)).toDF("input")
+    def run(minLen: Int = 1, gaps: Boolean = true, pattern: String = "\\s+",
+        lower: Boolean = true): Seq[Seq[String]] =
+      new RegexTokenizer().setInputCol("input").setOutputCol("output")
+        .setMinTokenLength(minLen).setGaps(gaps).setPattern(pattern).setToLowercase(lower)
+        .transform(df).head.select("output").collect().map(_.getSeq[String](0)).toSeq
+    assert(run() == Seq(Seq("test", "for", "tokenization."), Seq("te,st.", "punct")))
+    assert(run(lower = false) ==
+      Seq(Seq("Test", "for", "tokenization."), Seq("Te,st.", "punct")))
+    assert(run(gaps = false, pattern = "\\w+|\\p{Punct}") ==
+      Seq(Seq("test", "for", "tokenization", "."), Seq("te", ",", "st", ".", "punct")))
+    assert(run(minLen = 3, gaps = false, pattern = "\\w+|\\p{Punct}") ==
+      Seq(Seq("test", "for", "tokenization"), Seq("punct")))
+  }
+
   test("NGram on inputs shorter than n yields empty arrays (reference fixture)") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("a", "b", "c"), Seq("a", "b", "c", "d"))
