@@ -134,6 +134,24 @@ class TransformerFixtureSpec extends SparkSpec {
       Vectors.sparse(3, Array(1, 2), Array(0.1, 0.2))))
   }
 
+  test("DCT forward and inverse reference fixtures (DCTTest :50-66, 3 dp)") {
+    import spark.implicits._
+    val df = Seq(Vectors.dense(1.0, 1.0, 1.0, 1.0), Vectors.dense(1.0, 0.0, -1.0, 0.0))
+      .map(Tuple1(_)).toDF("input")
+    def run(inverse: Boolean): Seq[Seq[Double]] =
+      new DCT().setInputCol("input").setOutputCol("output").setInverse(inverse)
+        .transform(df).head.select("output").collect()
+        .map(_.getAs[Vector](0).toArray.toSeq).toSeq
+    val fwd = Seq(Seq(2.0, 0.0, 0.0, 0.0), Seq(0.0, 0.924, 1.0, -0.383))
+    run(false).zip(fwd).foreach { case (g, e) =>
+      g.zip(e).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3, s"$g vs $e") }
+    }
+    val inv = Seq(Seq(1.924, -0.383, 0.383, 0.076), Seq(0.0, 1.0, 1.0, 0.0))
+    run(true).zip(inv).foreach { case (g, e) =>
+      g.zip(e).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3, s"$g vs $e") }
+    }
+  }
+
   test("RegexTokenizer option matrix (reference RegexTokenizerTest :99-155)") {
     import spark.implicits._
     val df = Seq("Test for tokenization.", "Te,st. punct").map(Tuple1(_)).toDF("input")
