@@ -146,14 +146,17 @@ class OneHotEncoder extends Estimator[OneHotEncoder, OneHotEncoderModel]
     val df = inputs.head
     val cols = getInputCols
     // one aggregation pass per fit: the max index AND a witness of any
-    // non-indexed value (fractional or negative) per column — checking
-    // only the max would let an interior 0.5 through, where the
-    // reference rejects any non-indexed train value
-    // (OneHotEncoderTest.java testNonIndexedTrainData)
+    // non-indexed value (fractional, negative, or NaN) per column —
+    // checking only the max would let an interior 0.5 through, where
+    // the reference rejects any non-indexed train value
+    // (OneHotEncoderTest.java testNonIndexedTrainData). NaN needs its
+    // own arm: NaN = NaN holds in Spark SQL, so `d =!= floor(d)` is
+    // false for NaN and it would otherwise flow into max() (where NaN
+    // sorts greatest) and silently truncate to 0.
     val row = df.select(cols.flatMap { c =>
       val d = col(c).cast("double")
-      Seq(max(d).as(s"max_$c"),
-        max(when(d =!= floor(d) || d < 0, d)).as(s"bad_$c"))
+      Seq(max(when(!isnan(d), d)).as(s"max_$c"),
+        max(when(d =!= floor(d) || d < 0 || isnan(d), d)).as(s"bad_$c"))
     }.toIndexedSeq: _*).head()
     val maxIndices = cols.indices.map { i =>
       require(row.isNullAt(2 * i + 1),

@@ -16,9 +16,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 GC="-XX:+UseParallelGC"
 case "$*" in *UseG1GC*|*UseZGC*|*UseParallelGC*|*UseSerialGC*) GC="";; esac
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
 java $OPENS -Xmx"$HEAP" $GC "$@" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   graft.Bench --child "$SF_DIR" "$OUT" "$QUERIES" 2>/dev/null
 echo "name cold warm"
 cat "$OUT"
