@@ -235,7 +235,8 @@ object Bench {
     val jvmFlags = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filter(a => a.startsWith("--add-opens") || a.startsWith("-X") || a.startsWith("-D"))
-      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-XX:+Use"))
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        a.matches("""-XX:\+Use(G1|Parallel|Z|Serial|Shenandoah|Epsilon)GC"""))
     val cmd = Seq(javaBin) ++ jvmFlags ++
       Seq(s"-Xmx${benchHeapMb}m", s"-XX:+Use${benchGc}GC") ++ Seq(
       "-cp", sys.props("java.class.path"),

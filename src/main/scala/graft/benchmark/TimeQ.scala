@@ -1,4 +1,7 @@
-// temp: time a single query at a given SF dir
+package graft.benchmark
+
+/** Dev utility: time a single `SparkEntry.queries` entry at a given SF dir
+  * (two runs, noop sink). Usage: `runMain graft.benchmark.TimeQ <sfDir> <query>`. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, name) = args

@@ -175,9 +175,17 @@ class Swing extends AlgoOperator[Swing]
     // two rank windows + three-way union) is dropped from the plan —
     // an idle knob must cost nothing (round-6 judge finding: the
     // never-binding cap added ~33% before this gate).
+    // NOTE: this probe makes transform() eager — it runs one Spark job
+    // at plan-construction time. hotItems is persisted across the probe
+    // and the broadcast join below so the detection aggregation runs
+    // once, not twice; it stays cached while the cap is engaged (the
+    // frame is tiny: ≤ totalPairs/cap rows) and is dropped immediately
+    // when it is not.
     val hotItems = pairs.groupBy("i").agg(count(lit(1)).as("icnt"))
       .where(col("icnt") > getMaxUserNumPerItem)
-    val capEngaged = !hotItems.isEmpty
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capEngaged = hotItems.count() > 0
+    if (!capEngaged) hotItems.unpersist(blocking = false)
     val flagged = if (!capEngaged) {
       pairs.join(userCnt, "u").withColumn("inCap", lit(true))
     } else {

@@ -185,6 +185,20 @@ class InvalidHandlingMatrixSpec extends SparkSpec {
     assert(e.getMessage.contains("0.5 cannot be parsed as indexed integer"), e.getMessage)
   }
 
+  test("OneHotEncoder rejects NaN TRAIN values (NaN = NaN holds in Spark SQL)") {
+    // In Spark SQL NaN equals itself and sorts greatest, so without a
+    // dedicated isnan arm a NaN train value would flow through the
+    // fractional/negative witness into max() and silently truncate to
+    // a degenerate 0-size model. The reference throws
+    // (OneHotEncoder.java: value != number.doubleValue()).
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, Double.NaN, 2.0).map(Tuple1(_)).toDF("c")
+    val e = intercept[IllegalArgumentException] {
+      new OneHotEncoder().setInputCols("c").setOutputCols("v").fit(df)
+    }
+    assert(e.getMessage.contains("cannot be parsed as indexed integer"), e.getMessage)
+  }
+
   // -------------------------------------------------- StopWordsRemover
 
   test("StopWordsRemover case sensitivity matrix (reference :226-241)") {
