@@ -365,8 +365,8 @@ object DCT extends StageLoader[DCT] {
     * vector would otherwise pin 20 GB); above the bounds the loops
     * fall back to direct math.cos — same results, O(1) memory. */
   private val MaxTableDim = 4096 // n² doubles: 4096 → 128 MB, the per-entry ceiling
-  private val MaxCacheBytes = 512L << 20
-  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[feature] val MaxCacheBytes = 512L << 20
+  private[feature] val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   private val cosTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
   /** Null when the dimension is outside the memo bounds. The budget
     * is RESERVED with addAndGet before building (rolled back if the
@@ -374,14 +374,17 @@ object DCT extends StageLoader[DCT] {
     * first): a plain check-then-build would let 32 racing first
     * calls for distinct dims each pass the check and collectively
     * commit ~4 GB past the cap. */
-  private def cosTable(n: Int): Array[Double] = {
+  private[feature] def cosTable(n: Int): Array[Double] = {
     if (n > MaxTableDim) return null
     val hit = cosTables.get(n)
     if (hit != null) return hit
     val bytes = 8L * n * n
     if (cachedBytes.addAndGet(bytes) > MaxCacheBytes) {
       cachedBytes.addAndGet(-bytes)
-      return null
+      // the cap may be transiently exceeded by RESERVATIONS of racing
+      // first calls for this same dim — if the winner has already
+      // installed the table, serve it rather than falling back
+      return cosTables.get(n)
     }
     val t = new Array[Double](n * n)
     var k = 0

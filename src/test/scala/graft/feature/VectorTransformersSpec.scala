@@ -211,6 +211,65 @@ class VectorTransformersSpec extends SparkSpec {
     assert(again(0).count() == n0)
   }
 
+  test("DCT cosTable: 32 racing first calls for one dim commit one table's bytes") {
+    // The budget is reserved with addAndGet before building; losers of
+    // the putIfAbsent race must roll their reservation back. Without
+    // that, 32 racing first calls would commit 32× the bytes and
+    // permanently burn the cache budget.
+    val n = 1733 // distinct from every other test's dims → a true first call
+    val before = DCT.cachedBytes.get()
+    val ready = new java.util.concurrent.CountDownLatch(32)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val tables = new Array[Array[Double]](32)
+    val threads = (0 until 32).map { i =>
+      val t = new Thread(() => {
+        ready.countDown(); go.await()
+        tables(i) = DCT.cosTable(n)
+      })
+      t.start(); t
+    }
+    ready.await(); go.countDown()
+    threads.foreach(_.join())
+    // Every caller sees either the single winning instance or null (a
+    // racer whose RESERVATION pushed past the cap before the winner's
+    // rollback — it falls back to direct math.cos, same results).
+    // NOTE: assert only on derived booleans — rendering a failed
+    // assert over `tables` would stringify ~24 MB arrays.
+    val winnerCount = tables.count(_ ne null)
+    assert(winnerCount >= 1, "at least one racer must build the table")
+    val head = tables.find(_ ne null).get
+    val allWinnerOrNull = tables.forall(t => (t eq null) || (t eq head))
+    assert(allWinnerOrNull, "every non-null result must be the one cached instance")
+    // Exactly one table's bytes committed: every loser rolled back.
+    val committed = DCT.cachedBytes.get() - before
+    assert(committed == 8L * n * n)
+    assert(DCT.cachedBytes.get() <= DCT.MaxCacheBytes)
+  }
+
+  test("DCT cosTable: concurrent distinct dims never overshoot the byte cap") {
+    // 40 distinct ~1500-dim tables want ~724 MB total against a 512 MB
+    // cap: some must be refused (null → direct math.cos fallback), and
+    // the committed total must stay under the cap at all times.
+    val dims = (1500 until 1540).toVector
+    val ready = new java.util.concurrent.CountDownLatch(dims.size)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val got = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val threads = dims.map { n =>
+      val t = new Thread(() => {
+        ready.countDown(); go.await()
+        got.put(n, DCT.cosTable(n) ne null)
+      })
+      t.start(); t
+    }
+    ready.await(); go.countDown()
+    threads.foreach(_.join())
+    assert(DCT.cachedBytes.get() <= DCT.MaxCacheBytes)
+    // a refused dim still computes correctly through the fallback path
+    import org.apache.spark.ml.linalg.Vectors
+    val x = Array.fill(8)(1.0)
+    assert(math.abs(DCT.dct3(DCT.dct2(x)).sum - 8.0) < 1e-9)
+  }
+
   test("Pipeline fit/transform chains stages and save/load round-trips") {
     import spark.implicits._
     val df = Seq("Hello World Spark").toDF("input")
