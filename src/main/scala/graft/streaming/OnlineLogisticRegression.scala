@@ -155,9 +155,16 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
 
   private var modelData: DataFrame = _
   override def setModelData(data: DataFrame*): OnlineLogisticRegressionModel = {
-    modelData = data.head; this
+    modelData = data.head; latestCache = None; this
   }
   override def getModelData: Array[DataFrame] = Array(modelData)
+
+  /** The latest (version, coefficient, zParam, nParam) when this model
+    * was produced by `update` — the chain's head is already in driver
+    * memory, so the next update must not pay a Spark job (orderBy +
+    * head over the version stream) just to re-read it. Invalidated by
+    * any external setModelData. O(dim) per live model instance. */
+  private var latestCache: Option[(Long, Vector, Vector, Vector)] = None
 
   /** Model data predating the version column (a bare FTRL state row)
     * is accepted and treated as version 0 at time Long.MinValue. */
@@ -174,11 +181,15 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
       weightCol: String, modelTimeMs: Long = Long.MaxValue): OnlineLogisticRegressionModel = {
     val spark = batch.sparkSession
     if (batch.rdd.getNumPartitions == 0) return this
-    val row = latestRow()
-    val coefficient = row.getAs[Vector]("coefficient").toArray.clone()
-    val zParam = row.getAs[Vector]("zParam").toArray.clone()
-    val nParam = row.getAs[Vector]("nParam").toArray.clone()
-    val latestVersion = if (hasVersions) row.getAs[Long]("version") else 0L
+    val (latestVersion, coefficient, zParam, nParam) = latestCache match {
+      case Some((v, c, z, nn)) => (v, c.toArray.clone(), z.toArray.clone(), nn.toArray.clone())
+      case None =>
+        val row = latestRow()
+        (if (hasVersions) row.getAs[Long]("version") else 0L,
+          row.getAs[Vector]("coefficient").toArray.clone(),
+          row.getAs[Vector]("zParam").toArray.clone(),
+          row.getAs[Vector]("nParam").toArray.clone())
+    }
     val dim = coefficient.length
     val bc = spark.sparkContext.broadcast(Vectors.dense(coefficient))
 
@@ -267,6 +278,8 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
       else chained
     val m = new OnlineLogisticRegressionModel().setModelData(stream)
     copyParamsTo(m)
+    m.latestCache = Some((latestVersion + 1, Vectors.dense(coefficient),
+      Vectors.dense(zParam), Vectors.dense(nParam)))
     m
   }
 
@@ -277,7 +290,10 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
   }
 
   private def transformLatest(input: DataFrame): Array[DataFrame] = {
-    val coeff = latestRow().getAs[Vector]("coefficient")
+    val coeff = latestCache match {
+      case Some((_, c, _, _)) => c
+      case None => latestRow().getAs[Vector]("coefficient")
+    }
     val bc = input.sparkSession.sparkContext.broadcast(coeff)
     val raw = udf { v: Vector =>
       if (v == null) null
