@@ -93,6 +93,17 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
   def getDriverWordLimit: Long = get(driverWordLimit)
   def setDriverWordLimit(v: Long): BpeTrainer = set(driverWordLimit, v)
 
+  final val driverCharLimit: Param[Long] =
+    param[Long]("driverCharLimit",
+      "Total-characters cap for the driver-side merge path, measured in " +
+        "the same aggregation as the row count: a vocabulary whose summed " +
+        "word lengths exceed this falls back to the distributed rounds " +
+        "even when its ROW count is under driverWordLimit — 1M URL- or " +
+        "blob-sized 'words' must not OOM the collect.",
+      BpeTrainer.DriverCollectCharLimit, ParamValidators.gtEq(0L))
+  def getDriverCharLimit: Long = get(driverCharLimit)
+  def setDriverCharLimit(v: Long): BpeTrainer = set(driverCharLimit, v)
+
   /** Distributed pair-count rounds the last fit ran (0 when the
     * driver-side merge loop handled the vocabulary). */
   @volatile private var roundsRun0 = 0
@@ -120,7 +131,7 @@ class BpeTrainer extends Estimator[BpeTrainer, BpeModel]
     val vocabRows = vocabStats.getLong(0)
     val vocabChars = vocabStats.getLong(1)
     if (getDriverWordLimit > 0L && vocabRows <= getDriverWordLimit &&
-        vocabChars <= BpeTrainer.DriverCollectCharLimit) {
+        vocabChars <= getDriverCharLimit) {
       // vocabulary fits on the driver: learn merges locally over the
       // aggregated (word, freq) table — exact same sequence as the
       // distributed rounds, without their per-round job latency
@@ -309,9 +320,25 @@ object BpeTrainer extends StageLoader[BpeTrainer] {
     Integer.compare(x.length - i, y.length - j)
   }
 
+  /** Split into per-code-POINT symbols. Java's `String.split("")`
+    * fractures a surrogate pair into two lone-surrogate symbols,
+    * while Spark's `split(col, "")` keeps the pair whole — the driver
+    * must match the distributed rounds' initial alphabet exactly or
+    * any supplementary character diverges the learned merges. */
+  private[text] def splitCodePoints(s: String): Array[String] = {
+    val out = new Array[String](s.codePointCount(0, s.length))
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val cc = Character.charCount(s.codePointAt(i))
+      out(k) = s.substring(i, i + cc)
+      k += 1; i += cc
+    }
+    out
+  }
+
   private[text] def fitOnDriver(words: Array[(String, Long)], numMerges: Int,
       minPairCount: Long): Seq[(String, String)] = {
-    var arrays: Array[Array[String]] = words.map(_._1.split(""))
+    var arrays: Array[Array[String]] = words.map(w => splitCodePoints(w._1))
     val freqs: Array[Long] = words.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -423,7 +450,9 @@ class BpeModel extends Model[BpeModel]
       else {
         val ms = bc.value
         tokens.flatMap { w =>
-          var cur: Array[String] = w.split("")
+          // code-point symbols, not Java split("") — a surrogate pair
+          // must stay one symbol or merges learned on it never match
+          var cur: Array[String] = BpeTrainer.splitCodePoints(w)
           ms.foreach { case (a, b) =>
             if (cur.length > 1) {
               val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)

@@ -127,6 +127,61 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver tie-break matches Spark's UTF-8 order on supplementary characters") {
+    import spark.implicits._
+    // U+1D54F (a surrogate pair, lead 0xD835) vs U+E000: Java UTF-16
+    // code-UNIT comparison ranks the surrogate pair BELOW U+E000; code
+    // points (= UTF-8 binary = Spark orderBy) rank it ABOVE. A count
+    // tie between the two pairs resolves differently under the wrong
+    // comparator, silently breaking driver ≡ distributed.
+    val x = new String(Character.toChars(0x1D54F)) // 𝕏
+    val e = ""
+    val text = s"${x}a ${x}a ${e}a ${e}a"
+    def mergesOf(driverLimit: Long): Seq[(String, String)] = {
+      val t = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+        .setNumMerges(2).setMinPairCount(2).setDriverWordLimit(driverLimit)
+      t.fit(Seq(text).toDF("text")).getModelData.head.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+    val driver = mergesOf(1L << 20)
+    val dist = mergesOf(0L)
+    assert(driver == dist, "supplementary-char tie diverged between paths")
+    // the tie must go to U+E000 (smaller code point), not the surrogate pair
+    assert(driver.head == (e, "a"), driver.toString)
+    assert(driver(1) == (x, "a"), driver.toString)
+
+    // and ENCODE must apply the supplementary-char merge: its initial
+    // symbols must be code points too, or (𝕏, a) never matches
+    val t = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+      .setNumMerges(2).setMinPairCount(2)
+    val model = t.fit(Seq(text).toDF("text"))
+    val encoded = model.transform(Seq(text).toDF("text")).head
+      .select("bpe").as[Seq[String]].collect().head
+    assert(encoded == Seq(s"${x}a", s"${x}a", s"${e}a", s"${e}a"), encoded.toString)
+  }
+
+  test("a fat-word vocabulary falls back to the distributed rounds (no OOM path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 30 distinct 20-char words: 600 summed chars busts a 100-char cap
+    // while the ROW count stays far under driverWordLimit
+    val words = (0 until 30).map(_ => (0 until 20).map(_ => "ab" (rnd.nextInt(2))).mkString)
+    val text = (words ++ words).mkString(" ") // freq 2 each so merges happen
+    def fit(charLimit: Long): (Seq[(String, String)], Int) = {
+      val t = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
+        .setNumMerges(5).setMinPairCount(2)
+        .setDriverWordLimit(1L << 20).setDriverCharLimit(charLimit)
+      val m = t.fit(Seq(text).toDF("text")).getModelData.head.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      (m, t.lastFitRounds)
+    }
+    val (driverMerges, driverRounds) = fit(1L << 26)
+    assert(driverRounds == 0, "under both caps the merge loop must run on the driver")
+    val (distMerges, distRounds) = fit(100L)
+    assert(distRounds > 0, "past the char cap the fit must take the distributed rounds")
+    assert(distMerges == driverMerges, "fallback path must learn the identical merge list")
+  }
+
   test("applyMerges (batch UDF path) equals applyMerge (codegen expression path)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
