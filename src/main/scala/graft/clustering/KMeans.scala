@@ -44,19 +44,22 @@ class KMeans extends Estimator[KMeans, KMeansModel]
       .map(r => VectorWithNorm(r.getAs[Vector](0)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var centroids = initialModelData match {
+    val initCentroids = initialModelData match {
       case Some(init) => init.orderBy("centroidId").collect()
         .map(r => VectorWithNorm(r.getAs[Vector]("centroid")))
       case None => points.takeSample(withReplacement = false, numK, getSeed)
     }
-    require(centroids.length == numK,
-      s"Expected $numK initial centroids, got ${centroids.length}")
-    val dim = centroids.head.vector.size
+    require(initCentroids.length == numK,
+      s"Expected $numK initial centroids, got ${initCentroids.length}")
+    val dim = initCentroids.head.vector.size
     val sc = points.sparkContext
 
-    var iter = 0
-    while (iter < getMaxIter) {
-      val bc = sc.broadcast(centroids)
+    // reference KMeans.java:140-188 runs its iteration body under a
+    // plain TerminateOnMaxIter criteria stream — same here, on the
+    // shared driver-loop utility
+    val centroids = graft.iteration.Loop.iterate(
+        initCentroids, graft.iteration.TerminateOnMaxIter(getMaxIter)) { (current, _) =>
+      val bc = sc.broadcast(current)
       // per-partition local accumulation, then one treeReduce of
       // (k × dim sums, k counts) — the allReduce analogue
       val (sums, counts) = points.mapPartitions { it =>
@@ -80,15 +83,15 @@ class KMeans extends Estimator[KMeans, KMeansModel]
         a
       }
       bc.destroy()
-      centroids = Array.tabulate(numK) { i =>
+      val next = Array.tabulate(numK) { i =>
         if (counts(i) > 0) {
           val c = sums(i).clone()
           graft.linalg.BLAS.scal(1.0 / counts(i), c)
           VectorWithNorm(Vectors.dense(c))
-        } else centroids(i) // empty cluster keeps previous centroid
+        } else current(i) // empty cluster keeps previous centroid
       }
-      iter += 1
-    }
+      (next, None)
+    }.state
     points.unpersist(blocking = false)
 
     val spark = df.sparkSession

@@ -107,14 +107,17 @@ object SGD {
     }
 
     val dim = initModel.length
-    var w = initModel.clone()
     val offsets = new Array[Int](numPartitions)
-    val lossHistory = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var iter = 0
-    var converged = false
 
     val sc = cached.sparkContext
-    while (iter < params.maxIter && !converged) {
+    // the reference's iteration dataflow = our shared driver loop:
+    // TerminateOnMaxIterOrTol over the round's totalLoss/totalWeight
+    // (SGD.java:134-142 wires exactly this pair into the criteria
+    // stream). The loop utility records the per-round criterion as
+    // the loss history.
+    val result = graft.iteration.Loop.iterate(
+        initModel.clone(), graft.iteration.TerminateOnMaxIterOrTol(params.maxIter, params.tol)) {
+      (w, _) =>
       val bcW = sc.broadcast(w)
       val offsetsNow = offsets.clone()
       // feedback = [cumGradient(dim) | totalWeight | totalLoss]
@@ -162,12 +165,10 @@ object SGD {
         regularize(w, params.reg, params.elasticNet, params.learningRate)
       }
       val criterion = if (totalWeight > 0) totalLoss / totalWeight else 0.0
-      lossHistory += criterion
-      iter += 1
-      if (criterion < params.tol) converged = true
+      (w, Some(criterion))
     }
     cached.unpersist(blocking = false)
-    (w, lossHistory.toArray)
+    (result.state, result.history)
   }
 
   /** In-place regularization step (reference RegularizationUtils.java). */
