@@ -43,4 +43,17 @@ class BenchScheduleSpec extends AnyFunSuite {
   test("a single requested query is one group (the TimeQ path)") {
     assert(Bench.schedule(Seq("q_only"), Map("q_only" -> 0.1)) == Seq(Seq("q_only")))
   }
+
+  test("solo re-verify fires only for shared-JVM rows >1.4x their prior") {
+    // over the factor, ran shared → re-verify
+    assert(Bench.needsSoloReverify(warm = 1.5, prior = Some(1.0), ranSolo = false))
+    // at or under the factor → no re-run
+    assert(!Bench.needsSoloReverify(warm = 1.4, prior = Some(1.0), ranSolo = false))
+    assert(!Bench.needsSoloReverify(warm = 0.9, prior = Some(1.0), ranSolo = false))
+    // already ran in its own child: the solo number IS the verdict
+    assert(!Bench.needsSoloReverify(warm = 5.0, prior = Some(1.0), ranSolo = true))
+    // no prior (new query) or degenerate zero prior → nothing to compare
+    assert(!Bench.needsSoloReverify(warm = 5.0, prior = None, ranSolo = false))
+    assert(!Bench.needsSoloReverify(warm = 5.0, prior = Some(0.0), ranSolo = false))
+  }
 }
