@@ -15,6 +15,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with a `tsm` epoch-milliseconds column. The generated
+    * events.ts has shipped as TIMESTAMP(NANOS) in some testdata rounds
+    * (readable only as a raw long via the legacy conf — nanos exceed
+    * double precision) and TIMESTAMP(MICROS)/TimestampNTZ in others;
+    * normalize either to the DuckDB oracle's `epoch_ms(ts)` under the
+    * pinned UTC session. `div` truncates toward zero while epoch_ms
+    * floors — identical for these post-1970 timestamps. */
+  private def eventsTsm(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // no-op on micros files
+    val ev = t(s, dir, "events")
+    val tsm = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("tsm", tsm)
+  }
+
   /** Flagship: the SURVEY §7.2 minimum slice — VectorAssembler →
     * StandardScaler → KMeans pipeline on sf0.001 lineitem; driver
     * smoke-checks rows>0. */
@@ -847,14 +864,7 @@ object SparkEntry {
 
     // --- OnlineStandardScaler: model stream over event-time windows ---
     "q_online_scaler" -> ((s, dir) => {
-      // the events parquet stores TIMESTAMP(NANOS), which vanilla Spark
-      // rejects; read it as raw long nanoseconds (integer division —
-      // nanos exceed double precision). `div` truncates toward zero
-      // while DuckDB's epoch_ms floors — identical for the post-1970
-      // timestamps in events, would diverge for negative ones.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .select(expr("ts div 1000000").as("tsm"), col("value"))
+      val ev = eventsTsm(s, dir).select(col("tsm"), col("value"))
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("value").setOutputCol("features").setInputSizes(1)
         .transform(ev).head
@@ -871,9 +881,7 @@ object SparkEntry {
     // HasMaxAllowedModelDelayMs): each row scored by the EARLIEST model
     // version with windowEndMs >= tsm - delay ---
     "q_online_scaler_versioned" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .select(expr("ts div 1000000").as("tsm"), col("value"))
+      val ev = eventsTsm(s, dir).select(col("tsm"), col("value"))
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("value").setOutputCol("features").setInputSizes(1)
         .transform(ev).head
@@ -892,9 +900,8 @@ object SparkEntry {
     // --- StreamingStats windowed moments (batch replay of the
     // readStream→watermark→window→writeStream monitoring path) ---
     "q_stream_stats" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .select(timestamp_millis(expr("ts div 1000000")).as("tsm"), col("value"))
+      val ev = eventsTsm(s, dir)
+        .select(timestamp_millis(col("tsm")).as("tsm"), col("value"))
       graft.streaming.StreamingStats
         .windowedMoments(ev, "tsm", "value", "1 hour", "1 minute")
         .select(unix_millis(col("window_start")).as("window_start"),
@@ -956,9 +963,8 @@ object SparkEntry {
     // Oracle contract: exact at sf0.01 (10000 events = exactly 2
     // batches of 5000, which the SQL replays as two FTRL steps) ---
     "q_online_logreg_versioned" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), expr("ts div 1000000").as("tsm"),
+      val ev = eventsTsm(s, dir)
+        .select(col("event_id"), col("tsm"),
           (col("value") / 100.0).as("x"),
           (col("event_type") === "click").cast("double").as("label"))
         .orderBy("event_id")
@@ -974,8 +980,13 @@ object SparkEntry {
         .setTimeCol("tsm")
       model.transform(assembled).head
         .select(col("event_id"), col("version"),
-          round(element_at(
-            org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2), 6).as("p"),
+          // vector_to_array throws on null (it does not null-propagate):
+          // rows with no qualifying version carry a null rawPrediction,
+          // so the threshold must stay behind the when()
+          when(col("rawPrediction").isNotNull,
+            round(element_at(
+              org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2), 6))
+            .as("p"),
           col("prediction"))
     }),
 
@@ -1197,9 +1208,7 @@ object SparkEntry {
 
     // --- Sessionizer (gap-based sessions per user over the event stream) ---
     "q_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("tsm", expr("ts div 1000000"))
+      val ev = eventsTsm(s, dir)
       new graft.streaming.Sessionizer()
         .setKeyCols("user_id").setTimeCol("tsm").setGapMs(3600L * 1000)
         .transform(ev).head
@@ -1211,9 +1220,7 @@ object SparkEntry {
     // match is unambiguous on both engines; DuckDB replays with its
     // native ASOF LEFT JOIN
     "q_asof_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("tsm", expr("ts div 1000000"))
+      val ev = eventsTsm(s, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select("event_id", "tsm", "user_id")
       val purchases = ev.where(col("event_type") === "purchase")
@@ -1230,7 +1237,7 @@ object SparkEntry {
     // all of a user's events share a split; the oracle replays the md5
     // interval assignment with the same precomputed hex thresholds
     "q_grouped_split" -> ((s, dir) => {
-      // events stores TIMESTAMP(NANOS); legacy long read keeps the scan legal
+      // legacy long read keeps the scan legal on nanos-era testdata
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       new graft.feature.GroupedSplitter()
         .setGroupCols("user_id").setWeights(0.8, 0.1, 0.1).setSeed(7L)

@@ -225,6 +225,19 @@ private[examples] object ExampleData {
   def dir: String = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
   def table(spark: SparkSession, name: String) =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with a `tsm` epoch-ms column, robust to the generated ts
+    * shipping as either TIMESTAMP(NANOS) (legacy raw-long read) or
+    * TIMESTAMP(MICROS)/TimestampNTZ across testdata rounds. */
+  def eventsTsm(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(spark, "events")
+    val tsm = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("tsm", tsm)
+  }
 }
 
 /** Swing item-to-item recommendation over co-purchases
@@ -304,9 +317,7 @@ object KnnExample {
 object OnlineStandardScalerExample {
   def main(args: Array[String]): Unit = {
     val spark = ExampleSession.spark("OnlineStandardScalerExample")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = ExampleData.table(spark, "events")
-      .select(expr("ts div 1000000").as("tsm"), col("value"))
+    val ev = ExampleData.eventsTsm(spark).select(col("tsm"), col("value"))
     val assembled = new graft.feature.VectorAssembler()
       .setInputCols("value").setOutputCol("features").setInputSizes(1)
       .transform(ev).head

@@ -152,9 +152,8 @@ object AgglomerativeClusteringExample {
 object OnlineLogisticRegressionExample {
   def main(args: Array[String]): Unit = {
     val spark = ExampleSession.spark("OnlineLogisticRegressionExample")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = ExampleData.table(spark, "events")
-      .select(col("event_id"), expr("ts div 1000000").as("tsm"),
+    val ev = ExampleData.eventsTsm(spark)
+      .select(col("event_id"), col("tsm"),
         (col("value") / 100.0).as("x"),
         (col("event_type") === "click").cast("double").as("label"))
       .orderBy("event_id")
@@ -190,7 +189,7 @@ object StratifiedSamplerExample {
 object GroupedSplitterExample {
   def main(args: Array[String]): Unit = {
     val spark = ExampleSession.spark("GroupedSplitterExample")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is ns
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // legal scan on nanos-era testdata
     // leakage-free: every row of one user lands on the same side
     val splits = new graft.feature.GroupedSplitter()
       .setGroupCols("user_id").setWeights(0.8, 0.2).setSeed(11L)

@@ -295,19 +295,23 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
       case None => latestRow().getAs[Vector]("coefficient")
     }
     val bc = input.sparkSession.sparkContext.broadcast(coeff)
+    // prediction is computed inside the udf: vector_to_array is
+    // null-intolerant (throws, not null-propagates), so a SQL-side
+    // threshold on a nullable rawPrediction would crash on null
+    // features regardless of when()-guards
     val raw = udf { v: Vector =>
       if (v == null) null
       else {
         val margin = graft.linalg.BLAS.dot(bc.value, v)
         val p = 1.0 / (1.0 + math.exp(-margin))
-        Vectors.dense(1.0 - p, p): Vector
+        (Vectors.dense(1.0 - p, p): Vector, if (p >= 0.5) 1.0 else 0.0)
       }
     }
     val out = input
-      .withColumn(getRawPredictionCol, raw(col(getFeaturesCol)))
-      .withColumn(getPredictionCol,
-        when(element_at(org.apache.spark.ml.functions.vector_to_array(col(getRawPredictionCol)), 2)
-          >= 0.5, 1.0).otherwise(0.0))
+      .withColumn("__raw", raw(col(getFeaturesCol)))
+      .withColumn(getRawPredictionCol, col("__raw._1"))
+      .withColumn(getPredictionCol, col("__raw._2"))
+      .drop("__raw")
     Array(out)
   }
 
@@ -336,6 +340,9 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
     val bVers = spark.sparkContext.broadcast(vers)
     val bCoefs = spark.sparkContext.broadcast(coefs)
 
+    // prediction computed inside the udf — vector_to_array is
+    // null-intolerant, so the no-qualifying-version rows (null raw,
+    // version -1) must never reach a SQL-side threshold on it
     val score = udf { (v: Vector, ts: Long) =>
       val es = bTimes.value
       // lower bound: first index with es(i) >= ts - delay
@@ -345,22 +352,19 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
         val mid = (lo + hi) >>> 1
         if (es(mid) >= key) hi = mid else lo = mid + 1
       }
-      if (lo == es.length || v == null) (null: Vector, -1L)
+      if (lo == es.length || v == null) (null: Vector, -1L, None: Option[Double])
       else {
         val margin = graft.linalg.BLAS.dot(bCoefs.value(lo), v)
         val p = 1.0 / (1.0 + math.exp(-margin))
-        (Vectors.dense(1.0 - p, p): Vector, bVers.value(lo))
+        (Vectors.dense(1.0 - p, p): Vector, bVers.value(lo),
+          Some(if (p >= 0.5) 1.0 else 0.0): Option[Double])
       }
     }
     val applied = input.withColumn("__scored",
       score(col(getFeaturesCol), col(getTimeCol).cast("long")))
     Array(applied
       .withColumn(getRawPredictionCol, col("__scored._1"))
-      .withColumn(getPredictionCol,
-        when(col("__scored._1").isNotNull,
-          when(element_at(
-            org.apache.spark.ml.functions.vector_to_array(col(getRawPredictionCol)), 2) >= 0.5,
-            1.0).otherwise(0.0)))
+      .withColumn(getPredictionCol, col("__scored._3"))
       // a null event time short-circuits the primitive-Long udf to a
       // null struct; surface it as the documented "no qualifying
       // version" contract (null predictions, version -1), not a null
