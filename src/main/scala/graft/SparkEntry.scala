@@ -3085,16 +3085,18 @@ object SparkEntry {
            FROM te CROSS JOIN tr
          ),
          top AS (
-           SELECT vec_id, label FROM (
-             SELECT vec_id, label,
+           SELECT vec_id, label, dist FROM (
+             SELECT vec_id, label, dist,
                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist) AS rk
              FROM pairs)
            WHERE rk <= 5
          ),
-         votes AS (SELECT vec_id, label, COUNT(*) AS c FROM top GROUP BY vec_id, label)
+         votes AS (SELECT vec_id, label, COUNT(*) AS c, MIN(dist) AS mind
+                   FROM top GROUP BY vec_id, label)
          SELECT vec_id, label AS prediction FROM (
            SELECT vec_id, label,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, label ASC) AS rk
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY c DESC, mind ASC, label ASC) AS rk
            FROM votes)
          WHERE rk = 1""",
 

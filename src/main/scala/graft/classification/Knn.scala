@@ -107,14 +107,19 @@ class KnnModel extends Model[KnnModel]
         }
       }.toDF("__knn_probe_id", "d2", "label")
 
-    // exact global top-k per probe, then majority vote (tie → smallest label)
+    // exact global top-k per probe, then majority vote; a tied vote goes
+    // to the label of the nearest neighbor among the tied labels (the
+    // reference fixture's observable behavior on 2-point ties,
+    // KnnTest.java:161-167), with smallest-label as the final
+    // deterministic fallback
     val topkWindow = org.apache.spark.sql.expressions.Window
       .partitionBy("__knn_probe_id").orderBy(col("d2").asc, col("label").asc)
     val voteWindow = org.apache.spark.sql.expressions.Window
-      .partitionBy("__knn_probe_id").orderBy(col("n").desc, col("label").asc)
+      .partitionBy("__knn_probe_id")
+      .orderBy(col("n").desc, col("mind2").asc, col("label").asc)
     val predictions = partials
       .withColumn("rk", row_number().over(topkWindow)).where(col("rk") <= kk)
-      .groupBy("__knn_probe_id", "label").agg(count(lit(1)).as("n"))
+      .groupBy("__knn_probe_id", "label").agg(count(lit(1)).as("n"), min("d2").as("mind2"))
       .withColumn("vrk", row_number().over(voteWindow)).where(col("vrk") === 1)
       .select(col("__knn_probe_id"), col("label").as(getPredictionCol))
 

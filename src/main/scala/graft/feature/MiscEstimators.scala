@@ -331,31 +331,54 @@ class VectorIndexerModel extends Model[VectorIndexerModel]
       .map { case (d, rows) => d -> rows.map(r => r.getDouble(1) -> r.getInt(2)).toMap }
     val bc = df.sparkSession.sparkContext.broadcast(maps)
     val invalid = getHandleInvalid
+    // A sparse input can skip its implicit zeros only when every
+    // categorical dim maps 0.0 -> 0 (fit pins 0.0 to index 0 whenever it
+    // was seen, so this is the common case); an unseen 0.0 must take the
+    // keep/skip/error action for every implicit zero, which needs the
+    // dense walk. Preserving sparsity here is what keeps dim-10^6
+    // one-hot-style vectors from exploding 10^6-wide in the output.
+    val zeroSafe: Boolean = maps.valuesIterator.forall(_.get(0.0).contains(0))
+    def indexOf(cat: Map[Double, Int], x: Double, bad: () => Unit): Double =
+      cat.get(x) match {
+        case Some(idx) => idx.toDouble
+        case None => invalid match {
+          case HandleInvalid.KEEP => cat.size.toDouble
+          case HandleInvalid.SKIP => bad(); 0.0
+          case _ => throw new RuntimeException(
+            s"The input contains unseen double: $x. See handleInvalid parameter for more options.")
+        }
+      }
     val f = udf { v: Vector =>
       if (v == null) null
       else {
         val m = bc.value
-        val a = v.toArray
-        val out = new Array[Double](a.length)
         var bad = false
-        var i = 0
-        while (i < a.length) {
-          m.get(i) match {
-            case Some(cat) =>
-              cat.get(a(i)) match {
-                case Some(idx) => out(i) = idx.toDouble
-                case None => invalid match {
-                  case HandleInvalid.KEEP  => out(i) = cat.size.toDouble
-                  case HandleInvalid.SKIP  => bad = true
-                  case HandleInvalid.ERROR =>
-                    throw new RuntimeException(s"Found unseen value ${a(i)} in dimension $i.")
-                }
+        val markBad = () => { bad = true }
+        v match {
+          case sv: SparseVector if zeroSafe =>
+            val out = new Array[Double](sv.indices.length)
+            var j = 0
+            while (j < sv.indices.length) {
+              out(j) = m.get(sv.indices(j)) match {
+                case Some(cat) => indexOf(cat, sv.values(j), markBad)
+                case None      => sv.values(j) // continuous dim passes through
               }
-            case None => out(i) = a(i) // continuous dim passes through
-          }
-          i += 1
+              j += 1
+            }
+            if (bad) null else Vectors.sparse(sv.size, sv.indices, out)
+          case _ =>
+            val a = v.toArray
+            val out = new Array[Double](a.length)
+            var i = 0
+            while (i < a.length) {
+              out(i) = m.get(i) match {
+                case Some(cat) => indexOf(cat, a(i), markBad)
+                case None      => a(i)
+              }
+              i += 1
+            }
+            if (bad) null else Vectors.dense(out)
         }
-        if (bad) null else Vectors.dense(out)
       }
     }
     var out = df.withColumn(getOutputCol, f(col(getInputCol)))
