@@ -19,19 +19,34 @@ trait LinearSGDParams[T] extends WithParams[T]
 }
 
 private[graft] object LinearTraining {
-  /** Extract (features, label, weight) rows for SGD. */
-  def points(df: DataFrame, featuresCol: String, labelCol: String, weightCol: String) = {
+  /** Error for non-{0,1} labels under auto/binomial classification
+    * (reference LogisticRegression.java:65,86). */
+  val MultinomialUnsupported =
+    "Multinomial classification is not supported yet. Supported options: [auto, binomial]."
+
+  /** Extract (features, label, weight) rows for SGD. With
+    * `requireBinomialLabels`, rows whose label is neither 0 nor 1 fail the
+    * job with the reference's error (LogisticRegression.java:79-87 throws
+    * from the same per-row map). */
+  def points(df: DataFrame, featuresCol: String, labelCol: String, weightCol: String,
+      requireBinomialLabels: Boolean = false) = {
     val withW =
       if (weightCol == null) df.select(col(featuresCol), col(labelCol).cast("double"), lit(1.0))
       else df.select(col(featuresCol), col(labelCol).cast("double"), col(weightCol).cast("double"))
-    withW.rdd.map(r => LabeledPointWithWeight(r.getAs[Vector](0), r.getDouble(1), r.getDouble(2)))
+    withW.rdd.map { r =>
+      val label = r.getDouble(1)
+      if (requireBinomialLabels && label != 0.0 && label != 1.0)
+        throw new RuntimeException(MultinomialUnsupported)
+      LabeledPointWithWeight(r.getAs[Vector](0), label, r.getDouble(2))
+    }
   }
 
   /** Persisted training points plus their dimension: the dimension read
     * doubles as the cache-warming first job instead of a throwaway scan
     * (SGD's persist of the same RDD is a no-op; its unpersist releases it). */
-  def pointsWithDim(df: DataFrame, featuresCol: String, labelCol: String, weightCol: String) = {
-    val pts = points(df, featuresCol, labelCol, weightCol)
+  def pointsWithDim(df: DataFrame, featuresCol: String, labelCol: String, weightCol: String,
+      requireBinomialLabels: Boolean = false) = {
+    val pts = points(df, featuresCol, labelCol, weightCol, requireBinomialLabels)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (pts, pts.first().features.size)
   }
@@ -56,16 +71,22 @@ private[graft] object LinearTraining {
  * Reference: classification/logisticregression/LogisticRegression.java:60.
  */
 class LogisticRegression extends Estimator[LogisticRegression, LogisticRegressionModel]
-    with LinearSGDParams[LogisticRegression]
+    with LinearSGDParams[LogisticRegression] with HasMultiClass[LogisticRegression]
     with HasPredictionCol[LogisticRegression] with HasRawPredictionCol[LogisticRegression] {
 
   override def fit(inputs: DataFrame*): LogisticRegressionModel = {
     require(inputs.size == 1)
+    require(getMultiClass == "auto" || getMultiClass == "binomial",
+      LinearTraining.MultinomialUnsupported)
     val df = inputs.head
-    val (pts, dim) = LinearTraining.pointsWithDim(df, getFeaturesCol, getLabelCol, getWeightCol)
+    val (pts, dim) = LinearTraining.pointsWithDim(
+      df, getFeaturesCol, getLabelCol, getWeightCol, requireBinomialLabels = true)
     val (coeff, _) = SGD.optimize(pts, new Array[Double](dim), BinaryLogisticLoss, sgdParams)
+    // model data = (coefficient, modelVersion) — reference
+    // LogisticRegressionModelData.java:36; a batch fit is version 0
     val m = new LogisticRegressionModel()
-      .setModelData(LinearTraining.coefficientDf(df.sparkSession, coeff))
+      .setModelData(LinearTraining.coefficientDf(df.sparkSession, coeff)
+        .withColumn("modelVersion", lit(0L)))
     copyParamsTo(m)
     m
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.{AlgoOperator, StageLoader}
 import graft.linalg.{DistanceMeasure, VectorWithNorm}
 import graft.param._
+import graft.streaming._
 import graft.util.ReadWrite
 
 /**
@@ -30,7 +31,13 @@ import graft.util.ReadWrite
 class AgglomerativeClustering extends AlgoOperator[AgglomerativeClustering]
     with HasFeaturesCol[AgglomerativeClustering]
     with HasPredictionCol[AgglomerativeClustering]
-    with HasDistanceMeasure[AgglomerativeClustering] {
+    with HasDistanceMeasure[AgglomerativeClustering]
+    with HasWindows[AgglomerativeClustering] {
+
+  final val timeCol: Param[String] =
+    param[String]("timeCol", "Event-time column (milliseconds, long) for event-time windows.", "ts")
+  def getTimeCol: String = get(timeCol)
+  def setTimeCol(v: String): AgglomerativeClustering = set(timeCol, v)
 
   final val numClusters: Param[Int] =
     param[Int]("numClusters", "The max number of clusters to create.", 2, ParamValidators.gt(0))
@@ -65,15 +72,42 @@ class AgglomerativeClustering extends AlgoOperator[AgglomerativeClustering]
     val spark = df.sparkSession
     val measure = DistanceMeasure(getDistanceMeasure)
 
+    // Per-window clustering (reference AgglomerativeClusteringParams
+    // extends HasWindows; each window is an independent clustering
+    // problem with window-local cluster ids). Batch mapping of the
+    // window kinds follows Windows.scala: processing-time degenerates
+    // to global; count windows use the input row order (pinned with a
+    // single-partition row_number — fine under the MaxPoints collect
+    // guard) and, like the reference's count triggers, DROP the
+    // trailing partial window; event-time windows key on `timeCol`
+    // (epoch millis).
+    import org.apache.spark.sql.expressions.Window
+    val ordered = df.withColumn("__agg_idx", monotonically_increasing_id())
+    val keyed = getWindows match {
+      case GlobalWindows | ProcessingTimeTumblingWindows(_) | ProcessingTimeSessionWindows(_) =>
+        ordered.withColumn("__agg_win", lit(0L))
+      case CountTumblingWindows(size) =>
+        ordered
+          .withColumn("__agg_rn", row_number().over(Window.orderBy("__agg_idx")).cast("long") - 1)
+          .withColumn("__agg_win", floor(col("__agg_rn") / lit(size)).cast("long"))
+          .drop("__agg_rn")
+      case EventTimeTumblingWindows(sizeMs) =>
+        ordered.withColumn("__agg_win",
+          floor(col(getTimeCol).cast("long") / lit(sizeMs)).cast("long"))
+      case EventTimeSessionWindows(_) =>
+        // session ids need the sorted gap walk; carry ts and resolve on
+        // the driver after the collect below
+        ordered.withColumn("__agg_win", col(getTimeCol).cast("long"))
+    }
+
     // persist before collecting: the synthetic ids are re-evaluated by
     // predictUdf on the output plan, and an unpersisted reordering
     // upstream would mislabel rows (or miss the broadcast map). Cache
     // is bounded by the MaxPoints guard below.
-    val withIdx = df.withColumn("__agg_idx", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val collected = withIdx.select(col("__agg_idx"), col(getFeaturesCol)).collect()
-      .map(r => (r.getLong(0), r.getAs[Vector](1))).sortBy(_._1)
-    val n = collected.length
+    val withIdx = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val collected0 = withIdx.select(col("__agg_idx"), col(getFeaturesCol), col("__agg_win"))
+      .collect().map(r => (r.getLong(0), r.getAs[Vector](1), r.getLong(2))).sortBy(_._1)
+    val n = collected0.length
     require(n <= AgglomerativeClustering.MaxPoints,
       s"AgglomerativeClustering is O(n²); got $n rows, max ${AgglomerativeClustering.MaxPoints}. " +
         "Cluster a summary (e.g. KMeans centroids) instead of raw rows.")
@@ -85,7 +119,56 @@ class AgglomerativeClustering extends AlgoOperator[AgglomerativeClustering]
         Seq.empty[(Int, Int, Double, Int)].toDF("clusterId1", "clusterId2", "distance", "sizeOfMergedCluster"))
     }
 
-    val points = collected.map(c => VectorWithNorm(c._2))
+    // resolve window membership on the driver
+    val collected: Array[(Long, Vector, Long)] = getWindows match {
+      case EventTimeSessionWindows(gapMs) =>
+        // sorted gap walk over event time (carried in _3)
+        val byTs = collected0.sortBy(t => (t._3, t._1))
+        var session = 0L
+        var lastTs = Long.MinValue
+        byTs.map { case (idx, v, ts) =>
+          if (lastTs != Long.MinValue && ts - lastTs > gapMs) session += 1
+          lastTs = ts
+          (idx, v, session)
+        }
+      case CountTumblingWindows(size) =>
+        // drop the trailing partial window (count triggers only fire full)
+        val full = collected0.groupBy(_._3).filter(_._2.length == size).keySet
+        collected0.filter(t => full.contains(t._3))
+      case _ => collected0
+    }
+
+    // one clustering problem per window, window-local labels
+    val windowKeys = collected.map(_._3).distinct.sorted
+    val idToCluster = scala.collection.mutable.HashMap.empty[Long, Int]
+    val mergeRows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Int)]
+    windowKeys.foreach { w =>
+      val rows = collected.filter(_._3 == w)
+      val (labels, merges) = clusterWindow(rows.map(_._2), measure, useThreshold)
+      rows.map(_._1).zip(labels).foreach { case (idx, c) => idToCluster(idx) = c }
+      mergeRows ++= merges
+    }
+
+    val bc = spark.sparkContext.broadcast(idToCluster.toMap)
+    val predictUdf = udf { idx: Long => bc.value.get(idx).map(Integer.valueOf).orNull }
+    val out = withIdx.withColumn(getPredictionCol, predictUdf(col("__agg_idx")))
+      .filter(col(getPredictionCol).isNotNull)
+      .drop("__agg_idx", "__agg_win")
+
+    import spark.implicits._
+    val mergeInfo = mergeRows.toSeq
+      .toDF("clusterId1", "clusterId2", "distance", "sizeOfMergedCluster")
+    Array(out, mergeInfo)
+  }
+
+  /** Cluster one window's points; returns (per-point labels, merge log). */
+  private def clusterWindow(
+      vectors: Array[Vector],
+      measure: DistanceMeasure,
+      useThreshold: Boolean): (Array[Int], Seq[(Int, Int, Double, Int)]) = {
+    val n = vectors.length
+    if (n == 0) return (Array.empty, Nil)
+    val points = vectors.map(v => VectorWithNorm(v))
     val m = 2 * n - 1
     val dist = new AgglomerativeClustering.TriMatrix(m)
     var i = 0
@@ -193,21 +276,14 @@ class AgglomerativeClustering extends AlgoOperator[AgglomerativeClustering]
       remap.getOrElseUpdate(root, remap.size)
     }
 
-    val idToCluster = collected.map(_._1).zip(clusterIds).toMap
-    val bc = spark.sparkContext.broadcast(idToCluster)
-    val predictUdf = udf { idx: Long => bc.value(idx) }
-    val out = withIdx.withColumn(getPredictionCol, predictUdf(col("__agg_idx")))
-      .drop("__agg_idx")
-
     val mergeEnd = if (getComputeFullTree) sorted.length else stoppedIdx
-    import spark.implicits._
     val mergeInfo = sorted.take(mergeEnd).map { t =>
       val cid1 = math.min(t(0).toInt, t(1).toInt)
       val cid2 = math.max(t(0).toInt, t(1).toInt)
       (cid1, cid2, t(3), size(cid1) + size(cid2))
-    }.toSeq.toDF("clusterId1", "clusterId2", "distance", "sizeOfMergedCluster")
+    }.toSeq
 
-    Array(out, mergeInfo)
+    (clusterIds, mergeInfo)
   }
 }
 object AgglomerativeClustering extends StageLoader[AgglomerativeClustering] {

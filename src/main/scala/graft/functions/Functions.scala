@@ -17,7 +17,12 @@ import org.apache.spark.ml.{functions => mlF}
 object Functions {
 
   def vectorToArray(c: Column): Column = mlF.vector_to_array(c)
-  def arrayToVector(c: Column): Column = mlF.array_to_vector(c)
+
+  /** Accepts array<double|float|int|long|short|byte> like the reference
+    * (Functions.java arrayToVector works on any numeric array); the cast
+    * to array<double> is a no-op for double input and unlocks the long
+    * case Spark's array_to_vector rejects. */
+  def arrayToVector(c: Column): Column = mlF.array_to_vector(c.cast("array<double>"))
 
   /** Codegen'd cosine similarity of two array<double> columns (native
     * Catalyst expression, fuses into whole-stage codegen — see

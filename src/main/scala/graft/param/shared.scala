@@ -105,6 +105,15 @@ trait HasGlobalBatchSize[T] extends WithParams[T] {
   def setGlobalBatchSize(v: Int): T = set(globalBatchSize, v)
 }
 
+/** Classification type selector (reference common/param/HasMultiClass.java:39-42). */
+trait HasMultiClass[T] extends WithParams[T] {
+  final val multiClass: Param[String] =
+    param[String]("multiClass", "Classification type.", "auto",
+      ParamValidators.inArray("auto", "binomial", "multinomial"))
+  def getMultiClass: String = get(multiClass)
+  def setMultiClass(v: String): T = set(multiClass, v)
+}
+
 trait HasReg[T] extends WithParams[T] {
   final val reg: Param[Double] =
     param[Double]("reg", "Regularization parameter", 0.0, ParamValidators.gtEq(0))
