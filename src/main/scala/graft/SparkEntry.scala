@@ -978,6 +978,7 @@ object SparkEntry {
         .fit(assembled)
         .setMaxAllowedModelDelayMs(172800000L) // 2 days
         .setTimeCol("tsm")
+        .setModelVersionCol("version")
       model.transform(assembled).head
         .select(col("event_id"), col("version"),
           // vector_to_array throws on null (it does not null-propagate):

@@ -81,6 +81,21 @@ class PipelineModel(val stages: Seq[Stage[_]]) extends Model[PipelineModel] {
   override def getModelData: Array[DataFrame] =
     stages.collect { case m: Model[_] => m.getModelData }.flatten.toArray
 
+  /** True iff every stage is a fitted transformer with a Spark-free
+    * servable (reference builder/PipelineModel.java:99-113: each stage
+    * must be a Transformer exposing loadServable). */
+  def supportServable: Boolean =
+    stages.forall(s => s.isInstanceOf[AlgoOperator[_]] && s.isInstanceOf[ServableCapable])
+
+  /** Chain of the member servables (reference PipelineModelServable). */
+  def toServable: graft.servable.PipelineModelServable = {
+    require(supportServable,
+      s"PipelineModel.toServable: every stage must be a ServableCapable transformer; " +
+        s"got ${stages.map(_.getClass.getSimpleName).mkString(", ")}")
+    new graft.servable.PipelineModelServable(
+      stages.map(_.asInstanceOf[ServableCapable].toServable))
+  }
+
   override def save(path: String): Unit = Pipeline.saveStages(this, stages, path)
 }
 

@@ -49,3 +49,16 @@ trait Estimator[E <: Estimator[E, M], M <: Model[M]] extends Stage[E] {
 trait StageLoader[T <: Stage[T]] {
   def load(spark: SparkSession, path: String): T
 }
+
+/**
+ * Marker for fitted stages that can produce a Spark-free servable
+ * (the reference gates this per stage by the presence of a
+ * `loadServable(String)` method — builder/PipelineModel.java:99-113;
+ * we make the capability a trait so `PipelineModel.supportServable`
+ * is a plain instance check instead of reflection).
+ */
+trait ServableCapable {
+  /** Spark-free servable equivalent of this fitted stage (collects the
+    * model-sized state to the driver). */
+  def toServable: graft.servable.TransformerServable
+}

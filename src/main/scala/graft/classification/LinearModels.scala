@@ -99,12 +99,23 @@ object LogisticRegression extends StageLoader[LogisticRegression] {
 /** prediction = 1 if dot >= 0; rawPrediction = [1-sigmoid(dot), sigmoid(dot)]
   * (reference LogisticRegressionModelServable.transform). */
 class LogisticRegressionModel extends Model[LogisticRegressionModel]
-    with HasFeaturesCol[LogisticRegressionModel]
+    with HasFeaturesCol[LogisticRegressionModel] with graft.api.ServableCapable
     with HasPredictionCol[LogisticRegressionModel] with HasRawPredictionCol[LogisticRegressionModel] {
 
   private var modelData: DataFrame = _
   override def setModelData(data: DataFrame*): LogisticRegressionModel = { modelData = data.head; this }
   override def getModelData: Array[DataFrame] = Array(modelData)
+
+  /** Spark-free scorer over the collected coefficient (reference
+    * LogisticRegressionModelServable). */
+  override def toServable: graft.servable.LogisticRegressionModelServable = {
+    val s = new graft.servable.LogisticRegressionModelServable()
+      .setFeaturesCol(getFeaturesCol)
+      .setCoefficient(LinearTraining.loadCoefficient(modelData))
+    s.predictionCol = getPredictionCol
+    s.rawPredictionCol = getRawPredictionCol
+    s
+  }
 
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)

@@ -120,7 +120,8 @@ object StandardScaler extends StageLoader[StandardScaler] {
 }
 
 class StandardScalerModel extends Model[StandardScalerModel]
-    with HasInputCol[StandardScalerModel] with HasOutputCol[StandardScalerModel] {
+    with HasInputCol[StandardScalerModel] with HasOutputCol[StandardScalerModel]
+    with graft.api.ServableCapable {
 
   final val withMean: Param[Boolean] =
     param[Boolean]("withMean", "Whether centers the data with mean before scaling", false)
@@ -132,6 +133,18 @@ class StandardScalerModel extends Model[StandardScalerModel]
   private var modelData: DataFrame = _
   override def setModelData(data: DataFrame*): StandardScalerModel = { modelData = data.head; this }
   override def getModelData: Array[DataFrame] = Array(modelData)
+
+  /** Spark-free scaler over the collected mean/std, honoring the
+    * withMean/withStd flags. */
+  override def toServable: graft.servable.StandardScalerModelServable = {
+    val row = modelData.select("mean", "std").head()
+    val s = new graft.servable.StandardScalerModelServable()
+      .setInputCol(getInputCol).setOutputCol(getOutputCol)
+      .setMeanStd(row.getAs[Vector](0).toArray, row.getAs[Vector](1).toArray)
+    s.withMean = getWithMean
+    s.withStd = getWithStd
+    s
+  }
 
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)

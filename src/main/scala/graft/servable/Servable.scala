@@ -99,10 +99,14 @@ final class LogisticRegressionModelServable extends ModelServable {
   }
 }
 
-/** Standard scaling: (x − mean) / std per dimension. */
+/** Standard scaling: (x − mean) / std per dimension. The withMean /
+  * withStd flags mirror StandardScalerModel; both default true here
+  * (the historical servable behavior for hand-built scorers). */
 final class StandardScalerModelServable extends ModelServable {
   var inputCol: String = "input"
   var outputCol: String = "output"
+  var withMean: Boolean = true
+  var withStd: Boolean = true
   private var mean: Array[Double] = _
   private var std: Array[Double] = _
 
@@ -122,7 +126,12 @@ final class StandardScalerModelServable extends ModelServable {
     val idx = input.getIndex(inputCol)
     val out = input.rows.map { row =>
       val x = row(idx).asInstanceOf[Array[Double]]
-      Array.tabulate(x.length)(i => if (std(i) == 0.0) 0.0 else (x(i) - mean(i)) / std(i)): Any
+      Array.tabulate(x.length) { i =>
+        var v = x(i)
+        if (withMean) v -= mean(i)
+        if (withStd) v = if (std(i) == 0.0) 0.0 else v / std(i)
+        v
+      }: Any
     }
     input.addColumn(outputCol, out.toSeq)
     input

@@ -135,8 +135,10 @@ class OnlineLogisticRegressionModel extends Model[OnlineLogisticRegressionModel]
   def getAlpha: Double = get(alpha)
   def getBeta: Double = get(beta)
 
+  // default "modelVersion", NOT the generic HasModelVersionCol "version" —
+  // OnlineLogisticRegressionModelParams.java:35-40 shadows it
   final val modelVersionCol: Param[String] =
-    param[String]("modelVersionCol", "Output column holding the model version used.", "version")
+    param[String]("modelVersionCol", "Output column holding the model version used.", "modelVersion")
   def getModelVersionCol: String = get(modelVersionCol)
   def setModelVersionCol(v: String): OnlineLogisticRegressionModel = set(modelVersionCol, v)
 
