@@ -84,13 +84,21 @@ class JavaStage:
     def _convert_arg(self, a):
         # python list/tuple → scala Seq (Scala varargs setters like
         # setInputCols(String*) compile to one Seq parameter); unwrap
-        # our own wrappers and pyspark DataFrames
+        # our own wrappers, pyspark DataFrames, and ml vectors (pyflink
+        # does the same conversion in its wrapper layer)
         if isinstance(a, (list, tuple)):
             return _to_scala_seq(self._spark, [self._convert_arg(x) for x in a])
         if isinstance(a, JavaStage):
             return a._jobj
         if isinstance(a, DataFrame):
             return a._jdf
+        try:
+            from pyspark.ml.linalg import Vector as _MlVector
+            if isinstance(a, _MlVector):
+                from pyspark.ml.common import _py2java
+                return _py2java(self._spark, a)
+        except ImportError:
+            pass
         return a
 
     def __getattr__(self, name):
