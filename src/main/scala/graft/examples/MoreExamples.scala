@@ -168,9 +168,10 @@ object OnlineLogisticRegressionExample {
     println("FTRL model version stream (one per mini-batch):")
     model.getModelData.head.orderBy("version").show(5, false)
     println("delay-gated scoring: each row uses the earliest fresh-enough version")
+    // output column defaults to "modelVersion" (reference model params)
     model.setMaxAllowedModelDelayMs(7L * 24 * 3600 * 1000).setTimeCol("tsm")
       .transform(assembled).head
-      .select("event_id", "version", "prediction").show(5, false)
+      .select("event_id", "modelVersion", "prediction").show(5, false)
     spark.stop()
   }
 }

@@ -385,7 +385,8 @@ class IndexToStringModel extends Model[IndexToStringModel]
           val j = idx.intValue()
           if (j >= 0 && j < terms.length) terms(j)
           else throw new RuntimeException(
-            s"Input index $j is out of range [0, ${terms.length})")
+            // reference IndexToStringModel.java unseen-index error text
+            s"The input contains unseen index: $j.")
         }
       }
       out = out.withColumn(o, lookup(col(in).cast("double")))

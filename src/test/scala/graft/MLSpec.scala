@@ -29,6 +29,19 @@ class MLSpec extends SparkSpec {
     assert(centroids(1).zip(Array(9.2, 0.2)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("KMeans with fewer distinct points than clusters keeps one group") {
+    import spark.implicits._
+    // KMeansTest.java:154-173: three identical points, k=2 → all rows
+    // land in one cluster; no crash on the empty cluster
+    val data = Seq(
+      Vectors.dense(0.0, 0.1), Vectors.dense(0.0, 0.1), Vectors.dense(0.0, 0.1))
+      .map(Tuple1(_)).toDF("features")
+    val model = new KMeans().setK(2).setMaxIter(3).setSeed(11L).fit(data)
+    val preds = model.transform(data).head
+      .select("prediction").collect().map(_.getInt(0)).toSet
+    assert(preds.size == 1)
+  }
+
   test("KMeans warm start from fixed initial centroids is deterministic") {
     import spark.implicits._
     val data = Seq(

@@ -142,7 +142,7 @@ class StreamingTrainerSpec extends SparkSpec {
         array(col("x1"), col("x2"))).as("features"), col("ts"))
     val scored = model.setMaxAllowedModelDelayMs(0L).setTimeCol("ts")
       .transform(scoring).head
-      .select("ts", "version").collect()
+      .select("ts", "modelVersion").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scored == Map(1000L -> 1L, 2000L -> 2L, 99999L -> -1L), scored)
   }
