@@ -44,7 +44,14 @@ class OnlineStandardScaler extends Estimator[OnlineStandardScaler, OnlineStandar
       case GlobalWindows =>
         df.select(lit(0L).as("win"), lit(Long.MaxValue).as("winEnd"), col(getInputCol))
       case CountTumblingWindows(size) =>
-        val rdd = df.select(col(getInputCol)).rdd.zipWithIndex()
+        // count triggers only fire FULL windows (Flink countWindowAll
+        // semantics; same batch mapping as AgglomerativeClustering):
+        // the trailing partial window emits no model version
+        val indexed = df.select(col(getInputCol)).rdd.zipWithIndex()
+        val n = df.count()
+        val fullRows = (n / size) * size
+        val rdd = indexed
+          .filter { case (_, i) => i < fullRows }
           .map { case (r, i) => (i / size, r.getAs[Vector](0)) }
         import spark.implicits._
         rdd.toDF("win", "vec").select(col("win"), col("win").as("winEnd"),

@@ -54,6 +54,13 @@ class OnlineSpec extends SparkSpec {
     val count = new OnlineStandardScaler().setInputCol("vec")
       .setWindows(CountTumblingWindows(2)).fit(scalerInput)
     assert(count.getModelData.head.count() == 3)
+    // count triggers only fire full windows: 6 rows / size 4 → ONE
+    // version over the first 4 rows; the partial tail emits nothing
+    // (Flink countWindowAll semantics)
+    val partial = new OnlineStandardScaler().setInputCol("vec")
+      .setWindows(CountTumblingWindows(4)).fit(scalerInput)
+    val pRows = partial.getModelData.head.collect()
+    assert(pRows.length == 1 && pRows.head.getAs[Long]("count") == 4)
     val global = new OnlineStandardScaler().setInputCol("vec")
       .setWindows(GlobalWindows).fit(scalerInput)
     assert(global.getModelData.head.count() == 1)
