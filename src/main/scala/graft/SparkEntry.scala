@@ -1006,6 +1006,24 @@ object SparkEntry {
         .select(col("s_suppkey"), col("prediction"))
     }),
 
+    // --- AgglomerativeClustering with event-time tumbling windows:
+    // each 5-nation bucket is an independent clustering problem with
+    // window-local labels (reference HasWindows semantics); 1-D
+    // single-linkage under a threshold is a per-window gap split, so
+    // the oracle is the q_agglomerative SQL partitioned by window ---
+    "q_agglomerative_windowed" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("s_acctbal").setOutputCol("features").setInputSizes(1)
+        .transform(sup).head
+      new graft.clustering.AgglomerativeClustering()
+        .setLinkage("single").setDistanceThreshold(400.0)
+        .setWindows(graft.streaming.EventTimeTumblingWindows(5L))
+        .setTimeCol("s_nationkey")
+        .transform(assembled).head
+        .select(col("s_suppkey"), col("prediction"))
+    }),
+
     // --- MinHashLSH approxSimilarityJoin: near-duplicate document pairs ---
     // 3-word shingles → exact vocabulary indices → banded MinHash
     // signatures → equi-join on (table, signature) → true-Jaccard
@@ -2717,6 +2735,31 @@ object SparkEntry {
          )
          SELECT g.s_suppkey, CAST(r.cid AS INT) AS prediction
          FROM g JOIN r ON g.grp = r.grp""",
+
+    "q_agglomerative_windowed" ->
+      """WITH o AS (
+           SELECT s_suppkey, s_acctbal,
+                  CAST(FLOOR(s_nationkey / 5) AS BIGINT) AS win
+           FROM supplier
+         ),
+         l AS (
+           SELECT s_suppkey, win, s_acctbal,
+                  LAG(s_acctbal) OVER (PARTITION BY win ORDER BY s_acctbal, s_suppkey) AS prev
+           FROM o
+         ),
+         g AS (
+           SELECT s_suppkey, win,
+                  SUM(CASE WHEN prev IS NULL OR s_acctbal - prev > 400.0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY win ORDER BY s_acctbal, s_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM l
+         ),
+         r AS (
+           SELECT win, grp, ROW_NUMBER() OVER (PARTITION BY win ORDER BY MIN(s_suppkey)) - 1 AS cid
+           FROM g GROUP BY win, grp
+         )
+         SELECT g.s_suppkey, CAST(r.cid AS INT) AS prediction
+         FROM g JOIN r ON g.win = r.win AND g.grp = r.grp""",
 
     "q_univariate_selector" ->
       """WITH d AS (
