@@ -129,6 +129,9 @@ class Graph(
     val fitted = GraphExecution.run(nodes, env, fitEstimators = true)
     new GraphModel(nodes.zip(fitted), inputIds, outputIds)
   }
+
+  override def save(path: String): Unit =
+    GraphPersist.save(this, nodes, nodes.map(_.stage), inputIds, outputIds, path)
 }
 
 /**
@@ -154,6 +157,88 @@ class GraphModel(
 
   override def getModelData: Array[DataFrame] =
     nodeStages.collect { case (_, m: Model[_]) => m.getModelData }.flatten.toArray
+
+  override def save(path: String): Unit =
+    GraphPersist.save(this, nodeStages.map(_._1), nodeStages.map(_._2), inputIds, outputIds, path)
+}
+
+object GraphModel extends StageLoader[GraphModel] {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): GraphModel = {
+    val (nodes, stages, in, out) = GraphPersist.load(spark, path)
+    new GraphModel(nodes.zip(stages), in, out)
+  }
+}
+
+object Graph extends StageLoader[Graph] {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Graph = {
+    val (nodes, stages, in, out) = GraphPersist.load(spark, path)
+    new Graph(nodes.zip(stages).map { case (n, s) => n.copy(stage = s) }, in, out)
+  }
+}
+
+/**
+ * DAG persistence: the wiring (node ids, table ids, model-data ids)
+ * goes into the graph metadata JSON; each stage saves itself under
+ * stages/NNN like Pipeline (reference Graph.java/GraphModel.java
+ * save/load via GraphData).
+ */
+private[api] object GraphPersist {
+  import org.json4s._
+  import graft.util.ReadWrite
+
+  private def ids(v: Seq[TableId]): JValue = JArray(v.map(t => JInt(t.id)).toList)
+  private def idsOpt(v: Option[Seq[TableId]]): JValue = v.map(ids).getOrElse(JNull)
+  private def readIds(j: JValue): Seq[TableId] = j match {
+    case JArray(xs) => xs.map { case JInt(i) => TableId(i.toInt); case x => sys.error(s"bad id $x") }
+    case x => sys.error(s"bad id list $x")
+  }
+  private def readIdsOpt(j: JValue): Option[Seq[TableId]] = j match {
+    case JNull | JNothing => None
+    case x => Some(readIds(x))
+  }
+
+  def save(self: Stage[_], nodes: Seq[GraphNode], stages: Seq[Stage[_]],
+      inputIds: Seq[TableId], outputIds: Seq[TableId], path: String): Unit = {
+    val graphJson = JObject(
+      "nodes" -> JArray(nodes.map { n =>
+        JObject(
+          "nodeId" -> JInt(n.nodeId),
+          "stageType" -> JString(n.stageType.toString),
+          "estimatorInputs" -> ids(n.estimatorInputs),
+          "modelInputs" -> ids(n.modelInputs),
+          "outputs" -> ids(n.outputs),
+          "inputModelDataIds" -> idsOpt(n.inputModelDataIds),
+          "outputModelDataIds" -> idsOpt(n.outputModelDataIds))
+      }.toList),
+      "inputIds" -> ids(inputIds),
+      "outputIds" -> ids(outputIds))
+    ReadWrite.saveMetadata(self, path, Map("graph" -> graphJson))
+    stages.zipWithIndex.foreach { case (s, i) => s.save(ReadWrite.stagePath(path, i)) }
+  }
+
+  /** Returns (nodes with placeholder stages, loaded stages, inputIds, outputIds). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[GraphNode], Seq[Stage[_]], Seq[TableId], Seq[TableId]) = {
+    val meta = ReadWrite.loadMetadata(path)
+    val g = meta \ "graph"
+    val nodeJsons = (g \ "nodes") match {
+      case JArray(xs) => xs
+      case x => sys.error(s"bad graph nodes $x")
+    }
+    val stages = nodeJsons.indices.map(i => ReadWrite.loadStage(spark, ReadWrite.stagePath(path, i)))
+    val nodes = nodeJsons.zip(stages).map { case (j, s) =>
+      val JInt(nodeId) = (j \ "nodeId"): @unchecked
+      val JString(st) = (j \ "stageType"): @unchecked
+      GraphNode(
+        nodeId.toInt, s, StageType.withName(st),
+        readIds(j \ "estimatorInputs"),
+        readIds(j \ "modelInputs"),
+        readIds(j \ "outputs"),
+        readIdsOpt(j \ "inputModelDataIds"),
+        readIdsOpt(j \ "outputModelDataIds"))
+    }
+    (nodes, stages, readIds(g \ "inputIds"), readIds(g \ "outputIds"))
+  }
 }
 
 private[api] object GraphExecution {

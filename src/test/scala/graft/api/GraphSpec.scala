@@ -73,6 +73,35 @@ class GraphSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("Graph and fitted GraphModel survive save/load (reference GraphTest save paths)") {
+    val builder = new GraphBuilder().setMaxOutputTableNum(2)
+    val src = builder.createTableId()
+    val assembler = new VectorAssembler()
+      .setInputCols("a", "b").setOutputCol("vec").setInputSizes(1, 1)
+    val assembled = builder.addAlgoOperator(assembler, src)
+    val std = new StandardScaler().setInputCol("vec").setOutputCol("std_out")
+    val stdOut = builder.addEstimator(std, assembled.head)
+    val graph = builder.buildEstimator(Seq(src), Seq(stdOut.head))
+
+    // unfitted Graph round trip, then fit the loaded graph
+    val gDir = tmpDir()
+    graph.save(gDir)
+    val loadedGraph = Graph.load(spark, gDir)
+    val expected = graph.fit(input).transform(input).head
+      .collect().map(_.toString).sorted.toSeq
+    val gotG = loadedGraph.fit(input).transform(input).head
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotG === expected)
+
+    // fitted GraphModel round trip scores identically
+    val mDir = tmpDir()
+    graph.fit(input).save(mDir)
+    val loadedModel = GraphModel.load(spark, mDir)
+    val gotM = loadedModel.transform(input).head
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotM === expected)
+  }
+
   test("a node whose input table is never produced is reported, not hung") {
     val builder = new GraphBuilder().setMaxOutputTableNum(1)
     val src = builder.createTableId()
