@@ -103,3 +103,17 @@ def test_stopwords_remover(spark):
            .setInputCols(["raw"]).setOutputCols(["filtered"])
            .transform(df))[0]
     assert out.collect()[0]["filtered"] == ["test", "quick", "fox"]
+
+
+def test_functions_module_round_trip_and_cosine(spark):
+    from graftml import functions as F
+    from pyspark.sql.functions import col
+    F.register(spark)
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 2.0]), ([1.0, 1.0], [1.0, 1.0])],
+                               ["a", "b"])
+    out = df.select(
+        F.vector_to_array(F.array_to_vector(col("a")))[0].alias("rt"),
+        F.cosine_similarity(col("a"), col("b")).alias("cos")).collect()
+    assert [r["rt"] for r in out] == [1.0, 1.0]
+    assert abs(out[0]["cos"]) < 1e-12
+    assert abs(out[1]["cos"] - 1.0) < 1e-12
