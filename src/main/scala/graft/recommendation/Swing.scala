@@ -284,17 +284,22 @@ class Swing extends AlgoOperator[Swing]
       val l = capped.select(col("i").as("anchor"), col("u").as("u1"))
       val r = capped.select(col("i").as("anchor"), col("u").as("u2"))
       val anchorPairs = l.join(r, Seq("anchor")).where(col("u1") < col("u2"))
-      val candPairs = anchorPairs.select("u1", "u2").distinct()
+      // ONE aggregation gives each pair its anchor list — replacing the
+      // previous distinct + join-back, which shuffled the (big)
+      // anchor-pair relation twice on (u1,u2). The collected lists are
+      // bounded by the pair's shared-anchor count ≤ maxUserBehavior.
+      val anchorsByPair = anchorPairs.groupBy("u1", "u2")
+        .agg(collect_list("anchor").as("anchors"))
       val it1 = userItems.select(col("u").as("u1"), col("items").as("items1"), col("cnt").as("c1"))
       val it2 = userItems.select(col("u").as("u2"), col("items").as("items2"), col("cnt").as("c2"))
-      val pairInfo = candPairs.join(it1, "u1").join(it2, "u2")
-        .select(col("u1"), col("u2"),
+      anchorsByPair.join(it1, "u1").join(it2, "u2")
+        .select(col("anchors"),
           array_intersect(col("items1"), col("items2")).as("xs"),
           pairWeight(col("c1"), col("c2")).as("w"))
-        .select(col("u1"), col("u2"), col("xs"),
+        .select(col("anchors"), col("xs"),
           (col("w") / (lit(a2) + size(col("xs")))).as("s"))
-      anchorPairs.join(pairInfo, Seq("u1", "u2"))
-        .select(col("anchor").as("i"), explode(col("xs")).as("sim"), col("s"))
+        .select(explode(col("anchors")).as("i"), col("xs"), col("s"))
+        .select(col("i"), explode(col("xs")).as("sim"), col("s"))
         .where(col("sim") =!= col("i"))
         .groupBy("i", "sim").agg(sum("s").as("score"))
     }
