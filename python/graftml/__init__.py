@@ -91,6 +91,7 @@ _STAGES = [
     "graft.dedup.CosineDeduplicator",
     "graft.dedup.Decontaminator",
     "graft.dedup.MinHashDeduplicator",
+    "graft.dedup.MinHashIndexer", "graft.dedup.MinHashIndexModel",
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher",
     "graft.text.Bm25Scorer",

@@ -224,3 +224,27 @@ def test_asof_joiner_two_input_transform(spark):
            .transform(left, right))[0]
     got = {r["ts"]: r["val"] for r in out.collect()}
     assert got[100] == "v0" and got[205] == "v1"
+
+
+def test_minhash_indexer_incremental_dedup(spark):
+    from graftml import MinHashIndexer, MinHashIndexModel
+    from pyspark.ml.linalg import Vectors
+
+    def vec(*idx):
+        return Vectors.sparse(100, sorted(idx), [1.0] * len(idx))
+
+    corpus = spark.createDataFrame(
+        [(0, vec(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+         (2, vec(50, 51, 52, 53, 54, 55, 56, 57, 58, 59))],
+        ["id", "features"])
+    batch = spark.createDataFrame(
+        [(11, vec(1, 2, 3, 4, 5, 6, 7, 8, 9, 42)),   # near-dup of 0
+         (15, vec(80, 81, 82, 83, 84, 85, 86, 87, 88, 89))],  # unique
+        ["id", "features"])
+    model = (MinHashIndexer(spark=spark)
+             .setInputCol("features").setOutputCol("hashes")
+             .setNumHashTables(10).setThreshold(0.3).setSeed(7)
+             .fit(corpus))
+    rows = {r["id"]: r for r in model.transform(batch)[0].collect()}
+    assert rows[11]["is_duplicate"] and rows[11]["matched_id"] == 0
+    assert not rows[15]["is_duplicate"] and rows[15]["matched_id"] is None

@@ -1054,6 +1054,32 @@ object SparkEntry {
           round(col("distCol"), 6).as("jaccard_dist"))
     }),
 
+    // --- Incremental dedup: index the even docs once, flag the odd
+    // docs against the index (MinHashIndexer — the batch-over-batch
+    // corpus-growth workflow; same banded-join recall argument as
+    // q_minhash_join) ---
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(docs).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val cv = new graft.feature.CountVectorizer()
+        .setVocabularySize(1 << 17).setInputCol("shingles").setOutputCol("tf")
+        .fit(grams)
+      val vecs = cv.transform(grams).head.select("doc_id", "tf")
+      val model = new graft.dedup.MinHashIndexer()
+        .setInputCol("tf").setOutputCol("hashes")
+        .setSeed(2022L).setNumHashTables(10)
+        .setIdCol("doc_id").setThreshold(0.5)
+        .fit(vecs.where(col("doc_id") % 2 === 0))
+      model.transform(vecs.where(col("doc_id") % 2 === 1)).head
+        .select(col("doc_id"), col("matched_id"), col("is_duplicate"))
+    }),
+
     // --- Normalizer (L2) ---
     "q_normalizer" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2802,6 +2828,30 @@ object SparkEntry {
          )
          SELECT id_a, id_b, ROUND(dist, 6) AS jaccard_dist
          FROM pairs WHERE dist <= 0.5""",
+
+    "q_incremental_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 FOR i IN range(1, len(ws) - 1)]) AS sg
+           FROM toks WHERE len(ws) >= 3
+         ),
+         odd AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+         even AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+         m AS (
+           SELECT o.doc_id, MIN(e.doc_id) AS matched_id
+           FROM odd o JOIN even e
+             ON 1.0 - CAST(len(list_intersect(o.sg, e.sg)) AS DOUBLE)
+                      / len(list_distinct(list_concat(o.sg, e.sg))) <= 0.5
+           GROUP BY o.doc_id
+         )
+         SELECT o.doc_id, m.matched_id, m.matched_id IS NOT NULL AS is_duplicate
+         FROM odd o LEFT JOIN m ON o.doc_id = m.doc_id""",
 
     "q_normalizer" ->
       """SELECT l_orderkey, l_linenumber,
