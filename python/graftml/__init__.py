@@ -89,6 +89,7 @@ _STAGES = [
     "graft.streaming.Sessionizer",
     # dedup / text / ann / multimodal / join
     "graft.dedup.CosineDeduplicator",
+    "graft.dedup.CosineIndexer", "graft.dedup.CosineIndexModel",
     "graft.dedup.Decontaminator",
     "graft.dedup.MinHashDeduplicator",
     "graft.dedup.MinHashIndexer", "graft.dedup.MinHashIndexModel",

@@ -740,6 +740,22 @@ object SparkEntry {
         .select(col("vec_id"), col("canonical_id"), col("is_duplicate"))
     }),
 
+    // --- Incremental embedding dedup: index the even vec_ids, flag the
+    // odd vec_ids against the index (CosineIndexer; same planes/buckets
+    // as q_embedding_dedup, replayed in the oracle) ---
+    "q_incremental_embedding_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val model = new graft.dedup.CosineIndexer()
+        .setIdCol("vec_id").setInputCol("vec")
+        .setSeed(2022L).setNumHashTables(8).setNumPlanes(8)
+        .setMinSimilarity(0.45)
+        .fit(emb.where(col("vec_id") % 2 === 0))
+      model.transform(emb.where(col("vec_id") % 2 === 1)).head
+        .select(col("vec_id"), col("matched_id"), col("is_duplicate"))
+    }),
+
     // --- Multimodal: binary payload decode stub + frame sampling,
     // plus a REAL image decode: each doc gets a synthetic PNG whose
     // dimensions derive from doc_id; ImageDecoder must recover them
@@ -1672,6 +1688,41 @@ object SparkEntry {
   }
 
   /**
+   * Oracle for q_incremental_embedding_dedup: same seeded hyperplanes
+   * and sign buckets as embeddingDedupOracleSql, but candidates only
+   * between indexed (even) and batch (odd) ids; best match per batch
+   * row = highest cosine ≥ 0.45, smallest id on ties.
+   */
+  private def incrementalEmbeddingDedupOracleSql: String = {
+    val values = gaussianPlanesValues(64, 64, 2022L)
+    s"""WITH planes(p, i, w) AS (VALUES $values),
+       emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       ex AS (SELECT vec_id, UNNEST(range(1, len(e) + 1)) AS i, UNNEST(e) AS x FROM emb),
+       proj AS MATERIALIZED (SELECT ex.vec_id, planes.p, SUM(planes.w * ex.x) AS s
+                FROM ex JOIN planes ON planes.i = ex.i
+                GROUP BY ex.vec_id, planes.p),
+       buck AS MATERIALIZED (SELECT vec_id, p // 8 AS band,
+                SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (p % 8) ELSE 0 END) AS b
+                FROM proj GROUP BY vec_id, p // 8),
+       cand AS (SELECT DISTINCT a.vec_id AS ix, bb.vec_id AS bx
+                FROM buck a JOIN buck bb ON a.band = bb.band AND a.b = bb.b
+                WHERE a.vec_id % 2 = 0 AND bb.vec_id % 2 = 1),
+       scored AS (SELECT cand.bx, cand.ix,
+                    list_dot_product(ei.e, eb.e)
+                      / (sqrt(list_dot_product(ei.e, ei.e)) * sqrt(list_dot_product(eb.e, eb.e))) AS sim
+                  FROM cand
+                  JOIN emb ei ON ei.vec_id = cand.ix
+                  JOIN emb eb ON eb.vec_id = cand.bx),
+       best AS (SELECT bx, ix FROM (
+                  SELECT bx, ix,
+                         ROW_NUMBER() OVER (PARTITION BY bx ORDER BY sim DESC, ix ASC) AS rk
+                  FROM scored WHERE sim >= 0.45) WHERE rk = 1)
+       SELECT o.vec_id, best.ix AS matched_id, best.ix IS NOT NULL AS is_duplicate
+       FROM (SELECT vec_id FROM emb WHERE vec_id % 2 = 1) o
+       LEFT JOIN best ON best.bx = o.vec_id"""
+  }
+
+  /**
    * Oracle for q_logreg_train: full-batch logistic GD from zero
    * weights, lr 0.1, no regularization — each unrolled step computes
    * the exact global gradient Σ (−ls / (exp((w·x)·ls) + 1))·x over
@@ -1755,6 +1806,8 @@ object SparkEntry {
     "q_logreg_train" -> logregTrainOracleSql,
 
     "q_embedding_dedup" -> embeddingDedupOracleSql,
+
+    "q_incremental_embedding_dedup" -> incrementalEmbeddingDedupOracleSql,
 
     "q_ann_ivf" ->
       """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
