@@ -46,8 +46,10 @@ object DocGen {
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",
     "graft.streaming.OnlineStandardScaler", "graft.streaming.Sessionizer",
-    "graft.dedup.CosineDeduplicator", "graft.dedup.Decontaminator",
-    "graft.dedup.MinHashDeduplicator", "graft.dedup.NgramJaccardJoin",
+    "graft.dedup.CosineDeduplicator", "graft.dedup.CosineIndexer",
+    "graft.dedup.Decontaminator",
+    "graft.dedup.MinHashDeduplicator", "graft.dedup.MinHashIndexer",
+    "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher",
     "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.ChunkSplitter",
     "graft.text.DocumentFingerprinter", "graft.text.ExactDeduplicator",
