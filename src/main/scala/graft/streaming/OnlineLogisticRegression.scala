@@ -394,6 +394,33 @@ object OnlineLogisticRegressionModel extends StageLoader[OnlineLogisticRegressio
         org.apache.spark.ml.functions.array_to_vector(col("n")).as("nParam"))
   }
 
+  /** FTRL warm start from a batch [[graft.classification.LogisticRegressionModel]]'s
+    * model data (`coefficient`[, `modelVersion`]) — the reference's
+    * online estimator takes the batch model table as initModelData
+    * (OnlineLogisticRegressionTest testFitAndPredictWithInitLogisticRegressionModel).
+    * z/n start at zero; the first micro-batch's FTRL step takes its
+    * gradient at — and its z-update against — the batch coefficients,
+    * so the warm weights carry forward through the −σ·w term. The
+    * stamp defaults to Long.MinValue (not yet servable under delay
+    * gating) like [[zeroInit]]; pass a real time to serve immediately. */
+  def warmInit(batchModelData: DataFrame, modelTimeMs: Long = Long.MinValue): DataFrame = {
+    val spark = batchModelData.sparkSession
+    import spark.implicits._
+    val row = batchModelData.head()
+    val coeff = row.getAs[Vector](row.fieldIndex("coefficient")).toArray
+    val version =
+      if (batchModelData.columns.contains("modelVersion"))
+        row.getAs[Long](row.fieldIndex("modelVersion"))
+      else 0L
+    Seq((version, modelTimeMs, coeff,
+        new Array[Double](coeff.length), new Array[Double](coeff.length)))
+      .toDF("version", "modelTimeMs", "c", "z", "n")
+      .select(col("version"), col("modelTimeMs"),
+        org.apache.spark.ml.functions.array_to_vector(col("c")).as("coefficient"),
+        org.apache.spark.ml.functions.array_to_vector(col("z")).as("zParam"),
+        org.apache.spark.ml.functions.array_to_vector(col("n")).as("nParam"))
+  }
+
   def load(spark: SparkSession, path: String): OnlineLogisticRegressionModel = {
     val m = ReadWrite.applyParams(new OnlineLogisticRegressionModel, path)
     m.setModelData(ReadWrite.loadModelData(spark, path))
