@@ -1,0 +1,98 @@
+package graft.examples
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-8 capability examples: incremental dedup indexes, the
+ * windowed agglomerative clustering, pipeline servable export, and
+ * warm-starting online FTRL from a batch model.
+ */
+object IncrementalDedupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("IncrementalDedupExample")
+    import spark.implicits._
+    def vec(idx: Int*) =
+      Vectors.sparse(100, idx.sorted.toArray, Array.fill(idx.size)(1.0))
+    // yesterday's corpus, indexed once
+    val corpus = Seq(
+      (0L, vec(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+      (1L, vec(40, 41, 42, 43, 44, 45, 46, 47, 48, 49))).toDF("id", "features")
+    val model = new graft.dedup.MinHashIndexer()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(10).setThreshold(0.3).setSeed(7L)
+      .fit(corpus)
+    // today's batch: checked against the index, not against itself
+    val batch = Seq(
+      (10L, vec(1, 2, 3, 4, 5, 6, 7, 8, 9, 99)), // near-dup of 0
+      (11L, vec(70, 71, 72, 73, 74, 75, 76, 77, 78, 79))).toDF("id", "features")
+    model.transform(batch).head.select("id", "matched_id", "is_duplicate").show(false)
+    // grow the index for tomorrow
+    val grown = model.addToIndex(batch)
+    println(s"index size: ${grown.getModelData.head.count()}")
+    spark.stop()
+  }
+}
+
+object WindowedAgglomerativeExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("WindowedAgglomerativeExample")
+    import spark.implicits._
+    // each 1-second event-time window is clustered independently
+    val df = Seq(
+      (Vectors.dense(1, 1), 1000L), (Vectors.dense(1, 4), 1000L), (Vectors.dense(1, 0), 1000L),
+      (Vectors.dense(4, 4), 4000L), (Vectors.dense(4, 1.5), 4000L), (Vectors.dense(4, 0), 4000L)
+    ).toDF("features", "ts")
+    new graft.clustering.AgglomerativeClustering()
+      .setLinkage("ward")
+      .setWindows(graft.streaming.EventTimeTumblingWindows(1000L)).setTimeCol("ts")
+      .transform(df).head
+      .select("ts", "features", "prediction").show(false)
+    spark.stop()
+  }
+}
+
+object PipelineServableExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("PipelineServableExample")
+    import spark.implicits._
+    val train = Seq(
+      (Vectors.dense(1, 2), 0.0), (Vectors.dense(2, 3), 0.0),
+      (Vectors.dense(11, 2), 1.0), (Vectors.dense(12, 3), 1.0)).toDF("features", "label")
+    val scaler = new graft.feature.StandardScaler()
+      .setInputCol("features").setOutputCol("scaled").setWithMean(true).fit(train)
+    val lr = new graft.classification.LogisticRegression()
+      .setFeaturesCol("scaled").fit(scaler.transform(train).head)
+    val pipeline = new graft.api.PipelineModel(Seq(scaler, lr))
+    println(s"supportServable = ${pipeline.supportServable}")
+    // score WITHOUT Spark: plain arrays through the exported servable
+    val servable = pipeline.toServable
+    val input = graft.servable.LocalDataFrame(
+      Seq("features"), Seq(Seq(Array(1.5, 2.5): Any), Seq(Array(11.5, 2.5): Any)))
+    val out = servable.transform(input)
+    println(s"Spark-free predictions: ${out.column("prediction")}")
+    spark.stop()
+  }
+}
+
+object OnlineWarmStartExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("OnlineWarmStartExample")
+    import spark.implicits._
+    val history = Seq(
+      (Vectors.dense(1, 2), 0.0), (Vectors.dense(2, 2), 0.0),
+      (Vectors.dense(11, 2), 1.0), (Vectors.dense(12, 2), 1.0)).toDF("features", "label")
+    // nightly batch fit...
+    val batchModel = new graft.classification.LogisticRegression().fit(history)
+    // ...seeds the online FTRL model for the day's stream
+    val online = new graft.streaming.OnlineLogisticRegressionModel()
+      .setModelData(graft.streaming.OnlineLogisticRegressionModel
+        .warmInit(batchModel.getModelData.head))
+    val updated = online.update(
+      Seq((Vectors.dense(13.0, 2.0), 1.0, 1.0)).toDF("features", "label", "weight"),
+      "features", "label", "weight")
+    updated.getModelData.head
+      .select("version", "coefficient").orderBy("version").show(false)
+    spark.stop()
+  }
+}
