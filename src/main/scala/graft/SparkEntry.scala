@@ -740,6 +740,43 @@ object SparkEntry {
         .select(col("vec_id"), col("canonical_id"), col("is_duplicate"))
     }),
 
+    // --- Corpus mixture analysis: cluster the embedding space around
+    // four seed documents (assignment counts under the seeds, plus the
+    // one-step-refined centroid norms) — the domain-share statistic a
+    // mixture-balancing pipeline feeds back into WeightedMixer ---
+    "q_embedding_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val init = emb.where(col("vec_id").isin(3L, 99L, 201L, 350L))
+        .orderBy("vec_id")
+        .select(col("vec"))
+        .collect().zipWithIndex
+      import s.implicits._
+      val initDf = init.map { case (r, i) =>
+        (i, r.getAs[org.apache.spark.ml.linalg.Vector](0).toArray) }.toSeq
+        .toDF("centroidId", "arr")
+        .select(col("centroidId"),
+          org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"))
+      // shares under the seed centroids (deterministic: seed centroids
+      // are exact data vectors in both engines)
+      val counts = new graft.clustering.KMeansModel()
+        .setFeaturesCol("vec").setModelData(initDf)
+        .transform(emb).head
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+      // one Lloyd refinement; norms rounded so ulp-level accumulation
+      // order cannot flip the compare
+      val fitted = new graft.clustering.KMeans()
+        .setFeaturesCol("vec").setK(4).setMaxIter(1)
+        .setInitialModelData(initDf).fit(emb)
+      val norm = udf { v: org.apache.spark.ml.linalg.Vector =>
+        math.sqrt(graft.linalg.BLAS.dot(v, v)) }
+      val norms = fitted.getModelData.head
+        .select(col("centroidId"), round(norm(col("centroid")), 4).as("c_norm"))
+      counts.join(norms, col("prediction") === col("centroidId"))
+        .select(col("centroidId").cast("long").as("cluster"), col("n"), col("c_norm"))
+    }),
+
     // --- Incremental embedding dedup: index the even vec_ids, flag the
     // odd vec_ids against the index (CosineIndexer; same planes/buckets
     // as q_embedding_dedup, replayed in the oracle) ---
@@ -1808,6 +1845,25 @@ object SparkEntry {
     "q_embedding_dedup" -> embeddingDedupOracleSql,
 
     "q_incremental_embedding_dedup" -> incrementalEmbeddingDedupOracleSql,
+
+    "q_embedding_clusters" ->
+      """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e
+               FROM emb WHERE vec_id IN (3, 99, 201, 350)),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT emb.vec_id, c.cid,
+                         ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY
+                           list_dot_product(emb.e, emb.e)
+                             - 2 * list_dot_product(emb.e, c.e)
+                             + list_dot_product(c.e, c.e), c.cid) AS rk
+                  FROM emb CROSS JOIN c0 c) WHERE rk = 1),
+         counts AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
+         ux AS (SELECT a1.cid, UNNEST(range(1, len(emb.e) + 1)) AS i, UNNEST(emb.e) AS x
+                FROM emb JOIN a1 ON a1.vec_id = emb.vec_id),
+         cm AS (SELECT cid, i, SUM(x) / COUNT(*) AS m FROM ux GROUP BY cid, i),
+         c1 AS (SELECT cid, SQRT(SUM(m * m)) AS cn FROM cm GROUP BY cid)
+         SELECT counts.cid AS cluster, counts.n, ROUND(c1.cn, 4) AS c_norm
+         FROM counts JOIN c1 ON c1.cid = counts.cid""",
 
     "q_ann_ivf" ->
       """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
