@@ -131,6 +131,55 @@ object ScaleUp {
         .where(col("is_duplicate")).count()
     }
 
+    // MinHashIndexer at scale: index the originals (group members
+    // 0-2), flag the planted exact (member 3) and near (member 4)
+    // duplicates as a later batch — every batch doc should match, so
+    // flagged/batch is the operator's recall at this corpus size
+    stage("incremental_dedup") {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(docs).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(3)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val tf = new graft.feature.HashingTF()
+        .setInputCol("shingles").setOutputCol("tf").setNumFeatures(1 << 20).setBinary(true)
+        .transform(grams).head
+        .select("doc_id", "tf")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val index = tf.where(col("doc_id") % 5 <= 2)
+      val batch = tf.where(col("doc_id") % 5 >= 3)
+      val model = new graft.dedup.MinHashIndexer()
+        .setIdCol("doc_id").setInputCol("tf").setOutputCol("hashes")
+        .setSeed(2022L).setNumHashTables(10).setNumHashFunctionsPerTable(2)
+        .setThreshold(0.5)
+        .fit(index)
+      val flagged = model.transform(batch).head.where(col("is_duplicate")).count()
+      val total = batch.count()
+      println(s"""{"incremental_dedup_recall":${String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(flagged.toDouble / total))}}""")
+      tf.unpersist(blocking = false)
+      flagged
+    }
+
+    // CosineIndexer at scale: index members 0-2 of each embedding
+    // group, flag the planted cosine-0.999 near-dups (member 3)
+    stage("incremental_embedding_dedup") {
+      val index = vecs.where(col("vec_id") % 4 <= 2)
+      val batch = vecs.where(col("vec_id") % 4 === 3)
+      val model = new graft.dedup.CosineIndexer()
+        .setIdCol("vec_id").setInputCol("vec")
+        .setSeed(2022L).setNumHashTables(8).setNumPlanes(20)
+        .setMinSimilarity(0.95)
+        .fit(index)
+      val flagged = model.transform(batch).head.where(col("is_duplicate")).count()
+      val total = batch.count()
+      println(s"""{"incremental_embedding_dedup_recall":${String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(flagged.toDouble / total))}}""")
+      flagged
+    }
+
     stage("simhash_join") {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
