@@ -45,6 +45,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("incremental indexers match batch vs index via equi-joins only") {
+    import spark.implicits._
+    def sv(idx: Seq[Int]) =
+      org.apache.spark.ml.linalg.Vectors.sparse(100, idx.toArray, Array.fill(idx.size)(1.0))
+    val corpus = Seq((1L, sv(Seq(1, 2, 3))), (2L, sv(Seq(7, 8, 9)))).toDF("id", "features")
+    val batch = Seq((11L, sv(Seq(1, 2, 4)))).toDF("id", "features")
+    val mh = new graft.dedup.MinHashIndexer()
+      .setInputCol("features").setOutputCol("hashes").setNumHashTables(5).setSeed(1L)
+      .fit(corpus).transform(batch).head
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(!mhPlan.contains("CartesianProduct") && !mhPlan.contains("BroadcastNestedLoopJoin"),
+      mhPlan)
+
+    val dense = Seq((1L, org.apache.spark.ml.linalg.Vectors.dense(1.0, 0.0)),
+      (2L, org.apache.spark.ml.linalg.Vectors.dense(0.0, 1.0))).toDF("id", "vec")
+    val dBatch = Seq((11L, org.apache.spark.ml.linalg.Vectors.dense(0.9, 0.1))).toDF("id", "vec")
+    val cs = new graft.dedup.CosineIndexer()
+      .setInputCol("vec").setNumHashTables(4).setNumPlanes(4).setSeed(1L)
+      .fit(dense).transform(dBatch).head
+    val csPlan = cs.queryExecution.executedPlan.toString
+    assert(!csPlan.contains("CartesianProduct") && !csPlan.contains("BroadcastNestedLoopJoin"),
+      csPlan)
+  }
+
   test("NgramJaccardJoin generates candidates via equi-join only") {
     import spark.implicits._
     val df = Seq((1L, Seq("a b c", "b c d")), (2L, Seq("a b c", "x y z")))
