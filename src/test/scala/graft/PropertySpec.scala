@@ -228,4 +228,51 @@ class PropertySpec extends SparkSpec {
       assert(sel(df1) == sel(df2))
     }
   }
+
+  test("MinHashIndexer: precision is exact, exact copies always recalled") {
+    import spark.implicits._
+    val universe = 60
+    val setGen: Gen[Set[Int]] = for {
+      n <- Gen.choose(4, 10)
+      xs <- Gen.listOfN(n, Gen.choose(0, universe - 1))
+    } yield xs.toSet
+    def jaccardDist(a: Set[Int], b: Set[Int]): Double =
+      1.0 - a.intersect(b).size.toDouble / a.union(b).size
+
+    (1 to Cases).foreach { i =>
+      val indexSets = (0 until 6).map(j => draw(setGen, i * 100 + j))
+      val freshSets = (0 until 3).map(j => draw(setGen, i * 100 + 50 + j))
+      def toVec(s: Set[Int]) =
+        Vectors.sparse(universe, s.toArray.sorted, Array.fill(s.size)(1.0))
+      val corpus = indexSets.zipWithIndex.map { case (s, j) => (j.toLong, toVec(s)) }
+        .toDF("id", "features")
+      // batch: one exact copy of an indexed doc + fresh random sets
+      val batch = ((100L, toVec(indexSets.head)) +:
+        freshSets.zipWithIndex.map { case (s, j) => (200L + j, toVec(s)) })
+        .toDF("id", "features")
+      val out = new graft.dedup.MinHashIndexer()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(12).setThreshold(0.3).setSeed(i.toLong)
+        .fit(corpus).transform(batch).head
+        .select("id", "matched_id", "is_duplicate").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getBoolean(2)))
+
+      out.foreach { case (id, matched, dup) =>
+        val mySet = if (id == 100L) indexSets.head else freshSets((id - 200L).toInt)
+        matched match {
+          case Some(m) =>
+            // precision: a reported match is a TRUE near-dup (the exact
+            // Jaccard verify guarantees it regardless of banding luck)
+            assert(dup)
+            assert(jaccardDist(mySet, indexSets(m.toInt)) <= 0.3,
+              s"case $i: id $id matched $m beyond threshold")
+          case None =>
+            assert(!dup)
+            // an exact copy shares every signature: recall 1 by construction
+            assert(id != 100L, s"case $i: exact copy not recalled")
+        }
+      }
+    }
+  }
 }
