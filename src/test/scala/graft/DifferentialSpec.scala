@@ -104,6 +104,78 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  private def assertVectorsAgree(ours: org.apache.spark.sql.DataFrame,
+      theirs: org.apache.spark.sql.DataFrame, ourCol: String, theirCol: String,
+      tol: Double = 1e-12): Unit =
+    ours.join(theirs, "features").collect().foreach { r =>
+      val a = r.getAs[Vector](ourCol).toArray
+      val b = r.getAs[Vector](theirCol).toArray
+      assert(a.length == b.length)
+      a.indices.foreach(i => assert(math.abs(a(i) - b(i)) < tol, s"dim $i: ${a(i)} vs ${b(i)}"))
+    }
+
+  private def gaussianVecs(n: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => Tuple1(Vectors.dense(Array.fill(dim)(rnd.nextGaussian() * 5)): Vector))
+      .toDF("features").cache()
+  }
+
+  test("StandardScaler matches spark.ml across the withMean/withStd matrix") {
+    val df = gaussianVecs(150, 3, 41)
+    for ((wm, ws) <- Seq((false, true), (true, true), (true, false))) {
+      val ours = new graft.feature.StandardScaler()
+        .setInputCol("features").setOutputCol("s").setWithMean(wm).setWithStd(ws)
+        .fit(df).transform(df).head.select("features", "s")
+      val theirs = new org.apache.spark.ml.feature.StandardScaler()
+        .setInputCol("features").setOutputCol("s2").setWithMean(wm).setWithStd(ws)
+        .fit(df).transform(df).select("features", "s2")
+      assertVectorsAgree(ours, theirs, "s", "s2", 1e-9)
+    }
+  }
+
+  test("MaxAbsScaler transforms identically to spark.ml") {
+    val df = gaussianVecs(150, 4, 43)
+    val ours = new graft.feature.MaxAbsScaler()
+      .setInputCol("features").setOutputCol("s")
+      .fit(df).transform(df).head.select("features", "s")
+    val theirs = new org.apache.spark.ml.feature.MaxAbsScaler()
+      .setInputCol("features").setOutputCol("s2")
+      .fit(df).transform(df).select("features", "s2")
+    assertVectorsAgree(ours, theirs, "s", "s2")
+  }
+
+  test("PolynomialExpansion matches spark.ml up to monomial ordering") {
+    val df = gaussianVecs(40, 3, 47)
+    // spark.ml orders expanded monomials differently; compare as sorted
+    // multisets per row (the same monomial values must appear)
+    val ours = new graft.feature.PolynomialExpansion()
+      .setInputCol("features").setOutputCol("p").setDegree(3)
+      .transform(df).head.select("features", "p")
+    val theirs = new org.apache.spark.ml.feature.PolynomialExpansion()
+      .setInputCol("features").setOutputCol("p2").setDegree(3)
+      .transform(df).select("features", "p2")
+    ours.join(theirs, "features").collect().foreach { r =>
+      val a = r.getAs[Vector]("p").toArray.sorted
+      val b = r.getAs[Vector]("p2").toArray.sorted
+      assert(a.length == b.length)
+      a.indices.foreach(i => assert(math.abs(a(i) - b(i)) < 1e-9, s"$i: ${a(i)} vs ${b(i)}"))
+    }
+  }
+
+  test("DCT forward and inverse match spark.ml") {
+    val df = gaussianVecs(60, 8, 53)
+    for (inv <- Seq(false, true)) {
+      val ours = new graft.feature.DCT()
+        .setInputCol("features").setOutputCol("d").setInverse(inv)
+        .transform(df).head.select("features", "d")
+      val theirs = new org.apache.spark.ml.feature.DCT()
+        .setInputCol("features").setOutputCol("d2").setInverse(inv)
+        .transform(df).select("features", "d2")
+      assertVectorsAgree(ours, theirs, "d", "d2", 1e-9)
+    }
+  }
+
   test("RobustScaler transforms identically to spark.ml (GK sketch fit)") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
