@@ -593,6 +593,23 @@ object SparkEntry {
         .select("doc_id", "clean", "n_lines", "n_removed")
     }),
 
+    // --- Span-level exact-substring dedup (planted shared passages) ---
+    "q_span_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("ptext",
+        concat(substring(col("text"), 1, 80),
+          when(col("doc_id") % 3 === 0,
+            lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" omega psi chi phi upsilon tau sigma rho pi omicron"))
+            .otherwise(lit(""))))
+      val out = new graft.dedup.SpanDeduplicator().setN(8)
+        .setIdCol("doc_id").setInputCol("ptext").setOutputCol("clean")
+        .transform(planted).head
+      out.select(col("doc_id"), col("dup_windows"), col("dup_spans"),
+        col("dup_tokens"))
+    }),
+
     // --- Exact dedup by normalized content hash ---
     "q_exact_dedup" -> ((s, dir) => {
       val out = new graft.text.ExactDeduplicator()
@@ -2595,6 +2612,58 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_lines,
                 CAST(SUM(CASE WHEN dropit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          FROM f GROUP BY doc_id""",
+
+    "q_span_dedup" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  substr(text, 1, 80)
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' omega psi chi phi upsilon tau sigma rho pi omicron'
+                          ELSE '' END AS ptext
+           FROM documents
+         ),
+         tk AS (
+           SELECT doc_id, list_filter(string_split_regex(ptext, '\s+'), x -> x <> '') AS t
+           FROM p
+         ),
+         w AS (
+           SELECT doc_id, u.i AS pos, u.h AS h
+           FROM (SELECT doc_id,
+                        unnest([{'i': i - 1, 'h': md5(array_to_string(t[i:i+7], ' '))}
+                                FOR i IN range(1, len(t) - 6)]) AS u
+                 FROM tk WHERE len(t) >= 8)
+         ),
+         d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS new_isl
+           FROM m
+         ),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           FROM isl
+         ),
+         sp AS (
+           SELECT doc_id, isl, MIN(pos) AS s, MAX(pos + 8) AS e, COUNT(*) AS wn
+           FROM isl2 GROUP BY doc_id, isl
+         ),
+         agg AS (
+           SELECT doc_id,
+                  SUM(wn) AS dup_windows, COUNT(*) AS dup_spans, SUM(e - s) AS dup_tokens
+           FROM sp GROUP BY doc_id
+         )
+         SELECT d0.doc_id,
+                CAST(coalesce(agg.dup_windows, 0) AS BIGINT) AS dup_windows,
+                CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
+                CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
+         FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
 
     "q_exact_dedup" ->
       """WITH f AS (
