@@ -95,6 +95,7 @@ _STAGES = [
     "graft.dedup.MinHashIndexer", "graft.dedup.MinHashIndexModel",
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher",
+    "graft.dedup.SpanDeduplicator",
     "graft.text.Bm25Scorer",
     "graft.text.BpeTrainer", "graft.text.BpeModel",
     "graft.text.ChunkSplitter",

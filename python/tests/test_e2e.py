@@ -248,3 +248,22 @@ def test_minhash_indexer_incremental_dedup(spark):
     rows = {r["id"]: r for r in model.transform(batch)[0].collect()}
     assert rows[11]["is_duplicate"] and rows[11]["matched_id"] == 0
     assert not rows[15]["is_duplicate"] and rows[15]["matched_id"] is None
+
+
+def test_span_deduplicator_removes_shared_passage(spark):
+    from graftml import SpanDeduplicator
+    passage = " ".join(f"p{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, "a0 a1 a2 " + passage),
+         (2, passage + " b0 b1"),
+         (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11")],
+        ["doc_id", "text"])
+    out = (SpanDeduplicator(spark=spark)
+           .setN(8).setIdCol("doc_id").setInputCol("text").setOutputCol("clean")
+           .transform(df))[0]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 10-token passage, n=8 -> 3 overlapping windows, one merged span of 10
+    assert rows[1]["dup_windows"] == 3 and rows[1]["dup_spans"] == 1
+    assert rows[1]["dup_tokens"] == 10 and rows[1]["clean"] == "a0 a1 a2"
+    assert rows[2]["clean"] == "b0 b1"
+    assert rows[3]["dup_windows"] == 0 and rows[3]["clean"].startswith("c0")

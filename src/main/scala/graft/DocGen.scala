@@ -50,7 +50,7 @@ object DocGen {
     "graft.dedup.Decontaminator",
     "graft.dedup.MinHashDeduplicator", "graft.dedup.MinHashIndexer",
     "graft.dedup.NgramJaccardJoin",
-    "graft.dedup.SimHasher",
+    "graft.dedup.SimHasher", "graft.dedup.SpanDeduplicator",
     "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.ChunkSplitter",
     "graft.text.DocumentFingerprinter", "graft.text.ExactDeduplicator",
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
