@@ -97,6 +97,7 @@ _STAGES = [
     "graft.dedup.SimHasher",
     "graft.dedup.SpanDeduplicator",
     "graft.text.Bm25Scorer",
+    "graft.text.FrequentNgrams",
     "graft.text.BpeTrainer", "graft.text.BpeModel",
     "graft.text.ChunkSplitter",
     "graft.text.DocumentFingerprinter",

@@ -267,3 +267,19 @@ def test_span_deduplicator_removes_shared_passage(spark):
     assert rows[1]["dup_tokens"] == 10 and rows[1]["clean"] == "a0 a1 a2"
     assert rows[2]["clean"] == "b0 b1"
     assert rows[3]["dup_windows"] == 0 and rows[3]["clean"].startswith("c0")
+
+
+def test_frequent_ngrams_exact_and_sketch_agree(spark):
+    from graftml import FrequentNgrams
+    from pyspark.sql import functions as F
+    docs = ["the quick brown fox", "the quick brown dog",
+            "a quick brown fox ran", "the slow brown fox"] * 3
+    df = spark.createDataFrame([(d,) for d in docs], ["text"]) \
+        .select(F.split("text", " ").alias("toks"))
+    base = FrequentNgrams(spark=spark).setN(2).setMinCount(6).setInputCol("toks")
+    exact = {(r["gram"], r["cnt"])
+             for r in base.setStrategy("exact").transform(df)[0].collect()}
+    sketch = {(r["gram"], r["cnt"])
+              for r in base.setStrategy("sketch").transform(df)[0].collect()}
+    assert exact == sketch
+    assert ("quick brown", 9) in exact

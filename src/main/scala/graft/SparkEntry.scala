@@ -593,6 +593,15 @@ object SparkEntry {
         .select("doc_id", "clean", "n_lines", "n_removed")
     }),
 
+    // --- Corpus-wide frequent n-grams (heavy hitters, sketch→recount) ---
+    "q_frequent_ngrams" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").as("toks"))
+      new graft.text.FrequentNgrams().setN(3).setMinCount(5L)
+        .setInputCol("toks").transform(toks).head
+        .select(col("gram"), col("cnt"))
+    }),
+
     // --- Span-level exact-substring dedup (planted shared passages) ---
     "q_span_dedup" -> ((s, dir) => {
       val planted = t(s, dir, "documents").withColumn("ptext",
@@ -2612,6 +2621,18 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_lines,
                 CAST(SUM(CASE WHEN dropit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          FROM f GROUP BY doc_id""",
+
+    "q_frequent_ngrams" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+           FROM documents
+         ),
+         g AS (
+           SELECT array_to_string(t[i:i+2], ' ') AS gram
+           FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tk WHERE len(t) >= 3)
+         )
+         SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM g GROUP BY gram HAVING COUNT(*) >= 5""",
 
     "q_span_dedup" ->
       """WITH p AS (
