@@ -96,3 +96,37 @@ object OnlineWarmStartExample {
     spark.stop()
   }
 }
+
+/** Remove passages duplicated across documents (ExactSubstr-style). */
+object SpanDedupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("SpanDedupExample")
+    import spark.implicits._
+    val boiler = "all rights reserved contact us for licensing terms and conditions apply"
+    val docs = Seq(
+      (1L, s"breaking news about the spark release $boiler"),
+      (2L, s"$boiler plus an unrelated cooking recipe with eight more words"),
+      (3L, "a document that shares nothing with the other two at all")).toDF("doc_id", "text")
+    new graft.dedup.SpanDeduplicator().setN(8)
+      .setIdCol("doc_id").setInputCol("text").setOutputCol("clean")
+      .transform(docs).head
+      .select("doc_id", "dup_spans", "dup_tokens", "clean").show(false)
+    spark.stop()
+  }
+}
+
+/** Mine corpus-frequent n-grams (boilerplate/template discovery). */
+object FrequentNgramsExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("FrequentNgramsExample")
+    import spark.implicits._
+    val docs = (0 until 50).map(i =>
+      s"article $i subscribe to our newsletter for updates on topic${i % 7}")
+      .toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    new graft.text.FrequentNgrams().setN(3).setMinCount(10L)
+      .setInputCol("toks").transform(docs).head
+      .orderBy(desc("cnt")).show(5, false)
+    spark.stop()
+  }
+}
