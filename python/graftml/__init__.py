@@ -87,6 +87,7 @@ _STAGES = [
     "graft.streaming.OnlineStandardScaler",
     "graft.streaming.OnlineStandardScalerModel",
     "graft.streaming.Sessionizer",
+    "graft.streaming.StreamingDeduplicator",
     # dedup / text / ann / multimodal / join
     "graft.dedup.CosineDeduplicator",
     "graft.dedup.CosineIndexer", "graft.dedup.CosineIndexModel",

@@ -283,3 +283,18 @@ def test_frequent_ngrams_exact_and_sketch_agree(spark):
               for r in base.setStrategy("sketch").transform(df)[0].collect()}
     assert exact == sketch
     assert ("quick brown", 9) in exact
+
+
+def test_streaming_deduplicator_batch_parity_from_python(spark):
+    from graftml import StreamingDeduplicator
+    df = spark.createDataFrame(
+        [(1, "same text", 10), (2, "unique one", 20), (3, "Same   TEXT", 30)],
+        ["id", "text", "ts"])
+    out = (StreamingDeduplicator(spark=spark)
+           .setInputCol("text").setIdCol("id")
+           .transform(df)[0])
+    rows = {r["id"]: r for r in out.collect()}
+    assert not rows[1]["is_duplicate"] and rows[1]["occurrence"] == 1
+    assert rows[3]["is_duplicate"] and rows[3]["canonical_id"] == 1
+    assert rows[3]["occurrence"] == 2
+    assert not rows[2]["is_duplicate"]

@@ -46,6 +46,7 @@ object DocGen {
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",
     "graft.streaming.OnlineStandardScaler", "graft.streaming.Sessionizer",
+    "graft.streaming.StreamingDeduplicator",
     "graft.dedup.CosineDeduplicator", "graft.dedup.CosineIndexer",
     "graft.dedup.Decontaminator",
     "graft.dedup.MinHashDeduplicator", "graft.dedup.MinHashIndexer",

@@ -619,6 +619,25 @@ object SparkEntry {
         col("dup_tokens"))
     }),
 
+    // --- Streaming deduplicator, batch mode (same state function the
+    // unbounded path runs; first = min id, occurrence ordinals) ---
+    "q_stream_dedup" -> ((s, dir) => {
+      new graft.streaming.StreamingDeduplicator()
+        .setIdCol("doc_id").setInputCol("text")
+        .transform(t(s, dir, "documents")).head
+        .select(col("doc_id"), col("content_fingerprint"),
+          col("canonical_id"), col("is_duplicate"), col("occurrence"))
+    }),
+
+    // --- Native session_window aggregation (streaming-capable path) ---
+    "q_session_agg" -> ((s, dir) => {
+      val ev = eventsTsm(s, dir)
+      new graft.streaming.Sessionizer()
+        .setKeyCols("user_id").setTimeCol("tsm").setGapMs(3600L * 1000)
+        .sessions(ev)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    }),
+
     // --- Exact dedup by normalized content hash ---
     "q_exact_dedup" -> ((s, dir) => {
       val out = new graft.text.ExactDeduplicator()
@@ -2685,6 +2704,33 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_stream_dedup" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fingerprint
+           FROM documents
+         )
+         SELECT doc_id, content_fingerprint,
+                MIN(doc_id) OVER (PARTITION BY content_fingerprint) AS canonical_id,
+                doc_id <> MIN(doc_id) OVER (PARTITION BY content_fingerprint) AS is_duplicate,
+                CAST(ROW_NUMBER() OVER (PARTITION BY content_fingerprint ORDER BY doc_id) AS BIGINT) AS occurrence
+         FROM f""",
+
+    "q_session_agg" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm FROM events),
+         l AS (SELECT user_id, tsm,
+                      CASE WHEN LAG(tsm) OVER w IS NULL
+                                OR tsm - LAG(tsm) OVER w > 3600000 THEN 1 ELSE 0 END AS nw
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+         s AS (SELECT user_id, tsm,
+                      SUM(nw) OVER (PARTITION BY user_id ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS sess
+               FROM l)
+         SELECT user_id,
+                MIN(tsm) AS session_start,
+                MAX(tsm) + 3600000 AS session_end,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sess""",
 
     "q_exact_dedup" ->
       """WITH f AS (

@@ -130,3 +130,53 @@ object FrequentNgramsExample {
     spark.stop()
   }
 }
+
+/** Dedup a corpus that never stops arriving: per-fingerprint state in
+  * the streaming checkpoint, duplicates recognized across micro-batches
+  * and restarts, TTL bounding state for truly unbounded feeds. */
+object StreamingDedupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("StreamingDedupExample")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val docs = feed.toDF().toDF("id", "text", "ts")
+    val flagged = new graft.streaming.StreamingDeduplicator()
+      .setInputCol("text").setIdCol("id").setTimeCol("ts")
+      .setStateTtlMs(24L * 3600 * 1000) // forget fingerprints idle > 1 day
+      .transform(docs).head
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_feed").start()
+    feed.addData((1L, "a scraped page", 1000L), (2L, "another page", 2000L))
+    q.processAllAvailable()
+    feed.addData((3L, "A  SCRAPED PAGE", 3000L)) // later crawl, same content
+    q.processAllAvailable()
+    q.stop()
+    spark.table("dedup_feed")
+      .select("id", "canonical_id", "is_duplicate", "occurrence").show(false)
+    spark.stop()
+  }
+}
+
+/** Engine-finalized session windows over an event stream. */
+object StreamingSessionExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("StreamingSessionExample")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val events = feed.toDF().toDF("user_id", "ts")
+    val sessions = new graft.streaming.Sessionizer()
+      .setKeyCols("user_id").setTimeCol("ts").setGapMs(30L * 60 * 1000)
+      .sessions(events)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("live_sessions").start()
+    feed.addData((7L, 0L), (7L, 60000L), (7L, 120000L))
+    q.processAllAvailable()
+    feed.addData((7L, 10L * 3600 * 1000)) // long idle → watermark closes session 1
+    q.processAllAvailable()
+    q.stop()
+    spark.table("live_sessions").show(false)
+    spark.stop()
+  }
+}

@@ -52,6 +52,36 @@ class Sessionizer extends AlgoOperator[Sessionizer] {
   def getSessionStartCol: String = get(sessionStartCol)
   def setSessionStartCol(v: String): Sessionizer = set(sessionStartCol, v)
 
+  /**
+   * Session AGGREGATION via Spark's native `session_window` — one row
+   * per closed session (keys, start, end = last event + gap, event
+   * count). Unlike [[transform]] (per-event ordinals, bounded input
+   * only) this runs UNBOUNDED: on a stream the operator installs a
+   * watermark (`delay`) and the engine finalizes and emits a session
+   * once the watermark passes its gap — engine-managed state with
+   * merge-on-late-arrival inside the delay, the genuine streaming
+   * counterpart of the reference's EventTimeSessionWindows
+   * (common/window/EventTimeSessionWindows.java).
+   *
+   * Scale shape: one shuffle on the keys; session state is
+   * O(open sessions) in the state store, evicted at watermark — no
+   * per-key history. Works identically on a bounded frame (no
+   * watermark, one pass), where it equals transform()'s session count
+   * per key.
+   */
+  def sessions(df: DataFrame, delay: String = "0 seconds"): DataFrame = {
+    require(getKeyCols.nonEmpty, "keyCols must be set")
+    val base = df.withColumn("__sz_ts", timestamp_millis(col(getTimeCol).cast("long")))
+    val wm = if (df.isStreaming) base.withWatermark("__sz_ts", delay) else base
+    val keys = getKeyCols.toSeq.map(col)
+    wm.groupBy(session_window(col("__sz_ts"), s"$getGapMs milliseconds") +: keys: _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keys ++ Seq(
+        unix_millis(col("session_window.start")).as(getSessionStartCol),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("n_events")): _*)
+  }
+
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1, "Sessionizer expects exactly one input table")
     require(getKeyCols.nonEmpty, "keyCols must be set")
