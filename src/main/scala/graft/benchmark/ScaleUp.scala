@@ -104,6 +104,42 @@ object ScaleUp {
         .where(col("is_exact_duplicate")).count()
     }
 
+    // StreamingDeduplicator at scale: replay the same corpus as a
+    // file-based stream (~20 micro-batches, no driver collect) and
+    // require the cross-batch duplicate count to EQUAL the batch
+    // operator's answer — state-in-checkpoint correctness plus
+    // sustained throughput, measured
+    stage("streaming_dedup") {
+      val chk = java.nio.file.Files.createTempDirectory("graft-sdd-chk").toString
+      val nFiles = Option(new java.io.File(docsPath).listFiles())
+        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(1)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 20))
+        .parquet(docsPath)
+      val flagged = new java.util.concurrent.atomic.AtomicLong(0L)
+      val totalRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val out = new graft.streaming.StreamingDeduplicator()
+        .setIdCol("doc_id").setInputCol("text")
+        .transform(stream).head
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val c = b.agg(count(lit(1)),
+            sum(when(col("is_duplicate"), 1L).otherwise(0L))).collect()(0)
+          totalRows.addAndGet(c.getLong(0))
+          flagged.addAndGet(if (c.isNullAt(1)) 0L else c.getLong(1))
+          nBatches.incrementAndGet(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      val expected = totalRows.get - docs.select(md5(to_binary(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "), lit("utf-8")))).distinct().count()
+      println(s"""{"streaming_dedup_batches":${nBatches.get},""" +
+        s""""streaming_dedup_rows":${totalRows.get},""" +
+        s""""streaming_dedup_parity":${flagged.get == expected}}""")
+      flagged.get
+    }
+
     // q_dedup's pipeline at scale, with HashingTF in place of the
     // fitted CountVectorizer — shingle hashing needs no vocabulary
     // pass, which is the choice a 100 TB corpus forces anyway

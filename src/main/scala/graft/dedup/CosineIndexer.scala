@@ -117,11 +117,18 @@ class CosineIndexModel extends Model[CosineIndexModel] with HasSeed[CosineIndexM
   override def setModelData(data: DataFrame*): CosineIndexModel = { modelData = data.head; this }
   override def getModelData: Array[DataFrame] = Array(modelData)
 
-  /** A new model whose index additionally contains `docs`. */
+  private[dedup] var unionsSinceCompact: Int = 0
+
+  /** A new model whose index additionally contains `docs`; compacts
+    * the union lineage every [[MinHashIndexModel.CompactEvery]]
+    * additions (see MinHashIndexModel.addToIndex). */
   def addToIndex(docs: DataFrame): CosineIndexModel = {
+    val grown = modelData.unionByName(docs.select(col(getIdCol), col(getInputCol)))
+    val compact = unionsSinceCompact + 1 >= MinHashIndexModel.CompactEvery
     val m = new CosineIndexModel()
-      .setModelData(modelData.unionByName(docs.select(col(getIdCol), col(getInputCol))))
+      .setModelData(if (compact) grown.localCheckpoint(true) else grown)
     copyParamsTo(m)
+    m.unionsSinceCompact = if (compact) 0 else unionsSinceCompact + 1
     m
   }
 

@@ -96,13 +96,23 @@ class MinHashIndexModel extends Model[MinHashIndexModel]
   override def setModelData(data: DataFrame*): MinHashIndexModel = { modelData = data.head; this }
   override def getModelData: Array[DataFrame] = Array(modelData)
 
+  /** Unions appended since the index plan was last compacted (carried
+    * across the models addToIndex returns). */
+  private[dedup] var unionsSinceCompact: Int = 0
+
   /** A new model whose index additionally contains `docs` — the
     * batch-over-batch growth path (signatures regenerate from params,
-    * so appending rows is all it takes). */
+    * so appending rows is all it takes). Every
+    * [[MinHashIndexModel.CompactEvery]] additions the index DataFrame
+    * is eagerly localCheckpoint-ed so plan depth stays O(1) on long
+    * streaming runs (same pattern as OnlineLogisticRegression). */
   def addToIndex(docs: DataFrame): MinHashIndexModel = {
+    val grown = modelData.unionByName(docs.select(col(getIdCol), col(getInputCol)))
+    val compact = unionsSinceCompact + 1 >= MinHashIndexModel.CompactEvery
     val m = new MinHashIndexModel()
-      .setModelData(modelData.unionByName(docs.select(col(getIdCol), col(getInputCol))))
+      .setModelData(if (compact) grown.localCheckpoint(true) else grown)
     copyParamsTo(m)
+    m.unionsSinceCompact = if (compact) 0 else unionsSinceCompact + 1
     m
   }
 
@@ -125,6 +135,11 @@ class MinHashIndexModel extends Model[MinHashIndexModel]
   }
 }
 object MinHashIndexModel extends StageLoader[MinHashIndexModel] {
+  /** Index-plan compaction period for [[MinHashIndexModel.addToIndex]]:
+    * every this-many unions the index is localCheckpoint-ed so lineage
+    * stays bounded when the index grows per micro-batch. */
+  val CompactEvery = 32
+
   def load(spark: SparkSession, path: String): MinHashIndexModel = {
     val m = ReadWrite.applyParams(new MinHashIndexModel, path)
     m.setModelData(ReadWrite.loadModelData(spark, path))

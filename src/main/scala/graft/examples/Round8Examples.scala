@@ -180,3 +180,37 @@ object StreamingSessionExample {
     spark.stop()
   }
 }
+
+/** Near-dup dedup of an unbounded feed: flag each micro-batch against
+  * the index of everything seen, then fold the batch in (bounded plan
+  * depth via CompactEvery). */
+object StreamingNearDupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("StreamingNearDupExample")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf { idx: Seq[Int] =>
+      Vectors.sparse(100, idx.sorted.toArray, Array.fill(idx.size)(1.0)) }
+    val feed = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Int])]
+    val docs = feed.toDF().toDF("id", "shingles")
+      .select(col("id"), toVec(col("shingles")).as("features"))
+    val seed = Seq((0L, Seq(1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "shingles")
+      .select(col("id"), toVec(col("shingles")).as("features"))
+    val handle = graft.streaming.StreamingTrainer.attach[graft.dedup.MinHashIndexModel](
+      docs,
+      new graft.dedup.MinHashIndexer()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(10).setThreshold(0.3).setSeed(7L).fit(seed),
+      (m, b) => {
+        m.transform(b).head.select("id", "matched_id", "is_duplicate").show(false)
+        m.addToIndex(b)
+      })
+    feed.addData((1L, Seq(40, 41, 42, 43, 44, 45, 46, 47)))
+    handle.query.processAllAvailable()
+    feed.addData((2L, Seq(40, 41, 42, 43, 44, 45, 46, 99))) // near-dup of 1
+    handle.query.processAllAvailable()
+    handle.query.stop()
+    spark.stop()
+  }
+}
