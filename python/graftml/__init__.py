@@ -78,6 +78,7 @@ _STAGES = [
     "graft.clustering.KMeans", "graft.clustering.KMeansModel",
     # stats / evaluation / recommendation
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
+    "graft.stats.DriftDetector",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.recommendation.Swing",
     # streaming

@@ -298,3 +298,15 @@ def test_streaming_deduplicator_batch_parity_from_python(spark):
     assert rows[3]["is_duplicate"] and rows[3]["canonical_id"] == 1
     assert rows[3]["occurrence"] == 2
     assert not rows[2]["is_duplicate"]
+
+
+def test_drift_detector_two_input_transform(spark):
+    from graftml import DriftDetector
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], ["x"])
+    cur = spark.createDataFrame([(float(i + 5),) for i in range(10)], ["x"])
+    rows = (DriftDetector(spark=spark)
+            .setFeatureCols(["x"]).setNumBins(5)
+            .transform(ref, cur)[0].collect())
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["feature"] == "x" and r["psi"] > 0.5 and abs(r["ks"] - 0.5) < 1e-9

@@ -42,6 +42,7 @@ object DocGen {
     "graft.regression.LinearRegression",
     "graft.clustering.AgglomerativeClustering", "graft.clustering.KMeans",
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
+    "graft.stats.DriftDetector",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",

@@ -619,6 +619,17 @@ object SparkEntry {
         col("dup_tokens"))
     }),
 
+    // --- Distribution drift between two event windows (PSI + binned KS) ---
+    "q_drift" -> ((s, dir) => {
+      val e = eventsTsm(s, dir).withColumn("tsm", col("tsm").cast("double"))
+      val ref = e.where(col("user_id") % 2 === 0)
+      val cur = e.where(col("user_id") % 2 === 1)
+      new graft.stats.DriftDetector().setFeatureCols("value", "tsm").setNumBins(10)
+        .transform(ref, cur).head
+        .select(col("feature"), round(col("psi"), 6).as("psi"),
+          round(col("ks"), 6).as("ks"), col("n_ref"), col("n_cur"))
+    }),
+
     // --- Streaming deduplicator, batch mode (same state function the
     // unbounded path runs; first = min id, occurrence ordinals) ---
     "q_stream_dedup" -> ((s, dir) => {
@@ -2704,6 +2715,44 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_drift" ->
+      """WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS value,
+                           CAST(epoch_ms(ts) AS DOUBLE) AS tsm FROM events),
+         lr AS (SELECT 'value' AS feature, value AS v FROM e WHERE user_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(value)
+                UNION ALL
+                SELECT 'tsm', tsm FROM e WHERE user_id % 2 = 0 AND tsm IS NOT NULL AND NOT isnan(tsm)),
+         lc AS (SELECT 'value' AS feature, value AS v FROM e WHERE user_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(value)
+                UNION ALL
+                SELECT 'tsm', tsm FROM e WHERE user_id % 2 = 1 AND tsm IS NOT NULL AND NOT isnan(tsm)),
+         rg AS (SELECT feature, MIN(v) AS lo, MAX(v) AS hi FROM lr GROUP BY 1),
+         br AS (SELECT feature, bin, COUNT(*) AS c FROM (
+                  SELECT l.feature,
+                         CASE WHEN r.hi = r.lo THEN 0
+                              ELSE LEAST(9, GREATEST(0, CAST(FLOOR((l.v - r.lo) / ((r.hi - r.lo) / 10)) AS INT))) END AS bin
+                  FROM lr l JOIN rg r USING (feature)) GROUP BY 1, 2),
+         bc AS (SELECT feature, bin, COUNT(*) AS c FROM (
+                  SELECT l.feature,
+                         CASE WHEN r.hi = r.lo THEN 0
+                              ELSE LEAST(9, GREATEST(0, CAST(FLOOR((l.v - r.lo) / ((r.hi - r.lo) / 10)) AS INT))) END AS bin
+                  FROM lc l JOIN rg r USING (feature)) GROUP BY 1, 2),
+         cells AS (SELECT feature, gs.g AS bin FROM rg, (SELECT UNNEST(generate_series(0, 9)) AS g) gs),
+         j AS (SELECT cells.feature, cells.bin,
+                      COALESCE(br.c, 0) AS c_ref, COALESCE(bc.c, 0) AS c_cur
+               FROM cells LEFT JOIN br USING (feature, bin) LEFT JOIN bc USING (feature, bin)),
+         t AS (SELECT feature, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM j GROUP BY 1),
+         p AS (SELECT j.feature, j.bin, j.c_ref, j.c_cur, t.n_ref, t.n_cur,
+                      (j.c_ref + 0.5) / (t.n_ref + 5.0) AS p_ref,
+                      (j.c_cur + 0.5) / (t.n_cur + 5.0) AS p_cur,
+                      SUM(j.c_ref) OVER (PARTITION BY j.feature ORDER BY j.bin) / CAST(t.n_ref AS DOUBLE) AS cdf_ref,
+                      SUM(j.c_cur) OVER (PARTITION BY j.feature ORDER BY j.bin) / CAST(t.n_cur AS DOUBLE) AS cdf_cur
+               FROM j JOIN t USING (feature))
+         SELECT feature,
+                ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+                ROUND(MAX(ABS(cdf_ref - cdf_cur)), 6) AS ks,
+                CAST(ANY_VALUE(n_ref) AS BIGINT) AS n_ref,
+                CAST(ANY_VALUE(n_cur) AS BIGINT) AS n_cur
+         FROM p GROUP BY 1""",
 
     "q_stream_dedup" ->
       """WITH f AS (

@@ -214,3 +214,19 @@ object StreamingNearDupExample {
     spark.stop()
   }
 }
+
+/** Monitor an ingest window against the training snapshot: PSI + KS
+  * per feature, one aggregation pass per side. */
+object DriftDetectionExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("DriftDetectionExample")
+    import spark.implicits._
+    val training = (0 until 1000).map(i => (i % 100 / 10.0, (i % 7).toDouble)).toDF("price", "rating")
+    val thisWeek = (0 until 800).map(i => (i % 100 / 10.0 + 3.0, (i % 7).toDouble)).toDF("price", "rating")
+    new graft.stats.DriftDetector()
+      .setFeatureCols("price", "rating").setNumBins(10)
+      .transform(training, thisWeek).head
+      .orderBy(desc("psi")).show(false) // price drifted (shifted +3), rating stable
+    spark.stop()
+  }
+}
