@@ -54,6 +54,7 @@ _STAGES = [
     "graft.feature.MinHashLSH", "graft.feature.MinHashLSHModel",
     "graft.feature.MinMaxScaler", "graft.feature.MinMaxScalerModel",
     "graft.feature.OneHotEncoder", "graft.feature.OneHotEncoderModel",
+    "graft.feature.PCA", "graft.feature.PCAModel",
     "graft.feature.RobustScaler", "graft.feature.RobustScalerModel",
     "graft.feature.StandardScaler", "graft.feature.StandardScalerModel",
     "graft.feature.StringIndexer", "graft.feature.StringIndexerModel",

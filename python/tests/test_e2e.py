@@ -310,3 +310,22 @@ def test_drift_detector_two_input_transform(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["feature"] == "x" and r["psi"] > 0.5 and abs(r["ks"] - 0.5) < 1e-9
+
+
+def test_pca_fit_transform_from_python(spark):
+    from graftml import PCA, PCAModel
+    from pyspark.ml.linalg import Vectors
+    import random
+    random.seed(3)
+    rows = []
+    for _ in range(100):
+        a = random.gauss(0, 3)
+        rows.append((Vectors.dense([a, a * 0.5 + random.gauss(0, 0.01),
+                                    random.gauss(0, 0.1)]),))
+    df = spark.createDataFrame(rows, ["features"])
+    model = (PCA(spark=spark).setInputCol("features").setOutputCol("proj")
+             .setK(2).fit(df))
+    out = model.transform(df)[0].collect()
+    assert len(out) == 100 and len(out[0]["proj"]) == 2
+    ev = model.get_model_data()[0].collect()[0]["eigenvalues"]
+    assert ev[0] > ev[1] > 0

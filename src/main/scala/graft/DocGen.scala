@@ -30,7 +30,7 @@ object DocGen {
     "graft.feature.VectorSlicer", "graft.feature.IndexToStringModel",
     "graft.feature.CountVectorizer", "graft.feature.IDF", "graft.feature.Imputer",
     "graft.feature.KBinsDiscretizer", "graft.feature.MaxAbsScaler",
-    "graft.feature.MinHashLSH", "graft.feature.MinMaxScaler",
+    "graft.feature.MinHashLSH", "graft.feature.MinMaxScaler", "graft.feature.PCA",
     "graft.feature.OneHotEncoder", "graft.feature.RobustScaler",
     "graft.feature.StandardScaler", "graft.feature.StringIndexer",
     "graft.feature.UnivariateFeatureSelector",

@@ -619,6 +619,21 @@ object SparkEntry {
         col("dup_tokens"))
     }),
 
+    // --- PCA at full rank: orthogonal projection preserves centered
+    // norms, which a SQL engine can verify without eigenvectors ---
+    "q_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val dim = emb.head().getAs[org.apache.spark.ml.linalg.Vector]("vec").size
+      val model = new graft.feature.PCA()
+        .setInputCol("vec").setOutputCol("proj").setK(dim).fit(emb)
+      model.transform(emb).head
+        .select(col("vec_id"),
+          round(aggregate(org.apache.spark.ml.functions.vector_to_array(col("proj")),
+            lit(0.0), (acc, x) => acc + x * x), 3).as("sq_norm"))
+    }),
+
     // --- Distribution drift between two event windows (PSI + binned KS) ---
     "q_drift" -> ((s, dir) => {
       val e = eventsTsm(s, dir).withColumn("tsm", col("tsm").cast("double"))
@@ -2715,6 +2730,15 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_pca" ->
+      """WITH u AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           unnest(range(len(embedding))) AS i
+                    FROM embeddings),
+         m AS (SELECT i, AVG(x) AS mu FROM u GROUP BY 1)
+         SELECT u.vec_id, ROUND(SUM((u.x - m.mu) * (u.x - m.mu)), 3) AS sq_norm
+         FROM u JOIN m USING (i) GROUP BY 1""",
 
     "q_drift" ->
       """WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS value,

@@ -230,3 +230,24 @@ object DriftDetectionExample {
     spark.stop()
   }
 }
+
+/** Whiten embeddings before clustering / near-dup: PCA to 8 dims with
+  * unit output covariance. */
+object PcaWhitenExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("PcaWhitenExample")
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    val rnd = new scala.util.Random(1)
+    val vecs = (0 until 500).map { _ =>
+      val t = rnd.nextGaussian()
+      Vectors.dense(Array.tabulate(16)(i => t * (16 - i) / 16.0 + rnd.nextGaussian() * 0.05))
+    }.map(Tuple1(_)).toDF("embedding")
+    val model = new graft.feature.PCA()
+      .setInputCol("embedding").setOutputCol("reduced")
+      .setK(8).setWhiten(true).fit(vecs)
+    println(s"explained variance: ${model.explainedVariance.map(v => f"$v%.3f").mkString(", ")}")
+    model.transform(vecs).head.select("reduced").show(3, false)
+    spark.stop()
+  }
+}
