@@ -199,6 +199,19 @@ object ScaleUp {
       flagged
     }
 
+    // PCA at scale: one treeAggregate Gram pass over every embedding,
+    // then a broadcast projection — verifies the fit never shuffles
+    // row data and the transform is a pure map
+    stage("pca") {
+      val model = new graft.feature.PCA()
+        .setInputCol("vec").setOutputCol("proj").setK(16).setWhiten(true)
+        .fit(vecs)
+      val explained = model.explainedVariance.sum
+      println(s"""{"pca_explained_variance_top16":${String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(explained))}}""")
+      model.transform(vecs).head.select("proj").count()
+    }
+
     // CosineIndexer at scale: index members 0-2 of each embedding
     // group, flag the planted cosine-0.999 near-dups (member 3)
     stage("incremental_embedding_dedup") {

@@ -251,3 +251,28 @@ object PcaWhitenExample {
     spark.stop()
   }
 }
+
+/** Monitor a live feed for drift: score each micro-batch against the
+  * training snapshot inside foreachBatch (DriftDetector is one agg
+  * pass per side, so per-batch scoring is cheap). */
+object StreamingDriftMonitorExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("StreamingDriftMonitorExample")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val trainingSnapshot = (0 until 500).map(i => (i % 100) / 10.0).toDF("price").cache()
+    val detector = new graft.stats.DriftDetector().setFeatureCols("price").setNumBins(10)
+    val feed = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val q = feed.toDF().toDF("price").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val r = detector.transform(trainingSnapshot, batch.toDF()).head.head()
+        println(f"batch $id: psi=${r.getAs[Double]("psi")}%.4f ks=${r.getAs[Double]("ks")}%.4f")
+      }.start()
+    feed.addData((0 until 200).map(i => (i % 100) / 10.0): _*)  // same distribution
+    q.processAllAvailable()
+    feed.addData((0 until 200).map(i => (i % 100) / 10.0 + 4): _*) // shifted: psi jumps
+    q.processAllAvailable()
+    q.stop()
+    spark.stop()
+  }
+}
