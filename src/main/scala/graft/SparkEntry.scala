@@ -645,6 +645,21 @@ object SparkEntry {
           round(col("ks"), 6).as("ks"), col("n_ref"), col("n_cur"))
     }),
 
+    // --- Per-source corpus composition report (quality x dedup x
+    // token mass — the "what is in this corpus" dashboard query) ---
+    "q_corpus_report" -> ((s, dir) => {
+      val scored = new graft.text.TextQualityScorer().setInputCol("text")
+        .transform(t(s, dir, "documents")).head
+      val deduped = new graft.text.ExactDeduplicator()
+        .setIdCol("doc_id").setInputCol("text").transform(scored).head
+      deduped.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("content_fingerprint")).as("n_distinct_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("quality_score"), 6).as("mean_quality"),
+        round(avg("stopword_ratio"), 6).as("mean_stopword_ratio"))
+    }),
+
     // --- Streaming deduplicator, batch mode (same state function the
     // unbounded path runs; first = min id, occurrence ordinals) ---
     "q_stream_dedup" -> ((s, dir) => {
@@ -2730,6 +2745,43 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_corpus_report" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                  length(text) AS n_chars,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS non_space,
+                  CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                  'that','for','on','with','as','was','at','by','be','this')))
+                       AS DOUBLE) AS stop_hits
+           FROM documents
+         ),
+         r AS (
+           SELECT source, fp, n_tokens,
+                  CASE WHEN n_tokens = 0 THEN 0.0 ELSE non_space / n_tokens END AS mean_token_len,
+                  CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / n_chars END AS punct_ratio,
+                  CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits / n_tokens END AS stopword_ratio
+           FROM s
+         ),
+         q AS (
+           SELECT source, fp, n_tokens, stopword_ratio,
+                  ((CASE WHEN n_tokens BETWEEN 5 AND 2000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+                   + (1.0 - LEAST(punct_ratio * 4.0, 1.0))
+                   + LEAST(stopword_ratio * 5.0, 1.0)) / 4.0 AS quality
+           FROM r
+         )
+         SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                ROUND(AVG(quality), 6) AS mean_quality,
+                ROUND(AVG(stopword_ratio), 6) AS mean_stopword_ratio
+         FROM q GROUP BY 1""",
 
     "q_pca" ->
       """WITH u AS (SELECT vec_id,
