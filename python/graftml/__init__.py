@@ -116,6 +116,7 @@ _STAGES = [
     "graft.ann.BruteForceCosineKnn",
     "graft.ann.CosineLshKnn",
     "graft.ann.IvfCosineKnn",
+    "graft.ann.IvfIndexer", "graft.ann.IvfIndexModel",
     "graft.ann.ScalarQuantizer", "graft.ann.ScalarQuantizerModel",
     "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",

@@ -329,3 +329,21 @@ def test_pca_fit_transform_from_python(spark):
     assert len(out) == 100 and len(out[0]["proj"]) == 2
     ev = model.get_model_data()[0].collect()[0]["eigenvalues"]
     assert ev[0] > ev[1] > 0
+
+
+def test_ivf_indexer_fit_probe_from_python(spark):
+    from graftml import IvfIndexer
+    from pyspark.ml.linalg import Vectors
+    import random
+    random.seed(8)
+    corpus = spark.createDataFrame(
+        [(i, Vectors.dense([(4.0 if d == (i % 2) * 2 else 0.0) + random.gauss(0, 0.1)
+                            for d in range(4)])) for i in range(100)],
+        ["id", "vec"])
+    probe = spark.createDataFrame(
+        [(900, Vectors.dense([4.0, 0.0, 0.0, 0.0]))], ["id", "vec"])
+    model = (IvfIndexer(spark=spark).setIdCol("id").setVecCol("vec")
+             .setNumLists(2).setTrainIters(5).setSeed(3).fit(corpus))
+    rows = model.setK(3).setNprobe(1).transform(probe)[0].collect()
+    assert len(rows) == 3
+    assert all(r["neighbor_id"] % 2 == 0 for r in rows)  # probe's cluster

@@ -742,6 +742,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // --- Persisted IVF index: fit once, probe distributed (equi-join
+    // on the cell id, no query collect); same pinned codebook and
+    // semantics as q_ann_ivf, so the same SQL replay is the oracle ---
+    "q_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val init = emb.where(col("vec_id").isin(3, 99, 201, 350))
+        .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .as("centroidId"), col("vec").as("centroid"))
+      val data = emb.where(col("vec_id") % 10 =!= 0)
+      val queries = emb.where(col("vec_id") % 10 === 0)
+      val model = new graft.ann.IvfIndexer().setIdCol("vec_id").setVecCol("vec")
+        .setTrainIters(0).setInitialCentroids(init).fit(data)
+      model.setK(5).setNprobe(2).transform(queries).head
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("similarity"), 6).as("similarity"))
+    }),
+
     // --- Brute-force cosine top-k neighbors over embeddings ---
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1984,6 +2003,40 @@ object SparkEntry {
            FROM pairs)
          WHERE rk <= 5""",
 
+    "q_ivf_index" ->
+      """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cents AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e
+                  FROM emb WHERE vec_id IN (3, 99, 201, 350)),
+         tr AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+         te AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 = 0),
+         asg AS (SELECT vec_id, cid FROM (
+                   SELECT tr.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY tr.vec_id ORDER BY
+                            list_dot_product(tr.e, c.e)
+                              / (sqrt(list_dot_product(tr.e, tr.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM tr CROSS JOIN cents c) WHERE rk = 1),
+         probes AS (SELECT vec_id, cid FROM (
+                   SELECT te.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY te.vec_id ORDER BY
+                            list_dot_product(te.e, c.e)
+                              / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM te CROSS JOIN cents c) WHERE rk <= 2),
+         pairs AS (SELECT te.vec_id AS q, tr.vec_id AS n,
+                          list_dot_product(te.e, tr.e)
+                            / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(tr.e, tr.e)))
+                            AS sim
+                   FROM probes p
+                   JOIN asg a ON a.cid = p.cid
+                   JOIN te ON te.vec_id = p.vec_id
+                   JOIN tr ON tr.vec_id = a.vec_id)
+         SELECT q AS query_id, n AS neighbor_id, ROUND(sim, 6) AS similarity FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
+           FROM pairs)
+         WHERE rk <= 5""",
+
+    
     "q_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 ROUND(SUM(l_quantity), 2) AS sum_qty,

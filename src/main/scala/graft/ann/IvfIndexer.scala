@@ -1,0 +1,169 @@
+package graft.ann
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{Estimator, Model, StageLoader}
+import graft.param._
+import graft.util.ReadWrite
+
+/**
+ * Persisted IVF index for cosine ANN: [[IvfIndexer.fit]] trains (or
+ * accepts) a coarse codebook and assigns every corpus vector to its
+ * inverted list ONCE; the resulting [[IvfIndexModel]] answers probe
+ * batches of any size, survives save/load, and never re-reads or
+ * re-clusters the corpus. The production counterpart of the one-shot
+ * [[IvfCosineKnn]] (which bundles codebook training, assignment, and
+ * a broadcast-probe pass per call — right for a handful of queries,
+ * wasteful when the index is reused or the query side is large).
+ *
+ * Scale shape (100 TB design): transform is fully DISTRIBUTED — no
+ * query collect. Queries pick their `nprobe` closest centroids via a
+ * broadcast of the O(numLists·dim) codebook, explode to (query, cell)
+ * rows, and EQUI-JOIN the assignments on the cell id (hash-partitioned
+ * both sides; candidate work = Σ probed-list sizes, never all-pairs),
+ * then window top-k per query. List-size skew is the classic IVF
+ * trade-off: bounded by the coarse k-means balance, and `nprobe`
+ * recall/cost is the published IVF dial (Johnson et al., IEEE Big
+ * Data 2019 — the FAISS design).
+ */
+class IvfIndexer extends Estimator[IvfIndexer, IvfIndexModel] with HasSeed[IvfIndexer] {
+
+  final val idCol: Param[String] = param[String]("idCol", "Id column (long).", "id")
+  final val vecCol: Param[String] = param[String]("vecCol", "Vector column.", "vec")
+  final val numLists: Param[Int] =
+    param[Int]("numLists", "Number of inverted lists (coarse centroids).", 16,
+      ParamValidators.gt(1))
+  final val trainIters: Param[Int] =
+    param[Int]("trainIters", "Lloyd iterations for the codebook; 0 uses the provided " +
+      "initial centroids verbatim.", 10, ParamValidators.gtEq(0))
+  def setIdCol(v: String): IvfIndexer = set(idCol, v)
+  def setVecCol(v: String): IvfIndexer = set(vecCol, v)
+  def setNumLists(v: Int): IvfIndexer = set(numLists, v)
+  def setTrainIters(v: Int): IvfIndexer = set(trainIters, v)
+  def getIdCol: String = get(idCol)
+  def getVecCol: String = get(vecCol)
+  def getNumLists: Int = get(numLists)
+  def getTrainIters: Int = get(trainIters)
+
+  private var initialCentroids: Option[DataFrame] = None
+  def setInitialCentroids(df: DataFrame): IvfIndexer = { initialCentroids = Some(df); this }
+
+  override def fit(inputs: DataFrame*): IvfIndexModel = {
+    require(inputs.size == 1)
+    val data = inputs.head
+    val spark = data.sparkSession
+
+    val centroidsDf: DataFrame = (initialCentroids, getTrainIters) match {
+      case (Some(init), 0) => init.select("centroidId", "centroid")
+      case (maybeInit, iters) =>
+        val km = new graft.clustering.KMeans()
+          .setK(getNumLists).setMaxIterK(math.max(iters, 1)).setSeed(getSeed)
+          .setFeaturesCol(getVecCol)
+        maybeInit.foreach(km.setInitialModelData)
+        km.fit(data.select(col(getVecCol)))
+          .getModelData.head.select("centroidId", "centroid")
+    }
+    val centroids = centroidsDf.orderBy("centroidId").collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getAs[Vector]("centroid")))
+    require(centroids.nonEmpty, "empty codebook")
+    val bc = spark.sparkContext.broadcast(
+      centroids.map { case (_, c) => (c, math.sqrt(CosineMath.dot(c, c))) })
+    val cellOf = udf { v: Vector =>
+      val cents = bc.value
+      val vNorm = math.sqrt(CosineMath.dot(v, v))
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val (c, n) = cents(i)
+        val sim = CosineMath.cosine(c, n, v, vNorm)
+        if (sim > bestSim) { bestSim = sim; best = i }
+        i += 1
+      }
+      best
+    }
+    val assignments = data
+      .select(col(getIdCol).cast("long").as("id"), col(getVecCol).as("vec"))
+      .withColumn("cell", cellOf(col("vec")))
+
+    val m = new IvfIndexModel().setModelData(centroidsDf, assignments)
+    copyParamsTo(m)
+    m
+  }
+}
+object IvfIndexer extends StageLoader[IvfIndexer] {
+  def load(spark: SparkSession, path: String): IvfIndexer =
+    ReadWrite.applyParams(new IvfIndexer, path)
+}
+
+/** Model data: (0) the codebook `(centroidId, centroid)`, (1) the
+  * inverted lists `(id, vec, cell)`. */
+class IvfIndexModel extends Model[IvfIndexModel] {
+
+  final val idCol: Param[String] = param[String]("idCol", "Id column (long).", "id")
+  final val vecCol: Param[String] = param[String]("vecCol", "Vector column.", "vec")
+  final val k: Param[Int] = param[Int]("k", "Neighbors per query.", 5, ParamValidators.gt(0))
+  final val nprobe: Param[Int] =
+    param[Int]("nprobe", "Number of inverted lists probed per query.", 2, ParamValidators.gt(0))
+  def setK(v: Int): IvfIndexModel = set(k, v)
+  def setNprobe(v: Int): IvfIndexModel = set(nprobe, v)
+  def getIdCol: String = get(idCol)
+  def getVecCol: String = get(vecCol)
+  def getK: Int = get(k)
+  def getNprobe: Int = get(nprobe)
+
+  private var centroids: DataFrame = _
+  private var assignments: DataFrame = _
+  override def setModelData(data: DataFrame*): IvfIndexModel = {
+    require(data.size == 2, "IvfIndexModel expects (centroids, assignments)")
+    centroids = data(0); assignments = data(1); this
+  }
+  override def getModelData: Array[DataFrame] = Array(centroids, assignments)
+
+  /** Probe: top-k cosine neighbors from the `nprobe` closest lists of
+    * each query. Output: (query_id, neighbor_id, similarity). */
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1, "transform(queries)")
+    val queries = inputs.head
+    val spark = queries.sparkSession
+
+    val cents = centroids.orderBy("centroidId").collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getAs[Vector]("centroid")))
+    val bc = spark.sparkContext.broadcast(
+      cents.map { case (cid, c) => (cid, c, math.sqrt(CosineMath.dot(c, c))) })
+    val np = math.min(getNprobe, cents.length)
+    val probeCells = udf { v: Vector =>
+      val cs = bc.value
+      val vNorm = math.sqrt(CosineMath.dot(v, v))
+      cs.map { case (cid, c, n) => (cid, CosineMath.cosine(c, n, v, vNorm)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(np).map(_._1)
+    }
+    val cosine = udf { (a: Vector, b: Vector) =>
+      CosineMath.cosine(a, math.sqrt(CosineMath.dot(a, a)), b, math.sqrt(CosineMath.dot(b, b)))
+    }
+    val probes = queries
+      .select(col(getIdCol).cast("long").as("query_id"), col(getVecCol).as("qvec"))
+      .withColumn("cell", explode(probeCells(col("qvec"))))
+    // candidate generation is an EQUI-JOIN on the cell id — work is
+    // bounded by the probed list sizes, never |queries| x |corpus|
+    val candidates = probes.join(assignments, "cell")
+      .select(col("query_id"),
+        col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("similarity"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("similarity").desc, col("neighbor_id").asc)
+    Array(candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= getK)
+      .select("query_id", "neighbor_id", "similarity"))
+  }
+}
+object IvfIndexModel extends StageLoader[IvfIndexModel] {
+  def load(spark: SparkSession, path: String): IvfIndexModel = {
+    val m = ReadWrite.applyParams(new IvfIndexModel, path)
+    m.setModelData(
+      ReadWrite.loadModelData(spark, path, 0),
+      ReadWrite.loadModelData(spark, path, 1))
+  }
+}

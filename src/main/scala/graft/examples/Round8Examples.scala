@@ -276,3 +276,28 @@ object StreamingDriftMonitorExample {
     spark.stop()
   }
 }
+
+/** Build the ANN index once, persist it, probe it repeatedly — the
+  * production similarity-search loop. */
+object IvfIndexExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("IvfIndexExample")
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    val rnd = new scala.util.Random(2)
+    val corpus = (0L until 2000L).map { id =>
+      val c = (id % 8).toInt
+      (id, Vectors.dense(Array.tabulate(16)(i =>
+        (if (i == c * 2) 4.0 else 0.0) + rnd.nextGaussian() * 0.2)))
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    new graft.ann.IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setNumLists(8).setTrainIters(5).setSeed(1L)
+      .fit(corpus).save(dir)                         // nightly build
+    val index = graft.ann.IvfIndexModel.load(spark, dir) // serving side
+    val probes = Seq((9001L, Vectors.dense(Array.tabulate(16)(i => if (i == 4) 4.0 else 0.0))))
+      .toDF("id", "vec")
+    index.setK(3).setNprobe(2).transform(probes).head.show(false)
+    spark.stop()
+  }
+}

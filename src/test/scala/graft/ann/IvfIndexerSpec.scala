@@ -1,0 +1,79 @@
+package graft.ann
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Persisted IVF: fit the codebook + inverted lists once, probe many
+  * times, survive save/load, and stay equi-join-shaped. */
+class IvfIndexerSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // four well-separated clusters in 8-d
+    (0L until 400L).map { id =>
+      val c = (id % 4).toInt
+      val base = Array.tabulate(8)(i => if (i == c * 2) 5.0 else 0.0)
+      (id, Vectors.dense(base.map(_ + rnd.nextGaussian() * 0.3)))
+    }.toDF("id", "vec")
+  }
+
+  private def queries = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    (1000L until 1020L).map { id =>
+      val c = (id % 4).toInt
+      val base = Array.tabulate(8)(i => if (i == c * 2) 5.0 else 0.0)
+      (id, Vectors.dense(base.map(_ + rnd.nextGaussian() * 0.3)))
+    }.toDF("id", "vec")
+  }
+
+  test("persisted probe equals the one-shot IvfCosineKnn under the same pinned codebook") {
+    import spark.implicits._
+    val init = (0 until 4).map { c =>
+      (c, Vectors.dense(Array.tabulate(8)(i => if (i == c * 2) 5.0 else 0.0)))
+    }.toDF("centroidId", "centroid")
+
+    val model = new IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setTrainIters(0).setInitialCentroids(init).fit(corpus)
+    val indexed = model.setK(5).setNprobe(2).transform(queries).head
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val oneShot = new IvfCosineKnn().setIdCol("id").setVecCol("vec")
+      .setK(5).setNprobe(2).setTrainIters(0).setInitialCentroids(init)
+      .transform(corpus, queries).head
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == oneShot)
+  }
+
+  test("probing every list equals brute-force top-k") {
+    val model = new IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setNumLists(4).setTrainIters(5).setSeed(7L).fit(corpus)
+    val all = model.setK(3).setNprobe(4).transform(queries).head
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = new BruteForceCosineKnn().setIdCol("id").setVecCol("vec").setK(3)
+      .transform(corpus, queries).head
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == brute)
+  }
+
+  test("index survives save/load and never re-reads the corpus") {
+    val dir = tmpDir()
+    new IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setNumLists(4).setTrainIters(5).setSeed(7L).fit(corpus).save(dir)
+    val back = IvfIndexModel.load(spark, dir)
+    val out = back.setK(1).setNprobe(1).transform(queries).head.collect()
+    assert(out.length == queries.count())
+    // each query's nearest neighbor sits in its own cluster
+    out.foreach(r => assert(r.getLong(0) % 4 == r.getLong(1) % 4, r))
+  }
+
+  test("candidate generation is an equi-join on the cell id, never cartesian") {
+    val model = new IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setNumLists(4).setTrainIters(2).setSeed(7L).fit(corpus)
+    val plan = model.setK(3).setNprobe(2).transform(queries).head
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
