@@ -212,6 +212,27 @@ object ScaleUp {
       model.transform(vecs).head.select("proj").count()
     }
 
+    // IvfIndexer at scale: 150k-vector index, 50k-query DISTRIBUTED
+    // probe (the shape the one-shot broadcast-probe path refuses:
+    // its MaxQueries gate exists because 50k collected query vectors
+    // belong in an equi-join, not a driver broadcast). Recall proxy:
+    // member-3 vectors are cosine-0.999 near-dups of member 0, so a
+    // probe's top-1 neighbor should be its own planted original.
+    stage("ivf_index_probe") {
+      val index = vecs.where(col("vec_id") % 4 <= 2)
+      val probes = vecs.where(col("vec_id") % 4 === 3)
+      val model = new graft.ann.IvfIndexer()
+        .setIdCol("vec_id").setVecCol("vec")
+        .setNumLists(64).setTrainIters(5).setSeed(3L)
+        .fit(index)
+      val top1 = model.setK(1).setNprobe(4).transform(probes).head
+      val hits = top1.where(col("neighbor_id") === col("query_id") - 3).count()
+      val total = probes.count()
+      println(s"""{"ivf_index_probe_recall":${String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(hits.toDouble / total))}}""")
+      hits
+    }
+
     // CosineIndexer at scale: index members 0-2 of each embedding
     // group, flag the planted cosine-0.999 near-dups (member 3)
     stage("incremental_embedding_dedup") {
