@@ -122,6 +122,7 @@ _STAGES = [
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder",
     "graft.join.AsOfJoiner",
+    "graft.join.IntervalJoiner",
 ]
 
 

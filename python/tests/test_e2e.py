@@ -347,3 +347,18 @@ def test_ivf_indexer_fit_probe_from_python(spark):
     rows = model.setK(3).setNprobe(1).transform(probe)[0].collect()
     assert len(rows) == 3
     assert all(r["neighbor_id"] % 2 == 0 for r in rows)  # probe's cluster
+
+
+def test_interval_joiner_two_input_from_python(spark):
+    from graftml import IntervalJoiner
+    clicks = spark.createDataFrame(
+        [(1, 7, 1000), (2, 7, 5000)], ["click_id", "user", "ts"])
+    windows = spark.createDataFrame(
+        [(7, 900, 2000, "w")], ["user", "start", "end", "tag"])
+    rows = (IntervalJoiner(spark=spark)
+            .setOnCols(["user"]).setLeftTimeCol("ts")
+            .setRightStartCol("start").setRightEndCol("end")
+            .setValueCols(["tag"]).setBinWidthMs(500)
+            .transform(clicks, windows)[0].collect())
+    assert [r["click_id"] for r in rows] == [1]
+    assert rows[0]["tag"] == "w"

@@ -64,7 +64,7 @@ object DocGen {
     "graft.ann.IvfCosineKnn", "graft.ann.IvfIndexer", "graft.ann.ScalarQuantizer",
     "graft.multimodal.BinaryDecodeStub", "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder",
-    "graft.join.AsOfJoiner")
+    "graft.join.AsOfJoiner", "graft.join.IntervalJoiner")
 
   private def instantiate(fqcn: String): WithParams[_] =
     Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[WithParams[_]]

@@ -645,6 +645,23 @@ object SparkEntry {
           round(col("ks"), 6).as("ks"), col("n_ref"), col("n_cur"))
     }),
 
+    // --- Binned interval join: clicks attributed to the 1h window
+    // after each purchase (equi-join on time bins, never a nested loop) ---
+    "q_interval_join" -> ((s, dir) => {
+      val ev = eventsTsm(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tsm"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsm").as("w_start"),
+          (col("tsm") + 3600000L).as("w_end"), round(col("value"), 6).as("purchase_value"))
+      new graft.join.IntervalJoiner()
+        .setOnCols("user_id").setLeftTimeCol("tsm")
+        .setRightStartCol("w_start").setRightEndCol("w_end")
+        .setValueCols("purchase_value").setBinWidthMs(3600L * 1000)
+        .transform(clicks, windows).head
+        .select(col("event_id"), col("w_start"), col("purchase_value"))
+    }),
+
     // --- Per-source corpus composition report (quality x dedup x
     // token mass — the "what is in this corpus" dashboard query) ---
     "q_corpus_report" -> ((s, dir) => {
@@ -2798,6 +2815,16 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS tsm, value FROM events),
+         c AS (SELECT event_id, user_id, tsm FROM e WHERE event_type = 'click'),
+         w AS (SELECT user_id, tsm AS w_start, tsm + 3600000 AS w_end,
+                      ROUND(value, 6) AS purchase_value
+               FROM e WHERE event_type = 'purchase')
+         SELECT c.event_id, w.w_start, w.purchase_value
+         FROM c JOIN w ON c.user_id = w.user_id
+                      AND c.tsm BETWEEN w.w_start AND w.w_end""",
 
     "q_corpus_report" ->
       """WITH s AS (

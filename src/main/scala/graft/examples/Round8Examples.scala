@@ -301,3 +301,21 @@ object IvfIndexExample {
     spark.stop()
   }
 }
+
+/** Attribute clicks to purchase windows without a nested-loop join. */
+object IntervalJoinExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("IntervalJoinExample")
+    import spark.implicits._
+    val clicks = Seq((1L, 7L, 1000L), (2L, 7L, 5000L), (3L, 8L, 1500L))
+      .toDF("click_id", "user", "ts")
+    val campaigns = Seq((7L, 900L, 2000L, "spring-sale"), (8L, 0L, 800L, "launch"))
+      .toDF("user", "start", "end", "campaign")
+    new graft.join.IntervalJoiner()
+      .setOnCols("user").setLeftTimeCol("ts")
+      .setRightStartCol("start").setRightEndCol("end")
+      .setValueCols("campaign").setBinWidthMs(1000L)
+      .transform(clicks, campaigns).head.show(false)
+    spark.stop()
+  }
+}
