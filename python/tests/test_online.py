@@ -171,3 +171,31 @@ def test_ann_brute_force_topk(spark):
            .transform(data, queries))[0].collect()
     got = sorted((r["neighbor_id"] for r in out))
     assert got == [0, 1]
+
+
+def test_streaming_deduplicator_on_a_pyspark_stream(spark):
+    """The streaming tier is reachable from Python: a file-source stream
+    through the JVM StreamingDeduplicator, duplicates recognized across
+    micro-batches."""
+    import tempfile
+    src = tempfile.mkdtemp(prefix="graftml-sdd-")
+    batch1 = spark.createDataFrame([(1, "same doc", 10), (2, "other doc", 20)],
+                                   ["id", "text", "ts"])
+    batch2 = spark.createDataFrame([(3, "SAME  DOC", 30)], ["id", "text", "ts"])
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    from graftml import StreamingDeduplicator
+    stream = (spark.readStream.schema(batch1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = (StreamingDeduplicator(spark=spark)
+           .setInputCol("text").setIdCol("id")
+           .transform(stream)[0])
+    q = (out.writeStream.format("memory").queryName("py_sdd")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["id"]: r for r in spark.table("py_sdd").collect()}
+    assert len(rows) == 3
+    assert rows[3]["is_duplicate"] and rows[3]["canonical_id"] == 1
+    assert not rows[2]["is_duplicate"]
