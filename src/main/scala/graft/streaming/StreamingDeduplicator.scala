@@ -42,7 +42,11 @@ private[streaming] case class DedupSeen(firstId: String, seen: Long, maxEventMs:
  * dropped, bounding state at O(distinct keys per TTL window) at the
  * documented cost that a copy arriving after its original expired is
  * treated as a fresh first occurrence. TTL requires `timeCol` plus a
- * watermark the operator installs itself (`watermarkDelay`).
+ * watermark the operator installs itself (`watermarkDelay`) — and
+ * once that watermark exists, Spark drops input rows OLDER than it
+ * before they reach the state function (spec-pinned), so
+ * `watermarkDelay` doubles as the lateness tolerance; without TTL no
+ * watermark is installed and nothing is ever dropped.
  *
  * Prefer [[StreamingDeduplicator.distinctStream]] when the need is
  * only "emit each distinct document once": it compiles to Spark's
@@ -156,8 +160,13 @@ class StreamingDeduplicator extends AlgoOperator[StreamingDeduplicator]
         }.toVector // materialize BEFORE touching state: Spark requires no state use after return
         state.update(st)
         if (useTtl && st.maxEventMs != Long.MinValue) {
-          // event-time clock: expire when the watermark passes last-seen + TTL
-          state.setTimeoutTimestamp(st.maxEventMs + ttl)
+          // event-time clock: expire when the watermark passes last-seen +
+          // TTL. A LATE arrival can put that instant behind the current
+          // watermark — Spark rejects past timeout timestamps, so clamp to
+          // watermark + 1 (the state then expires at the next opportunity
+          // instead of crashing the query).
+          state.setTimeoutTimestamp(
+            math.max(st.maxEventMs + ttl, state.getCurrentWatermarkMs() + 1))
         }
         out.iterator
       }

@@ -64,6 +64,27 @@ class IntervalJoinerSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("bins")))
   }
 
+  test("randomized differential: binned join equals the naive range join on 200 seeds of data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    val pts = (0 until 200).map(i => ((rnd.nextInt(3) + 'a').toChar.toString, i.toLong,
+      rnd.nextInt(1000).toLong)).toDF("k", "id", "t")
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(950).toLong
+      ((rnd.nextInt(3) + 'a').toChar.toString, s, s + rnd.nextInt(80).toLong, s"w$i")
+    }.toDF("k", "s", "e", "tag")
+
+    val naive = pts.as("l").join(ivs.as("r"),
+        $"l.k" === $"r.k" && $"l.t" >= $"r.s" && $"l.t" <= $"r.e")
+      .select($"l.id", $"r.tag")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Seq(13L, 100L, 997L).foreach { w =>
+      val binned = joiner.setBinWidthMs(w).transform(pts, ivs).head
+        .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(binned == naive, s"binWidth $w: ${binned.size} vs ${naive.size}")
+    }
+  }
+
   test("param save/load round-trip") {
     val dir = tmpDir()
     joiner.setBinWidthMs(123L).setMaxBinsPerInterval(7).save(dir)

@@ -99,6 +99,33 @@ class StreamingDeduplicatorSpec extends SparkSpec {
     assert(byId == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false), byId)
   }
 
+  test("TTL path: rows later than the watermark are DROPPED by the engine, not crashed on") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = new CopyOnWriteArrayList[(Long, Boolean)]()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val df = stream.toDF().toDF("id", "text", "ts")
+    val q = dedup().setStateTtlMs(5000L).transform(df).head
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select("id", "is_duplicate").collect().foreach(r =>
+          sink.add((r.getLong(0), r.getBoolean(1))))
+      }.start()
+    stream.addData((1L, "on-time doc", 1000000L))
+    q.processAllAvailable() // watermark -> 1000000
+    // under EventTimeTimeout Spark filters input rows older than the
+    // watermark BEFORE the state function: the very-late row must be
+    // dropped silently (watermarkDelay is the lateness-tolerance dial),
+    // and the query must keep running
+    stream.addData((2L, "very late doc", 10L))
+    q.processAllAvailable()
+    stream.addData((3L, "closer doc", 1001000L))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(sink.asScala.toMap == Map(1L -> false, 3L -> false))
+  }
+
   test("stream without TTL keeps state forever: a very late copy is still flagged") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
