@@ -68,6 +68,7 @@ _STAGES = [
     "graft.feature.GroupedSplitter",
     "graft.feature.StratifiedSampler",
     "graft.feature.WeightedMixer",
+    "graft.feature.EpochMixer",
     # classification / regression / clustering
     "graft.classification.Knn", "graft.classification.KnnModel",
     "graft.classification.LinearSVC", "graft.classification.LinearSVCModel",

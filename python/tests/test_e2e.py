@@ -362,3 +362,16 @@ def test_interval_joiner_two_input_from_python(spark):
             .transform(clicks, windows)[0].collect())
     assert [r["click_id"] for r in rows] == [1]
     assert rows[0]["tag"] == "w"
+
+
+def test_epoch_mixer_upsamples_from_python(spark):
+    from graftml import EpochMixer
+    df = spark.createDataFrame(
+        [(i, "rare" if i % 10 == 0 else "web") for i in range(100)],
+        ["id", "source"])
+    out = (EpochMixer(spark=spark).setIdCol("id").setStratumCol("source")
+           .setSeed(1).setStrataKeys(["rare"]).setStrataWeights([2.0])
+           .setDefaultWeight(1.0)
+           .transform(df)[0])
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts == {"rare": 20, "web": 90}

@@ -37,6 +37,7 @@ object DocGen {
     "graft.feature.VarianceThresholdSelector", "graft.feature.VectorIndexer",
     "graft.feature.DeterministicShuffler", "graft.feature.GroupedSplitter",
     "graft.feature.StratifiedSampler", "graft.feature.WeightedMixer",
+    "graft.feature.EpochMixer",
     "graft.classification.Knn", "graft.classification.LinearSVC",
     "graft.classification.LogisticRegression", "graft.classification.NaiveBayes",
     "graft.regression.LinearRegression",

@@ -645,6 +645,17 @@ object SparkEntry {
           round(col("ks"), 6).as("ks"), col("n_ref"), col("n_cur"))
     }),
 
+    // --- Epoch mixing: upsample rare sources (2.5 epochs of src0),
+    // keep src1 at 1x, drop src2, quarter-sample the rest ---
+    "q_epoch_mix" -> ((s, dir) => {
+      new graft.feature.EpochMixer()
+        .setIdCol("doc_id").setStratumCol("source").setSeed(42L)
+        .setWeights("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0)
+        .setDefaultWeight(0.25)
+        .transform(t(s, dir, "documents")).head
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
     // --- Binned interval join: clicks attributed to the 1h window
     // after each purchase (equi-join on time bins, never a nested loop) ---
     "q_interval_join" -> ((s, dir) => {
@@ -2815,6 +2826,28 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_epoch_mix" -> {
+      val t5 = graft.feature.StratifiedSampler.fractionThreshold(0.5)
+      val t25 = graft.feature.StratifiedSampler.fractionThreshold(0.25)
+      s"""WITH k AS (
+           SELECT doc_id, source,
+                  md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), '42')) AS key
+           FROM documents
+         ),
+         n AS (
+           SELECT doc_id, source,
+                  CASE source
+                    WHEN 'src0' THEN 2 + CASE WHEN key < '$t5' THEN 1 ELSE 0 END
+                    WHEN 'src1' THEN 1
+                    WHEN 'src2' THEN 0
+                    ELSE CASE WHEN key < '$t25' THEN 1 ELSE 0 END
+                  END AS copies
+           FROM k
+         )
+         SELECT doc_id, source, CAST(UNNEST(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+         FROM n WHERE copies > 0"""
+    },
 
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS tsm, value FROM events),

@@ -319,3 +319,19 @@ object IntervalJoinExample {
     spark.stop()
   }
 }
+
+/** Mix training sources by epochs: oversample rare high-quality data. */
+object EpochMixExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("EpochMixExample")
+    import spark.implicits._
+    val corpus = (0 until 3000).map(i =>
+      (i.toLong, if (i % 100 == 0) "books" else "web")).toDF("id", "source")
+    new graft.feature.EpochMixer()
+      .setIdCol("id").setStratumCol("source").setSeed(11L)
+      .setWeights("books" -> 3.0, "web" -> 0.5) // 3 epochs of books, half the web
+      .transform(corpus).head
+      .groupBy("source").count().show(false)
+    spark.stop()
+  }
+}
