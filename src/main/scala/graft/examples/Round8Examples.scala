@@ -335,3 +335,23 @@ object EpochMixExample {
     spark.stop()
   }
 }
+
+/** Pay the corpus shuffle once at ingest: bucketed tables join with
+  * zero exchanges afterwards. */
+object BucketedStoreExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("BucketedStoreExample")
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val docs = (0L until 10000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val scores = (0L until 10000L).map(i => (i, i % 5)).toDF("doc_id", "quality")
+    graft.sources.BucketedStore.write(docs, "ex_docs", s"$base/docs", 8, Seq("doc_id"))
+    graft.sources.BucketedStore.write(scores, "ex_scores", s"$base/scores", 8, Seq("doc_id"))
+    val joined = graft.sources.BucketedStore.read(spark, "ex_docs")
+      .join(graft.sources.BucketedStore.read(spark, "ex_scores"), "doc_id")
+    println(s"joined rows: ${joined.count()} (inspect the plan: no Exchange on either side)")
+    graft.sources.BucketedStore.drop(spark, "ex_docs")
+    graft.sources.BucketedStore.drop(spark, "ex_scores")
+    spark.stop()
+  }
+}
