@@ -104,6 +104,31 @@ object ScaleUp {
         .where(col("is_exact_duplicate")).count()
     }
 
+    // BucketedStore at scale: store the fingerprint AT INGEST and
+    // bucket by it — the daily dedup pass then needs NO exchange at
+    // all (the window's required distribution is satisfied by the
+    // bucketed scan). Compares directly against exact_dedup above,
+    // which computes the fingerprint and shuffles per run.
+    stage("bucketed_dedup") {
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      val withFp = docs.withColumn("content_fingerprint",
+        md5(to_binary(regexp_replace(lower(trim(col("text"))), "\\s+", " "), lit("utf-8"))))
+      graft.sources.BucketedStore.write(withFp, "su_docs_bucketed", s"$base/docs",
+        32, Seq("content_fingerprint"),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val stored = graft.sources.BucketedStore.read(spark, "su_docs_bucketed")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("content_fingerprint")
+      val deduped = stored
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .where(col("doc_id") =!= col("canonical_id"))
+      val plan = deduped.queryExecution.executedPlan.toString
+      val exchanges = "(?m)Exchange (hash|range)partitioning".r.findAllIn(plan).size
+      val dups = deduped.count()
+      println(s"""{"bucketed_dedup_exchanges":$exchanges}""")
+      graft.sources.BucketedStore.drop(spark, "su_docs_bucketed")
+      dups
+    }
+
     // StreamingDeduplicator at scale: replay the same corpus as a
     // file-based stream (~20 micro-batches, no driver collect) and
     // require the cross-batch duplicate count to EQUAL the batch
