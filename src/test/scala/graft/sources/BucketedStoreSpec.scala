@@ -67,6 +67,21 @@ class BucketedStoreSpec extends SparkSpec {
     } finally BucketedStore.drop(spark, "bs_side")
   }
 
+  test("operators compose with the layout: Sessionizer over a user-bucketed event table is exchange-free") {
+    import spark.implicits._
+    val base = tmpDir()
+    val events = (0L until 3000L).map(i => (i % 50, i * 1000L)).toDF("user_id", "ts")
+    BucketedStore.write(events, "bs_events", s"$base/ev", 8, Seq("user_id"), SaveMode.Overwrite)
+    try {
+      val sessions = new graft.streaming.Sessionizer()
+        .setKeyCols("user_id").setTimeCol("ts").setGapMs(60000L)
+        .transform(BucketedStore.read(spark, "bs_events")).head
+      val plan = sessions.queryExecution.executedPlan.toString
+      assert(countExchanges(plan) == 0, plan) // the window's distribution comes from the buckets
+      assert(sessions.count() == 3000)
+    } finally BucketedStore.drop(spark, "bs_events")
+  }
+
   test("drop removes the catalog entry but keeps the files") {
     import spark.implicits._
     val base = tmpDir()
