@@ -82,6 +82,7 @@ _STAGES = [
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
     "graft.stats.DriftDetector",
     "graft.evaluation.BinaryClassificationEvaluator",
+    "graft.evaluation.MulticlassEvaluator",
     "graft.recommendation.Swing",
     # streaming
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",

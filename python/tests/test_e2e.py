@@ -375,3 +375,14 @@ def test_epoch_mixer_upsamples_from_python(spark):
            .transform(df)[0])
     counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
     assert counts == {"rare": 20, "web": 90}
+
+
+def test_multiclass_evaluator_from_python(spark):
+    from graftml import MulticlassEvaluator
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 1), (1, 1)], ["label", "prediction"])
+    rows = {r["clazz"]: r for r in
+            MulticlassEvaluator(spark=spark).transform(df)[0].collect()}
+    assert rows[0.0]["tp"] == 1 and rows[0.0]["predicted"] == 1
+    assert abs(rows[1.0]["precision"] - 2.0 / 3) < 1e-9
+    assert rows[1.0]["recall"] == 1.0

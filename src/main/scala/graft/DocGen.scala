@@ -45,6 +45,7 @@ object DocGen {
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
     "graft.stats.DriftDetector",
     "graft.evaluation.BinaryClassificationEvaluator",
+    "graft.evaluation.MulticlassEvaluator",
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",
     "graft.streaming.OnlineStandardScaler", "graft.streaming.Sessionizer",

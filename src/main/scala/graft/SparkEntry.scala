@@ -645,6 +645,19 @@ object SparkEntry {
           round(col("ks"), 6).as("ks"), col("n_ref"), col("n_cur"))
     }),
 
+    // --- Multiclass evaluation: per-class confusion metrics over a
+    // deterministic 4-class labeling of events ---
+    "q_multiclass_eval" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        (col("user_id") % 4).cast("double").as("label"),
+        ((col("user_id") + col("event_id")) % 4).cast("double").as("prediction"))
+      new graft.evaluation.MulticlassEvaluator().transform(ev).head
+        .select(col("clazz"), col("tp"), col("support"), col("predicted"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+
     // --- Epoch mixing: upsample rare sources (2.5 epochs of src0),
     // keep src1 at 1x, drop src2, quarter-sample the rest ---
     "q_epoch_mix" -> ((s, dir) => {
@@ -2826,6 +2839,31 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_multiclass_eval" ->
+      """WITH d AS (SELECT CAST(user_id % 4 AS DOUBLE) AS l,
+                           CAST((user_id + event_id) % 4 AS DOUBLE) AS p FROM events),
+         conf AS (SELECT l, p, COUNT(*) AS n FROM d GROUP BY 1, 2),
+         cls AS (SELECT l AS clazz FROM conf UNION SELECT p FROM conf),
+         sup AS (SELECT l AS clazz, SUM(n) AS support FROM conf GROUP BY 1),
+         prd AS (SELECT p AS clazz, SUM(n) AS predicted FROM conf GROUP BY 1),
+         tp AS (SELECT l AS clazz, n AS tp FROM conf WHERE l = p),
+         j AS (SELECT cls.clazz, COALESCE(tp.tp, 0) AS tp,
+                      COALESCE(sup.support, 0) AS support,
+                      COALESCE(prd.predicted, 0) AS predicted
+               FROM cls LEFT JOIN sup USING (clazz)
+                        LEFT JOIN prd USING (clazz)
+                        LEFT JOIN tp USING (clazz)),
+         m AS (SELECT clazz, tp, support, predicted,
+                      CASE WHEN predicted = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / predicted END AS prec,
+                      CASE WHEN support = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / support END AS rec
+               FROM j)
+         SELECT clazz, CAST(tp AS BIGINT) AS tp, CAST(support AS BIGINT) AS support,
+                CAST(predicted AS BIGINT) AS predicted,
+                ROUND(prec, 6) AS "precision", ROUND(rec, 6) AS recall,
+                ROUND(CASE WHEN prec + rec = 0 THEN 0.0
+                           ELSE 2 * prec * rec / (prec + rec) END, 6) AS f1
+         FROM m""",
 
     "q_epoch_mix" -> {
       val t5 = graft.feature.StratifiedSampler.fractionThreshold(0.5)

@@ -355,3 +355,17 @@ object BucketedStoreExample {
     spark.stop()
   }
 }
+
+/** Evaluate a multiclass model: per-class confusion metrics + roll-ups. */
+object MulticlassEvalExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("MulticlassEvalExample")
+    import spark.implicits._
+    val scored = Seq((0, 0), (0, 0), (1, 1), (1, 2), (2, 2), (2, 2), (2, 1))
+      .toDF("label", "prediction")
+    val ev = new graft.evaluation.MulticlassEvaluator()
+    ev.transform(scored).head.orderBy("clazz").show(false)
+    println(ev.summary(scored))
+    spark.stop()
+  }
+}
