@@ -83,6 +83,7 @@ _STAGES = [
     "graft.stats.DriftDetector",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
+    "graft.evaluation.RegressionEvaluator",
     "graft.recommendation.Swing",
     # streaming
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",

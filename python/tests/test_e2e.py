@@ -386,3 +386,13 @@ def test_multiclass_evaluator_from_python(spark):
     assert rows[0.0]["tp"] == 1 and rows[0.0]["predicted"] == 1
     assert abs(rows[1.0]["precision"] - 2.0 / 3) < 1e-9
     assert rows[1.0]["recall"] == 1.0
+
+
+def test_regression_evaluator_from_python(spark):
+    from graftml import RegressionEvaluator
+    df = spark.createDataFrame(
+        [(3.0, 2.5), (-0.5, 0.0), (2.0, 2.0), (7.0, 8.0)],
+        ["label", "prediction"])
+    r = RegressionEvaluator(spark=spark).transform(df)[0].collect()[0]
+    assert abs(r["mae"] - 0.5) < 1e-9
+    assert abs(r["r2"] - 0.9486081370449679) < 1e-9

@@ -46,6 +46,7 @@ object DocGen {
     "graft.stats.DriftDetector",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
+    "graft.evaluation.RegressionEvaluator",
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",
     "graft.streaming.OnlineStandardScaler", "graft.streaming.Sessionizer",

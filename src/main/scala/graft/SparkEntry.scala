@@ -645,6 +645,18 @@ object SparkEntry {
           round(col("ks"), 6).as("ks"), col("n_ref"), col("n_cur"))
     }),
 
+    // --- Regression evaluation: rmse/mae/r2/mape in one agg pass ---
+    "q_regression_eval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("value").cast("double").as("label"),
+          (col("value") * 0.9 + 5.0).cast("double").as("prediction"))
+      new graft.evaluation.RegressionEvaluator().transform(ev).head
+        .select(col("n"), round(col("rmse"), 6).as("rmse"),
+          round(col("mae"), 6).as("mae"), round(col("r2"), 6).as("r2"),
+          round(col("mape"), 6).as("mape"))
+    }),
+
     // --- Multiclass evaluation: per-class confusion metrics over a
     // deterministic 4-class labeling of events ---
     "q_multiclass_eval" -> ((s, dir) => {
@@ -2839,6 +2851,27 @@ object SparkEntry {
                 CAST(coalesce(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
                 CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
          FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id""",
+
+    "q_regression_eval" ->
+      """WITH d AS (SELECT CAST(value AS DOUBLE) AS y,
+                           CAST(value * 0.9 + 5.0 AS DOUBLE) AS p
+                    FROM events WHERE value IS NOT NULL),
+         a AS (SELECT COUNT(*) AS n,
+                      SUM((y - p) * (y - p)) AS ss_res,
+                      SUM(ABS(y - p)) AS sae,
+                      SUM(y) AS sy, SUM(y * y) AS syy,
+                      SUM(CASE WHEN y <> 0 THEN ABS((y - p) / y) END) AS sape,
+                      SUM(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS n_nonzero
+               FROM d)
+         SELECT CAST(n AS BIGINT) AS n,
+                ROUND(SQRT(ss_res / n), 6) AS rmse,
+                ROUND(sae / n, 6) AS mae,
+                ROUND(CASE WHEN ss_res = 0 THEN 1.0
+                           WHEN syy - sy * sy / n <= 0 THEN 0.0
+                           ELSE 1.0 - ss_res / (syy - sy * sy / n) END, 6) AS r2,
+                ROUND(CASE WHEN n_nonzero = 0 THEN NULL
+                           ELSE sape / n_nonzero END, 6) AS mape
+         FROM a""",
 
     "q_multiclass_eval" ->
       """WITH d AS (SELECT CAST(user_id % 4 AS DOUBLE) AS l,

@@ -369,3 +369,15 @@ object MulticlassEvalExample {
     spark.stop()
   }
 }
+
+/** Score a regression model in one aggregation pass. */
+object RegressionEvalExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("RegressionEvalExample")
+    import spark.implicits._
+    val scored = Seq((3.0, 2.5), (-0.5, 0.0), (2.0, 2.0), (7.0, 8.0))
+      .toDF("label", "prediction")
+    new graft.evaluation.RegressionEvaluator().transform(scored).head.show(false)
+    spark.stop()
+  }
+}
