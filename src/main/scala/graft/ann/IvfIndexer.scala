@@ -69,19 +69,22 @@ class IvfIndexer extends Estimator[IvfIndexer, IvfIndexModel] with HasSeed[IvfIn
       .map(r => (r.getAs[Number](0).intValue(), r.getAs[Vector]("centroid")))
     require(centroids.nonEmpty, "empty codebook")
     val bc = spark.sparkContext.broadcast(
-      centroids.map { case (_, c) => (c, math.sqrt(CosineMath.dot(c, c))) })
+      centroids.map { case (cid, c) => (cid, c, math.sqrt(CosineMath.dot(c, c))) })
+    // emits the ACTUAL centroidId (not the array position): transform's
+    // probeCells joins on centroidId, and user-supplied codebooks
+    // (setInitialCentroids + trainIters=0) may be non-contiguous
     val cellOf = udf { v: Vector =>
       val cents = bc.value
       val vNorm = math.sqrt(CosineMath.dot(v, v))
       var best = 0; var bestSim = Double.NegativeInfinity
       var i = 0
       while (i < cents.length) {
-        val (c, n) = cents(i)
+        val (_, c, n) = cents(i)
         val sim = CosineMath.cosine(c, n, v, vNorm)
         if (sim > bestSim) { bestSim = sim; best = i }
         i += 1
       }
-      best
+      cents(best)._1
     }
     val norm = udf { v: Vector => math.sqrt(CosineMath.dot(v, v)) }
     val assignments = data

@@ -28,7 +28,11 @@ class RegressionEvaluator extends AlgoOperator[RegressionEvaluator]
     val y = col(getLabelCol).cast("double")
     val p = col(getPredictionCol).cast("double")
     val err = y - p
-    val agg = inputs.head.agg(
+    // rows missing either side carry no error signal; dropping them up
+    // front keeps n consistent with the sums (a null label with a
+    // counted n would silently deflate rmse/mae/mape)
+    val pairs = inputs.head.where(y.isNotNull && p.isNotNull)
+    val agg = pairs.agg(
       count(lit(1)).as("n"),
       sum(err * err).as("ss_res"),
       sum(abs(err)).as("sae"),

@@ -75,6 +75,18 @@ class IntervalJoiner extends AlgoOperator[IntervalJoiner] {
     require(inputs.size == 2, "IntervalJoiner expects (left, right)")
     val Seq(left, right) = inputs.toSeq
     require(getValueCols.nonEmpty, "valueCols must be set")
+    // the output restores rightStartCol/rightEndCol and appends
+    // valueCols next to every left column — a collision would yield
+    // duplicate column names that break any downstream select()
+    val leftCols = left.columns.toSet
+    val appended = (getValueCols.toSeq :+ getRightStartCol :+ getRightEndCol).distinct
+    val clash = appended.filter(c => leftCols.contains(c) && !getOnCols.contains(c))
+    require(clash.isEmpty,
+      s"IntervalJoiner: right columns ${clash.mkString(", ")} collide with left columns; " +
+        "rename one side before joining")
+    require(!getValueCols.contains(getRightStartCol) && !getValueCols.contains(getRightEndCol),
+      "IntervalJoiner: valueCols must not include rightStartCol/rightEndCol " +
+        "(they are attached automatically)")
     val w = getBinWidthMs
     val maxBins = getMaxBinsPerInterval
     val keys = getOnCols.toSeq

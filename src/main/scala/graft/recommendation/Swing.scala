@@ -81,6 +81,10 @@ import graft.util.ReadWrite
 class Swing extends AlgoOperator[Swing]
     with HasOutputCol[Swing] with HasSeed[Swing] {
 
+  // driver-collect guard for the hot-item set; tests shrink it to make
+  // the degenerate-cap failure reachable on small fixtures
+  private[recommendation] var hotItemsGuard: Int = Swing.MaxHotItems
+
   final val userCol: Param[String] = param[String]("userCol", "User column name.", "user")
   final val itemCol: Param[String] = param[String]("itemCol", "Item column name.", "item")
   final val k: Param[Int] =
@@ -184,9 +188,19 @@ class Swing extends AlgoOperator[Swing]
     // at +3.7s on the idle path at sf0.1 — the cache build breaks the
     // probe job's shuffle reuse with the main plan — and an isEmpty
     // probe re-runs the aggregation for the join when the cap engages.)
-    val hotItemIds = pairs.groupBy("i").agg(count(lit(1)).as("icnt"))
+    // the collect is bounded by construction (hot items ≤ totalPairs/cap),
+    // EXCEPT under a degenerate cap (e.g. 1) on a huge catalog where
+    // "hot" is every item — gate it like the other driver collects:
+    // the limit makes the collect itself bounded, and hitting it aborts
+    // before the driver materializes an unbroadcastable set
+    val hotRows = pairs.groupBy("i").agg(count(lit(1)).as("icnt"))
       .where(col("icnt") > getMaxUserNumPerItem)
-      .select(col("i")).collect().map(_.getLong(0))
+      .select(col("i")).limit(hotItemsGuard + 1).collect()
+    require(hotRows.length <= hotItemsGuard,
+      s"Swing: more than $hotItemsGuard items exceed maxUserNumPerItem=" +
+        s"$getMaxUserNumPerItem — the cap is degenerate for this catalog " +
+        "(nearly every item is 'hot'); raise maxUserNumPerItem")
+    val hotItemIds = hotRows.map(_.getLong(0))
     val capEngaged = hotItemIds.nonEmpty
     val flagged = if (!capEngaged) {
       pairs.join(userCnt, "u").withColumn("inCap", lit(true))
@@ -326,6 +340,11 @@ object Swing extends StageLoader[Swing] {
     * sort splits across this many tasks, bounding any single task to
     * ~purchasers/CapSalts rows (phase 1) or CapSalts·cap rows (phase 2). */
   val CapSalts = 32
+
+  /** Driver-collect guard for the hot-item set: a sane cap keeps hot
+    * items rare, so reaching this bound means the cap is degenerate for
+    * the catalog and the broadcast join would not fit anyway. */
+  val MaxHotItems = 10000000
 
   def load(spark: SparkSession, path: String): Swing = ReadWrite.applyParams(new Swing, path)
 }

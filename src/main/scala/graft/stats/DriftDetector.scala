@@ -98,17 +98,26 @@ class DriftDetector extends AlgoOperator[DriftDetector] {
       .withColumn("p_ref", (col("c_ref") + 0.5) / (col("n_ref") + 0.5 * bins))
       .withColumn("p_cur", (col("c_cur") + 0.5) / (col("n_cur") + 0.5 * bins))
       .withColumn("psi_term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
-      // binned-CDF gap needs the running sums in bin order
-      .withColumn("cdf_ref", sum(col("c_ref")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("feature").orderBy("bin")) / col("n_ref"))
-      .withColumn("cdf_cur", sum(col("c_cur")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("feature").orderBy("bin")) / col("n_cur"))
+      // binned-CDF gap needs the running sums in bin order; an empty
+      // side has NO distribution, so its CDF — and hence ks — is an
+      // EXPLICIT null rather than a divide-by-zero artifact
+      .withColumn("cdf_ref", when(col("n_ref") > 0, sum(col("c_ref")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("feature").orderBy("bin")) / col("n_ref")))
+      .withColumn("cdf_cur", when(col("n_cur") > 0, sum(col("c_cur")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("feature").orderBy("bin")) / col("n_cur")))
       .groupBy("feature")
       .agg(
         sum("psi_term").as("psi"),
         max(abs(col("cdf_ref") - col("cdf_cur"))).as("ks"),
         first("n_ref").as("n_ref"), first("n_cur").as("n_cur"))
-    Array(out)
+
+    // a feature with zero non-null reference rows never enters `range`
+    // and would silently VANISH; surface it with null metrics instead
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val allFeats = feats.toDF("feature")
+    Array(broadcast(allFeats).join(out, Seq("feature"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur")))
   }
 }
 

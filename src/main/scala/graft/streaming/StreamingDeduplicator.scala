@@ -98,6 +98,13 @@ class StreamingDeduplicator extends AlgoOperator[StreamingDeduplicator]
     val streaming = df0.isStreaming
     val ttl = getStateTtlMs
     if (ttl > 0) require(getTimeCol.nonEmpty, "stateTtlMs > 0 requires timeCol")
+    // withColumn would silently REPLACE a pre-existing column of either
+    // name (e.g. ExactDeduplicator chained upstream), and the emit path
+    // strips the last column assuming it is ours — fail loudly instead
+    require(!df0.columns.contains("content_fingerprint"),
+      "StreamingDeduplicator: input already has a content_fingerprint column; drop or rename it first")
+    require(!df0.columns.contains("__sdd_ts"),
+      "StreamingDeduplicator: __sdd_ts is a reserved internal column name")
 
     val withFp = df0.withColumn("content_fingerprint", fingerprint)
     // TTL needs an event-time watermark; install it on a derived
@@ -188,6 +195,10 @@ class StreamingDeduplicator extends AlgoOperator[StreamingDeduplicator]
    * when the canonical-id choice matters).
    */
   def distinctStream(df: DataFrame): DataFrame = {
+    require(!df.columns.contains("content_fingerprint"),
+      "StreamingDeduplicator: input already has a content_fingerprint column; drop or rename it first")
+    require(!df.columns.contains("__sdd_ts"),
+      "StreamingDeduplicator: __sdd_ts is a reserved internal column name")
     val withFp = df.withColumn("content_fingerprint", fingerprint)
     if (!df.isStreaming) withFp.dropDuplicates("content_fingerprint")
     else {

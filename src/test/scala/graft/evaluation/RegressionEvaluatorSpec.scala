@@ -42,6 +42,26 @@ class RegressionEvaluatorSpec extends SparkSpec {
     assert(eval.transform(const).head.head().getAs[Double]("r2") == 0.0)
   }
 
+  test("rows with null label or prediction are excluded from n AND every sum (r8 ADVICE)") {
+    import spark.implicits._
+    val clean = Seq((3.0, 2.5), (-0.5, 0.0), (2.0, 2.0), (7.0, 8.0))
+      .toDF("label", "prediction")
+    val dirty = (Seq((Some(3.0), Some(2.5)), (Some(-0.5), Some(0.0)),
+      (Some(2.0), Some(2.0)), (Some(7.0), Some(8.0)),
+      (None, Some(9.0)), (Some(5.0), None), (None: Option[Double], None: Option[Double])))
+      .toDF("label", "prediction")
+    val a = eval.transform(clean).head.head()
+    val b = eval.transform(dirty).head.head()
+    assert(b.getAs[Long]("n") == 4) // nulls no longer counted, deflating rmse/mae
+    Seq("rmse", "mae", "r2").foreach { m =>
+      assert(math.abs(a.getAs[Double](m) - b.getAs[Double](m)) < 1e-12, m)
+    }
+    // a non-zero label with a NULL prediction must not enter n_nonzero either
+    val mapeOnly = Seq((Some(2.0), Some(1.0)), (Some(4.0), None))
+      .toDF("label", "prediction")
+    assert(math.abs(eval.transform(mapeOnly).head.head().getAs[Double]("mape") - 0.5) < 1e-12)
+  }
+
   test("param save/load round-trip") {
     val dir = tmpDir()
     eval.setLabelCol("y").setPredictionCol("yhat").save(dir)

@@ -85,6 +85,25 @@ class IntervalJoinerSpec extends SparkSpec {
     }
   }
 
+  test("right-column collisions with the left input are rejected up front (r8 ADVICE)") {
+    import spark.implicits._
+    // left already has a `tag` column -> the attached valueCol would duplicate it
+    val clashLeft = Seq(("a", 1L, 100L, "boom")).toDF("k", "id", "t", "tag")
+    val ex1 = intercept[IllegalArgumentException] { joiner.transform(clashLeft, right) }
+    assert(ex1.getMessage.contains("collide"), ex1.getMessage)
+    // left already has the interval-bound name `s` that the output restores
+    val clashBounds = Seq(("a", 1L, 100L, 9L)).toDF("k", "id", "t", "s")
+    val ex2 = intercept[IllegalArgumentException] { joiner.transform(clashBounds, right) }
+    assert(ex2.getMessage.contains("collide"), ex2.getMessage)
+    // valueCols naming the interval bounds is user error, not a dup column
+    val ex3 = intercept[IllegalArgumentException] {
+      new IntervalJoiner().setOnCols("k").setLeftTimeCol("t")
+        .setRightStartCol("s").setRightEndCol("e").setValueCols("tag", "s")
+        .transform(left, right)
+    }
+    assert(ex3.getMessage.contains("valueCols"), ex3.getMessage)
+  }
+
   test("param save/load round-trip") {
     val dir = tmpDir()
     joiner.setBinWidthMs(123L).setMaxBinsPerInterval(7).save(dir)

@@ -56,6 +56,23 @@ class DriftDetectorSpec extends SparkSpec {
     assert(out("b") == (2L, 2L)) // the NaN reference row dropped
   }
 
+  test("empty-side features surface explicit nulls instead of vanishing (r8 ADVICE)") {
+    import spark.implicits._
+    val ref = Seq((1.0, Option.empty[Double]), (2.0, None), (3.0, None)).toDF("x", "y")
+    val cur = Seq((Option.empty[Double], Some(4.0)), (None, Some(5.0))).toDF("x", "y")
+    val out = new DriftDetector().setFeatureCols("x", "y").setNumBins(5)
+      .transform(ref, cur).head.collect()
+      .map(r => r.getString(0) -> r).toMap
+    // x: reference present, current all-null -> ks/null (no distribution), n_cur 0
+    assert(out("x").getAs[Long]("n_ref") == 3L && out("x").getAs[Long]("n_cur") == 0L)
+    assert(out("x").isNullAt(out("x").fieldIndex("ks")), "ks must be explicit null, not a NaN")
+    // y: reference all-null -> the feature still APPEARS, with null metrics
+    assert(out.contains("y"), "features with no reference rows must not vanish")
+    assert(out("y").getAs[Long]("n_ref") == 0L)
+    assert(out("y").isNullAt(out("y").fieldIndex("psi")))
+    assert(out("y").isNullAt(out("y").fieldIndex("ks")))
+  }
+
   test("guards: wrong arity and empty featureCols rejected") {
     import spark.implicits._
     val df = Seq(1.0).toDF("x")

@@ -178,4 +178,17 @@ class StreamingDeduplicatorSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("long/int/string"))
   }
+
+  test("reserved-name collisions are rejected instead of silently clobbered (r8 ADVICE)") {
+    import spark.implicits._
+    // e.g. ExactDeduplicator chained upstream already emitted the column
+    val withFp = Seq((1L, "a", 0L, "deadbeef")).toDF("id", "text", "ts", "content_fingerprint")
+    val e1 = intercept[IllegalArgumentException] { dedup().transform(withFp) }
+    assert(e1.getMessage.contains("content_fingerprint"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { dedup().distinctStream(withFp) }
+    assert(e2.getMessage.contains("content_fingerprint"), e2.getMessage)
+    val withTs = Seq((1L, "a", 0L, 1L)).toDF("id", "text", "ts", "__sdd_ts")
+    val e3 = intercept[IllegalArgumentException] { dedup().transform(withTs) }
+    assert(e3.getMessage.contains("__sdd_ts"), e3.getMessage)
+  }
 }
