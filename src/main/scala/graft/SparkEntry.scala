@@ -1145,6 +1145,38 @@ object SparkEntry {
         round(col("weight"), 6).as("weight"))
     }),
 
+    // --- OnlineKMeans, versioned delay-gated inference: two
+    // count-batches over time-ordered events become model versions 1
+    // and 2 stamped with each batch's max event time; every row is
+    // then assigned a cluster by the EARLIEST version fresh enough for
+    // its own timestamp (reference OnlineKMeansModel.java:95,126-135
+    // model-data version counter + HasMaxAllowedModelDelayMs).
+    // Oracle contract: exact at sf0.01 (10000 events = exactly 2
+    // batches of 5000, which the SQL replays as two decay updates) ---
+    "q_online_kmeans_versioned" -> ((s, dir) => {
+      val ev = eventsTsm(s, dir)
+        .select(col("event_id"), col("tsm"), col("value").as("x"))
+        .orderBy("event_id")
+      val assembled = new graft.feature.VectorAssembler()
+        .setInputCols("x").setOutputCol("features").setInputSizes(1)
+        .transform(ev).head
+      import s.implicits._
+      val init = Seq((0, Array(20.0)), (1, Array(200.0)))
+        .toDF("centroidId", "arr")
+        .select(col("centroidId"),
+          org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"),
+          lit(1.0).as("weight"))
+      val model = new graft.streaming.OnlineKMeans()
+        .setK(2).setDecayFactor(0.5).setGlobalBatchSize(5000).setTimeCol("tsm")
+        .setInitialModelData(init)
+        .fit(assembled)
+        .setMaxAllowedModelDelayMs(172800000L) // 2 days
+        .setTimeCol("tsm")
+        .setModelVersionCol("version")
+      model.transform(assembled).head
+        .select(col("event_id"), col("version"), col("prediction"))
+    }),
+
     // --- OnlineLogisticRegression: one FTRL step from zero state ---
     "q_online_logreg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -3241,6 +3273,58 @@ object SparkEntry {
          SELECT cid AS centroidId, ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy,
                 ROUND(weight, 6) AS weight
          FROM m""",
+
+    // two decay updates (init c = (20, 200), weight 1, decay 0.5) over
+    // the two 5000-row halves of time-ordered events, then per-row
+    // version pick: earliest model time >= tsm - 2 days; prediction =
+    // nearest centroid of the picked version (tie -> lower id)
+    "q_online_kmeans_versioned" ->
+      """WITH d AS (SELECT event_id, epoch_ms(ts) AS tsm, value AS x,
+                           ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx
+                    FROM events),
+         b1 AS (SELECT * FROM d WHERE idx < 5000),
+         b2 AS (SELECT * FROM d WHERE idx >= 5000 AND idx < 10000),
+         a1 AS (SELECT x, CASE WHEN (x - 20.0) * (x - 20.0) <= (x - 200.0) * (x - 200.0)
+                               THEN 0 ELSE 1 END AS cid
+                FROM b1),
+         g1 AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS c, SUM(x) AS sx FROM a1 GROUP BY cid),
+         init AS (SELECT * FROM (VALUES (0, 20.0), (1, 200.0)) t(cid, cx)),
+         m1 AS (SELECT init.cid,
+                       CASE WHEN g1.c IS NULL THEN init.cx
+                            ELSE (1.0 - g1.c / (0.5 + g1.c)) * init.cx
+                                 + (g1.c / (0.5 + g1.c)) / g1.c * g1.sx END AS cx,
+                       CASE WHEN g1.c IS NULL THEN 0.5 ELSE 0.5 + g1.c END AS w
+                FROM init LEFT JOIN g1 ON init.cid = g1.cid),
+         a2 AS (SELECT b.x,
+                       CASE WHEN (b.x - c0.cx) * (b.x - c0.cx) <= (b.x - c1.cx) * (b.x - c1.cx)
+                            THEN 0 ELSE 1 END AS cid
+                FROM b2 b
+                CROSS JOIN (SELECT cx FROM m1 WHERE cid = 0) c0
+                CROSS JOIN (SELECT cx FROM m1 WHERE cid = 1) c1),
+         g2 AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS c, SUM(x) AS sx FROM a2 GROUP BY cid),
+         m2 AS (SELECT m1.cid,
+                       CASE WHEN g2.c IS NULL THEN m1.cx
+                            ELSE (1.0 - g2.c / (0.5 * m1.w + g2.c)) * m1.cx
+                                 + (g2.c / (0.5 * m1.w + g2.c)) / g2.c * g2.sx END AS cx
+                FROM m1 LEFT JOIN g2 ON m1.cid = g2.cid),
+         cs AS (SELECT (SELECT cx FROM m1 WHERE cid = 0) AS m1c0,
+                       (SELECT cx FROM m1 WHERE cid = 1) AS m1c1,
+                       (SELECT cx FROM m2 WHERE cid = 0) AS m2c0,
+                       (SELECT cx FROM m2 WHERE cid = 1) AS m2c1,
+                       (SELECT MAX(tsm) FROM b1) AS t1,
+                       (SELECT MAX(tsm) FROM b2) AS t2)
+         SELECT d.event_id,
+                CAST(CASE WHEN cs.t1 >= d.tsm - 172800000 THEN 1
+                          WHEN cs.t2 >= d.tsm - 172800000 THEN 2
+                          ELSE -1 END AS BIGINT) AS version,
+                CASE WHEN cs.t1 >= d.tsm - 172800000 THEN
+                       CASE WHEN (d.x - cs.m1c0) * (d.x - cs.m1c0)
+                                 <= (d.x - cs.m1c1) * (d.x - cs.m1c1) THEN 0 ELSE 1 END
+                     WHEN cs.t2 >= d.tsm - 172800000 THEN
+                       CASE WHEN (d.x - cs.m2c0) * (d.x - cs.m2c0)
+                                 <= (d.x - cs.m2c1) * (d.x - cs.m2c1) THEN 0 ELSE 1 END
+                     ELSE NULL END AS prediction
+         FROM d CROSS JOIN cs""",
 
     "q_online_logreg" ->
       """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x0, l_discount AS x1,
