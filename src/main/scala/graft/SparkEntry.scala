@@ -814,6 +814,27 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
     }),
 
+    // --- IVF + int8 scalar quantization (FAISS IVF+SQ8): same pinned
+    // codebook as q_ivf_index, but the inverted lists store 1-byte
+    // codes; probes score the full-precision query against the
+    // DEQUANTIZED list vector (asymmetric distance computation). The
+    // oracle replays the per-dim [min,max] encode/decode exactly ---
+    "q_ivf_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val init = emb.where(col("vec_id").isin(3, 99, 201, 350))
+        .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .as("centroidId"), col("vec").as("centroid"))
+      val data = emb.where(col("vec_id") % 10 =!= 0)
+      val queries = emb.where(col("vec_id") % 10 === 0)
+      val model = new graft.ann.IvfIndexer().setIdCol("vec_id").setVecCol("vec")
+        .setTrainIters(0).setInitialCentroids(init).setQuantize(true).fit(data)
+      model.setK(5).setNprobe(2).transform(queries).head
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("similarity"), 6).as("similarity"))
+    }),
+
     // --- Brute-force cosine top-k neighbors over embeddings ---
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -933,6 +954,49 @@ object SparkEntry {
         .select(col("centroidId"), round(norm(col("centroid")), 4).as("c_norm"))
       counts.join(norms, col("prediction") === col("centroidId"))
         .select(col("centroidId").cast("long").as("cluster"), col("n"), col("c_norm"))
+    }),
+
+    // --- Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embeddings (KMeansModel under pinned data-vector centroids —
+    // deterministic in both engines), then within each cluster drop
+    // all-but-the-min-id of every pair with cosine >= threshold. The
+    // within-cluster pairing is the paper's own cost bound (k
+    // controls cluster size; CosineDeduplicator's LSH is the escape
+    // hatch for giant clusters). The driver's embeddings carry no
+    // planted 0.999 near-dups (max pair cosine ~0.51), so the
+    // threshold sits at 0.42 — 16 genuine same-cluster pairs, nearest
+    // pair 0.0027 from the cut (engine-parity-safe); the planted-dup
+    // behavior is covered by SemanticDedupExample and the ScaleUp
+    // corpus. ---
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("arr"),
+          org.apache.spark.ml.functions.array_to_vector(
+            col("embedding").cast("array<double>")).as("vec"))
+      val init = emb.where(col("vec_id").isin(3L, 99L, 201L, 350L))
+        .orderBy("vec_id").select(col("arr")).collect().zipWithIndex
+      import s.implicits._
+      val initDf = init.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+        .toDF("centroidId", "carr")
+        .select(col("centroidId"),
+          org.apache.spark.ml.functions.array_to_vector(col("carr")).as("centroid"))
+      graft.functions.Functions.register(s)
+      val assigned = new graft.clustering.KMeansModel()
+        .setFeaturesCol("vec").setModelData(initDf)
+        .transform(emb).head
+        .select(col("vec_id"), col("prediction").cast("long").as("cluster"), col("arr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dups = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("arr").as("arr_a"))
+        .join(assigned.select(col("cluster"), col("vec_id").as("id_b"), col("arr").as("arr_b")),
+          Seq("cluster"))
+        .where(col("id_a") < col("id_b"))
+        .where(graft.functions.Functions.cosineSimilarity(col("arr_a"), col("arr_b")) >= 0.42)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("__dup", lit(true))
+      assigned.select("vec_id", "cluster")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("__dup"), lit(false)).as("is_semantic_duplicate"))
     }),
 
     // --- Incremental embedding dedup: index the even vec_ids, flag the
@@ -2055,6 +2119,30 @@ object SparkEntry {
          SELECT counts.cid AS cluster, counts.n, ROUND(c1.cn, 4) AS c_norm
          FROM counts JOIN c1 ON c1.cid = counts.cid""",
 
+    // SemDeDup: euclidean assignment to the pinned data-vector
+    // centroids, then within-cluster min-id greedy cosine dedup
+    "q_semantic_dedup" ->
+      """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e
+               FROM emb WHERE vec_id IN (3, 99, 201, 350)),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT emb.vec_id, c.cid,
+                         ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY
+                           list_dot_product(emb.e, emb.e)
+                             - 2 * list_dot_product(emb.e, c.e)
+                             + list_dot_product(c.e, c.e), c.cid) AS rk
+                  FROM emb CROSS JOIN c0 c) WHERE rk = 1),
+         dups AS (SELECT DISTINCT b.vec_id
+                  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                  JOIN emb ea ON ea.vec_id = a.vec_id
+                  JOIN emb eb ON eb.vec_id = b.vec_id
+                  WHERE list_dot_product(ea.e, eb.e)
+                          / (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e)))
+                        >= 0.42)
+         SELECT a1.vec_id, CAST(a1.cid AS BIGINT) AS cluster,
+                (a1.vec_id IN (SELECT vec_id FROM dups)) AS is_semantic_duplicate
+         FROM a1""",
+
     "q_ann_ivf" ->
       """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          cents AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e
@@ -2121,7 +2209,55 @@ object SparkEntry {
            FROM pairs)
          WHERE rk <= 5""",
 
-    
+    // q_ivf_index with int8 list storage: per-dim [min,max] over the
+    // index side, code = clamp(floor((x-lo)*255/(hi-lo)+0.5),0,255),
+    // dequant = code*(hi-lo)/255 + lo; cells from FULL-precision
+    // vectors; similarity = cosine(full query, dequantized index vec)
+    "q_ivf_quantized" ->
+      """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cents AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e
+                  FROM emb WHERE vec_id IN (3, 99, 201, 350)),
+         tr AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+         te AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 = 0),
+         rng AS MATERIALIZED (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM (
+                  SELECT unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM tr)
+                GROUP BY dim),
+         trd AS MATERIALIZED (SELECT vec_id, list(deq ORDER BY dim) AS e FROM (
+                  SELECT u.vec_id, u.dim,
+                         CASE WHEN r.hi = r.lo THEN r.lo
+                              ELSE least(greatest(floor((u.x - r.lo) * 255.0 / (r.hi - r.lo) + 0.5),
+                                                  0.0), 255.0)
+                                   * (r.hi - r.lo) / 255.0 + r.lo END AS deq
+                  FROM (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM tr) u
+                  JOIN rng r ON r.dim = u.dim)
+                GROUP BY vec_id),
+         asg AS (SELECT vec_id, cid FROM (
+                   SELECT tr.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY tr.vec_id ORDER BY
+                            list_dot_product(tr.e, c.e)
+                              / (sqrt(list_dot_product(tr.e, tr.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM tr CROSS JOIN cents c) WHERE rk = 1),
+         probes AS (SELECT vec_id, cid FROM (
+                   SELECT te.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY te.vec_id ORDER BY
+                            list_dot_product(te.e, c.e)
+                              / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM te CROSS JOIN cents c) WHERE rk <= 2),
+         pairs AS (SELECT te.vec_id AS q, d.vec_id AS n,
+                          list_dot_product(te.e, d.e)
+                            / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(d.e, d.e)))
+                            AS sim
+                   FROM probes p
+                   JOIN asg a ON a.cid = p.cid
+                   JOIN te ON te.vec_id = p.vec_id
+                   JOIN trd d ON d.vec_id = a.vec_id)
+         SELECT q AS query_id, n AS neighbor_id, ROUND(sim, 6) AS similarity FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
+           FROM pairs)
+         WHERE rk <= 5""",
+
     "q_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -38,14 +38,21 @@ class IvfIndexer extends Estimator[IvfIndexer, IvfIndexModel] with HasSeed[IvfIn
   final val trainIters: Param[Int] =
     param[Int]("trainIters", "Lloyd iterations for the codebook; 0 uses the provided " +
       "initial centroids verbatim.", 10, ParamValidators.gtEq(0))
+  final val quantize: Param[Boolean] =
+    param[Boolean]("quantize", "Store int8 scalar-quantized vectors in the inverted " +
+      "lists (FAISS IVF+SQ8): 4x less list storage/shuffle; probes score the " +
+      "full-precision query against the dequantized list vector (asymmetric " +
+      "distance computation).", false)
   def setIdCol(v: String): IvfIndexer = set(idCol, v)
   def setVecCol(v: String): IvfIndexer = set(vecCol, v)
   def setNumLists(v: Int): IvfIndexer = set(numLists, v)
   def setTrainIters(v: Int): IvfIndexer = set(trainIters, v)
+  def setQuantize(v: Boolean): IvfIndexer = set(quantize, v)
   def getIdCol: String = get(idCol)
   def getVecCol: String = get(vecCol)
   def getNumLists: Int = get(numLists)
   def getTrainIters: Int = get(trainIters)
+  def getQuantize: Boolean = get(quantize)
 
   private var initialCentroids: Option[DataFrame] = None
   def setInitialCentroids(df: DataFrame): IvfIndexer = { initialCentroids = Some(df); this }
@@ -87,12 +94,54 @@ class IvfIndexer extends Estimator[IvfIndexer, IvfIndexModel] with HasSeed[IvfIn
       cents(best)._1
     }
     val norm = udf { v: Vector => math.sqrt(CosineMath.dot(v, v)) }
-    val assignments = data
+    val slim = data
       .select(col(getIdCol).cast("long").as("id"), col(getVecCol).as("vec"))
+      // cell assignment always uses the FULL-precision vector — the
+      // codebook routing is cheap to keep exact; only list storage is
+      // compressed
       .withColumn("cell", cellOf(col("vec")))
-      .withColumn("vnorm", norm(col("vec"))) // probe-time pairs pay ONE dot, not three
 
-    val m = new IvfIndexModel().setModelData(centroidsDf, assignments)
+    val m = if (!getQuantize) {
+      val assignments = slim
+        .withColumn("vnorm", norm(col("vec"))) // probe-time pairs pay ONE dot, not three
+      new IvfIndexModel().setModelData(centroidsDf, assignments)
+    } else {
+      // per-dimension corpus ranges (one O(dim)-row aggregation), then
+      // the same in-row int8 encode as ScalarQuantizer — the inverted
+      // lists shrink 8x vs the double array (4x vs float32). vnorm is
+      // the DEQUANTIZED vector's norm so probe-time cosine is exact
+      // with respect to the stored (reconstructed) values.
+      import org.apache.spark.sql.Column
+      val ranges = slim.select(posexplode(
+          org.apache.spark.ml.functions.vector_to_array(col("vec"))).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      val collected = ranges.orderBy("dim").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      val lows = lit(collected.map(_._2))
+      val highs = lit(collected.map(_._3))
+      val x = org.apache.spark.ml.functions.vector_to_array(col("vec"))
+      val idxs = sequence(lit(1), size(x))
+      val codes = zip_with(x, idxs, (v: Column, i: Column) => {
+        val lo = element_at(lows, i)
+        val hi = element_at(highs, i)
+        val scaled = floor((v - lo) * 255.0 / (hi - lo) + 0.5)
+        when(hi === lo, lit(-128))
+          .otherwise(greatest(least(scaled, lit(255.0)), lit(0.0)) - 128)
+          .cast("tinyint")
+      })
+      val dequant = zip_with(codes, idxs, (c: Column, i: Column) => {
+        val lo = element_at(lows, i)
+        val hi = element_at(highs, i)
+        when(hi === lo, lo)
+          .otherwise((c.cast("double") + 128.0) * (hi - lo) / 255.0 + lo)
+      })
+      val assignments = slim
+        .withColumn("codes", codes)
+        .withColumn("vnorm", sqrt(aggregate(dequant, lit(0.0),
+          (acc: Column, e: Column) => acc + e * e)))
+        .drop("vec")
+      new IvfIndexModel().setModelData(centroidsDf, assignments, ranges)
+    }
     copyParamsTo(m)
     m
   }
@@ -103,7 +152,9 @@ object IvfIndexer extends StageLoader[IvfIndexer] {
 }
 
 /** Model data: (0) the codebook `(centroidId, centroid)`, (1) the
-  * inverted lists `(id, vec, cell)`. */
+  * inverted lists `(id, vec, cell)` — or, for a quantized index,
+  * `(id, cell, codes: array<tinyint>, vnorm)` plus (2) the per-dim
+  * quantization ranges `(dim, lo, hi)`. */
 class IvfIndexModel extends Model[IvfIndexModel] {
 
   final val idCol: Param[String] = param[String]("idCol", "Id column (long).", "id")
@@ -120,11 +171,19 @@ class IvfIndexModel extends Model[IvfIndexModel] {
 
   private var centroids: DataFrame = _
   private var assignments: DataFrame = _
+  private var ranges: DataFrame = _
   override def setModelData(data: DataFrame*): IvfIndexModel = {
-    require(data.size == 2, "IvfIndexModel expects (centroids, assignments)")
-    centroids = data(0); assignments = data(1); this
+    require(data.size == 2 || data.size == 3,
+      "IvfIndexModel expects (centroids, assignments[, quantRanges])")
+    centroids = data(0); assignments = data(1)
+    ranges = if (data.size == 3) data(2) else null
+    this
   }
-  override def getModelData: Array[DataFrame] = Array(centroids, assignments)
+  override def getModelData: Array[DataFrame] =
+    if (ranges == null) Array(centroids, assignments)
+    else Array(centroids, assignments, ranges)
+
+  private def quantized: Boolean = ranges != null
 
   /** Probe: top-k cosine neighbors from the `nprobe` closest lists of
     * each query. Output: (query_id, neighbor_id, similarity). */
@@ -150,10 +209,48 @@ class IvfIndexModel extends Model[IvfIndexModel] {
       .select(col(getIdCol).cast("long").as("query_id"), col(getVecCol).as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
       .withColumn("cell", explode(probeCells(col("qvec"))))
-    // older persisted indexes predate the vnorm column — derive it
-    val asg =
-      if (assignments.columns.contains("vnorm")) assignments
-      else assignments.withColumn("vnorm", norm(col("vec")))
+
+    // Cell-at-a-time scorer shared by both list layouts: per-query
+    // top-k heaps over (similarity, id) with deterministic ties
+    // (equal sim -> lower id wins).
+    val kk = getK
+    def scoreCell(qIt: Iterator[(Int, Long, Vector, Double)],
+        dIt: Iterator[(Long, Array[Double], Double)]): Iterator[(Long, Long, Double)] = {
+      val qs = qIt.map { case (_, qid, qv, qn) => (qid, qv.toArray, qn) }.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val ord = new java.util.Comparator[(Double, Long)] {
+          override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(x._1, y._1)
+            if (c != 0) c else java.lang.Long.compare(y._2, x._2) // worst: low sim, HIGH id
+          }
+        }
+        val heaps = qs.map(_ => new java.util.PriorityQueue[(Double, Long)](kk + 1, ord))
+        dIt.foreach { case (id, a, vn) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (_, qa, qn) = qs(qi)
+            var s = 0.0
+            var i = 0
+            while (i < qa.length) { s += qa(i) * a(i); i += 1 }
+            val sim = s / (qn * vn)
+            val heap = heaps(qi)
+            if (heap.size < kk) heap.add((sim, id))
+            else {
+              val worst = heap.peek()
+              if (sim > worst._1 || (sim == worst._1 && id < worst._2)) {
+                heap.poll(); heap.add((sim, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _, _), heap) =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala
+            .map { case (sim, id) => (qid, id, sim) }
+        }
+      }
+    }
 
     // candidate generation is an EQUI-JOIN (cogroup) on the cell id —
     // work is bounded by the probed list sizes, never
@@ -164,49 +261,44 @@ class IvfIndexModel extends Model[IvfIndexModel] {
     // math into per-query heaps; only <= nprobe x k rows per query
     // reach the final shuffle, never the candidate relation
     import spark.implicits._
-    val kk = getK
     val probesDs = probes.select(col("cell"), col("query_id"), col("qvec"), col("qnorm"))
       .as[(Int, Long, Vector, Double)]
-    val asgDs = asg.select(col("cell"), col("id"), col("vec"), col("vnorm"))
-      .as[(Int, Long, Vector, Double)]
-    val partial = probesDs.groupByKey(_._1).cogroup(asgDs.groupByKey(_._1)) {
-      (_, qIt, dIt) =>
-        val qs = qIt.map { case (_, qid, qv, qn) => (qid, qv.toArray, qn) }.toArray
-        if (qs.isEmpty) Iterator.empty
-        else {
-          val ord = new java.util.Comparator[(Double, Long)] {
-            override def compare(x: (Double, Long), y: (Double, Long)): Int = {
-              val c = java.lang.Double.compare(x._1, y._1)
-              if (c != 0) c else java.lang.Long.compare(y._2, x._2) // worst: low sim, HIGH id
-            }
+    val partial = (if (!quantized) {
+      // older persisted indexes predate the vnorm column — derive it
+      val asg =
+        if (assignments.columns.contains("vnorm")) assignments
+        else assignments.withColumn("vnorm", norm(col("vec")))
+      val asgDs = asg.select(col("cell"), col("id"), col("vec"), col("vnorm"))
+        .as[(Int, Long, Vector, Double)]
+      probesDs.groupByKey(_._1).cogroup(asgDs.groupByKey(_._1)) { (_, qIt, dIt) =>
+        scoreCell(qIt, dIt.map { case (_, id, v, vn) => (id, v.toArray, vn) })
+      }
+    } else {
+      // int8 lists: the asymmetric-distance pass (full-precision query
+      // vs DEQUANTIZED list vector, FAISS SQ8 style). Each list vector
+      // is decoded ONCE per cell against the broadcast per-dim ranges —
+      // the shuffled list payload is the 1-byte-per-dim code array.
+      val rng = ranges.orderBy("dim").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2)))
+      val bLo = spark.sparkContext.broadcast(rng.map(_._1))
+      val bHi = spark.sparkContext.broadcast(rng.map(_._2))
+      val asgDs = assignments.select(col("cell"), col("id"), col("codes"), col("vnorm"))
+        .as[(Int, Long, Seq[Byte], Double)]
+      probesDs.groupByKey(_._1).cogroup(asgDs.groupByKey(_._1)) { (_, qIt, dIt) =>
+        val lo = bLo.value; val hi = bHi.value
+        scoreCell(qIt, dIt.map { case (_, id, qSeq, vn) =>
+          val q = qSeq.toArray
+          val a = new Array[Double](q.length)
+          var j = 0
+          while (j < q.length) {
+            a(j) = if (hi(j) == lo(j)) lo(j)
+            else (q(j).toDouble + 128.0) * (hi(j) - lo(j)) / 255.0 + lo(j)
+            j += 1
           }
-          val heaps = qs.map(_ => new java.util.PriorityQueue[(Double, Long)](kk + 1, ord))
-          dIt.foreach { case (_, id, v, vn) =>
-            val a = v.toArray
-            var qi = 0
-            while (qi < qs.length) {
-              val (_, qa, qn) = qs(qi)
-              var s = 0.0
-              var i = 0
-              while (i < qa.length) { s += qa(i) * a(i); i += 1 }
-              val sim = s / (qn * vn)
-              val heap = heaps(qi)
-              if (heap.size < kk) heap.add((sim, id))
-              else {
-                val worst = heap.peek()
-                if (sim > worst._1 || (sim == worst._1 && id < worst._2)) {
-                  heap.poll(); heap.add((sim, id))
-                }
-              }
-              qi += 1
-            }
-          }
-          qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _, _), heap) =>
-            scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala
-              .map { case (sim, id) => (qid, id, sim) }
-          }
-        }
-    }.toDF("query_id", "neighbor_id", "similarity")
+          (id, a, vn)
+        })
+      }
+    }).toDF("query_id", "neighbor_id", "similarity")
     val w = Window.partitionBy("query_id")
       .orderBy(col("similarity").desc, col("neighbor_id").asc)
     Array(partial.withColumn("rank", row_number().over(w))
@@ -217,8 +309,8 @@ class IvfIndexModel extends Model[IvfIndexModel] {
 object IvfIndexModel extends StageLoader[IvfIndexModel] {
   def load(spark: SparkSession, path: String): IvfIndexModel = {
     val m = ReadWrite.applyParams(new IvfIndexModel, path)
-    m.setModelData(
-      ReadWrite.loadModelData(spark, path, 0),
-      ReadWrite.loadModelData(spark, path, 1))
+    val frames = (0 until ReadWrite.numModelDataTables(path))
+      .map(i => ReadWrite.loadModelData(spark, path, i))
+    m.setModelData(frames: _*)
   }
 }

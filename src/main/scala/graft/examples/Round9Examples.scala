@@ -1,0 +1,100 @@
+package graft.examples
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-9 capability examples: SemDeDup-style semantic dedup, the
+ * int8-quantized IVF index, and versioned delay-gated OnlineKMeans
+ * inference.
+ */
+
+/** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings,
+  * then within each cluster keep only the min-id member of every
+  * cosine-similar pair. Composition of KMeansModel + the codegen
+  * cosineSimilarity function — see q_semantic_dedup for the oracle
+  * version. */
+object SemanticDedupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("SemanticDedupExample")
+    import spark.implicits._
+    // two semantic neighborhoods; 101 and 103 are near-dups of 100/102
+    val vecs = Seq(
+      (100L, Array(1.0, 0.0, 0.1)), (101L, Array(0.99, 0.01, 0.1)),
+      (102L, Array(0.9, 0.1, 0.0)), (103L, Array(0.91, 0.09, 0.01)),
+      (200L, Array(0.0, 1.0, 0.2)), (201L, Array(0.1, 0.9, 0.3)))
+      .toDF("vec_id", "arr")
+    graft.functions.Functions.register(spark)
+    val init = Seq((0, Vectors.dense(1.0, 0.0, 0.0)), (1, Vectors.dense(0.0, 1.0, 0.0)))
+      .toDF("centroidId", "centroid")
+    val assigned = new graft.clustering.KMeansModel()
+      .setFeaturesCol("vec").setModelData(init)
+      .transform(vecs.withColumn("vec",
+        org.apache.spark.ml.functions.array_to_vector(col("arr")))).head
+      .select(col("vec_id"), col("prediction").as("cluster"), col("arr"))
+    val dups = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("arr").as("arr_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"), col("arr").as("arr_b")),
+        Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.functions.Functions.cosineSimilarity(col("arr_a"), col("arr_b")) >= 0.98)
+      .select(col("id_b").as("vec_id")).distinct().withColumn("dup", lit(true))
+    assigned.select("vec_id", "cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(false)).as("is_semantic_duplicate"))
+      .orderBy("vec_id").show(false)
+    spark.stop()
+  }
+}
+
+/** IVF + int8 scalar quantization (FAISS IVF+SQ8): the inverted lists
+  * store 1-byte codes (4x less storage/shuffle than float32); probes
+  * score the full-precision query against the dequantized list vector. */
+object IvfQuantizedExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("IvfQuantizedExample")
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 200L).map { id =>
+      val c = (id % 2).toInt
+      (id, Vectors.dense(Array.tabulate(8)(i =>
+        (if (i == c * 4) 5.0 else 0.0) + rnd.nextGaussian() * 0.3)))
+    }.toDF("id", "vec")
+    val model = new graft.ann.IvfIndexer()
+      .setIdCol("id").setVecCol("vec")
+      .setNumLists(2).setTrainIters(5).setSeed(7L)
+      .setQuantize(true) // int8 lists; probe = asymmetric distance
+      .fit(corpus)
+    val queries = Seq((1000L, Vectors.dense(5.0, 0.1, 0.0, 0.1, 0.0, 0.0, 0.1, 0.0)))
+      .toDF("id", "vec")
+    model.setK(3).setNprobe(1).transform(queries).head.show(false)
+    spark.stop()
+  }
+}
+
+/** Versioned OnlineKMeans: each mini-batch becomes a stamped model
+  * version; inference under maxAllowedModelDelayMs scores every row by
+  * the earliest version fresh enough for its own event time (reference
+  * OnlineKMeansModel's model-data version counter). */
+object VersionedOnlineKMeansExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("VersionedOnlineKMeansExample")
+    import spark.implicits._
+    val init = Seq((0, Vectors.dense(0.0), 1.0), (1, Vectors.dense(10.0), 1.0))
+      .toDF("centroidId", "centroid", "weight")
+    var model = new graft.streaming.OnlineKMeansModel()
+      .setDecayFactor(0.5).setModelData(init)
+    def batch(xs: Double*) = xs.toSeq.toDF("x")
+      .select(org.apache.spark.ml.functions.array_to_vector(array(col("x"))).as("features"))
+    model = model.update(batch(1.0, 9.0), "features", 1000L) // version 1 @ t=1000
+    model = model.update(batch(2.0, 8.0), "features", 2000L) // version 2 @ t=2000
+    val probes = Seq((1L, 500L, 1.0), (2L, 1500L, 9.0), (3L, 99999L, 1.0))
+      .toDF("id", "ts", "x")
+      .select(col("id"), col("ts"),
+        org.apache.spark.ml.functions.array_to_vector(array(col("x"))).as("features"))
+    model.setMaxAllowedModelDelayMs(0L).setTimeCol("ts")
+      .transform(probes).head
+      .select("id", "ts", "modelVersion", "prediction").orderBy("id").show(false)
+    spark.stop()
+  }
+}

@@ -84,6 +84,46 @@ class IvfIndexerSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) % 4 == r.getLong(1) % 4, r))
   }
 
+  test("int8-quantized index: same neighbor sets as full precision on separated clusters") {
+    val full = new IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setNumLists(4).setTrainIters(5).setSeed(7L).fit(corpus)
+    val quant = new IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setNumLists(4).setTrainIters(5).setSeed(7L).setQuantize(true).fit(corpus)
+    // the quantized model stores byte codes + per-dim ranges, no vectors
+    assert(quant.getModelData.length == 3)
+    val asgCols = quant.getModelData(1).columns.toSet
+    assert(asgCols.contains("codes") && !asgCols.contains("vec"), asgCols.toString)
+    val f = full.setK(3).setNprobe(2).transform(queries).head
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = quant.setK(3).setNprobe(2).transform(queries).head
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quantization error is tiny vs the cluster separation: >=95%
+    // overlap (a near-tie inside a cluster may swap rank 3/4; the
+    // ScaleUp stage measures planted-dup recall at 100x)
+    assert(q.intersect(f).size >= (f.size * 0.95).toInt, s"overlap ${q.intersect(f).size}/${f.size}")
+    // every retrieved neighbor is still from the query's own cluster —
+    // quantization may swap near-ties WITHIN a cluster (true for top-1
+    // too: two corpus points can be near-equidistant), never across
+    // the separation the index exists to preserve
+    q.foreach { case (qid, nid) => assert(qid % 4 == nid % 4, s"($qid, $nid)") }
+    // similarities are the exact cosine against the DEQUANTIZED vector:
+    // close to full precision but not byte-identical
+    val sims = quant.transform(queries).head.collect().map(_.getDouble(2))
+    assert(sims.forall(s => s > 0.8 && s <= 1.0 + 1e-12))
+  }
+
+  test("quantized index survives save/load with its ranges frame") {
+    val dir = tmpDir()
+    new IvfIndexer().setIdCol("id").setVecCol("vec")
+      .setNumLists(4).setTrainIters(5).setSeed(7L).setQuantize(true)
+      .fit(corpus).save(dir)
+    val back = IvfIndexModel.load(spark, dir)
+    assert(back.getModelData.length == 3)
+    val out = back.setK(1).setNprobe(1).transform(queries).head.collect()
+    assert(out.length == queries.count())
+    out.foreach(r => assert(r.getLong(0) % 4 == r.getLong(1) % 4, r))
+  }
+
   test("candidate generation is an equi-join on the cell id, never cartesian") {
     val model = new IvfIndexer().setIdCol("id").setVecCol("vec")
       .setNumLists(4).setTrainIters(2).setSeed(7L).fit(corpus)
