@@ -120,6 +120,7 @@ _STAGES = [
     "graft.ann.CosineLshKnn",
     "graft.ann.IvfCosineKnn",
     "graft.ann.IvfIndexer", "graft.ann.IvfIndexModel",
+    "graft.ann.ProductQuantizer", "graft.ann.ProductQuantizerModel",
     "graft.ann.ScalarQuantizer", "graft.ann.ScalarQuantizerModel",
     "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",

@@ -64,7 +64,8 @@ object DocGen {
     "graft.text.SequencePacker", "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",
     "graft.ann.BruteForceCosineKnn", "graft.ann.CosineLshKnn",
-    "graft.ann.IvfCosineKnn", "graft.ann.IvfIndexer", "graft.ann.ScalarQuantizer",
+    "graft.ann.IvfCosineKnn", "graft.ann.IvfIndexer", "graft.ann.ProductQuantizer",
+    "graft.ann.ScalarQuantizer",
     "graft.multimodal.BinaryDecodeStub", "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder",
     "graft.join.AsOfJoiner", "graft.join.IntervalJoiner")

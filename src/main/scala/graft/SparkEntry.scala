@@ -835,6 +835,62 @@ object SparkEntry {
           round(col("similarity"), 6).as("similarity"))
     }),
 
+    // --- Product quantization codec (Jégou et al. 2011, FAISS PQ):
+    // 8 subspaces of 8 dims, codebooks PINNED to the subvectors of
+    // four data vectors so DuckDB replays encode + reconstruction
+    // exactly. Output: per-vector code array + reconstruction error ---
+    "q_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("arr"))
+      import s.implicits._
+      val pinned = emb.where(col("vec_id").isin(3L, 99L, 201L, 350L))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      val books = for (m <- 0 until 8; c <- pinned.indices) yield
+        (m, c, pinned(c).slice(m * 8, (m + 1) * 8).toSeq)
+      val booksDf = books.toDF("m", "code", "centroid")
+      val model = new graft.ann.ProductQuantizer()
+        .setInputCol("arr").setOutputCol("codes").setNumSubspaces(8)
+        .setInitialCodebooks(booksDf)
+        .fit(emb)
+      model.transform(emb).head
+        .select(col("vec_id"),
+          expr("transform(codes, c -> cast(c as int) + 128)").as("codes"),
+          round(sqrt(expr(
+            "aggregate(zip_with(arr, codes_dequant, (a, b) -> (a - b) * (a - b)), " +
+              "cast(0.0 as double), (acc, x) -> acc + x)")), 6).as("recon_err"))
+    }),
+
+    // --- IVF + PQ (FAISS IVFPQ): coarse cells from the pinned
+    // codebook (as q_ivf_index), lists as one byte per subspace, probe
+    // via ADC (sum of per-subspace partial dot products against the
+    // pinned PQ codebooks); similarity = cosine(query, reconstruction) ---
+    "q_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("arr"),
+          org.apache.spark.ml.functions.array_to_vector(
+            col("embedding").cast("array<double>")).as("vec"))
+      val init = emb.where(col("vec_id").isin(3, 99, 201, 350))
+        .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .as("centroidId"), col("vec").as("centroid"))
+      import s.implicits._
+      val pinned = emb.where(col("vec_id").isin(3L, 99L, 201L, 350L))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      val books = for (m <- 0 until 8; c <- pinned.indices) yield
+        (m, c, pinned(c).slice(m * 8, (m + 1) * 8).toSeq)
+      val booksDf = books.toDF("m", "code", "centroid")
+      val data = emb.where(col("vec_id") % 10 =!= 0).select("vec_id", "vec")
+      val queries = emb.where(col("vec_id") % 10 === 0).select("vec_id", "vec")
+      val model = new graft.ann.IvfIndexer().setIdCol("vec_id").setVecCol("vec")
+        .setTrainIters(0).setInitialCentroids(init)
+        .setQuantizer("pq").setPqSubspaces(8).setInitialPqCodebooks(booksDf)
+        .fit(data)
+      model.setK(5).setNprobe(2).transform(queries).head
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("similarity"), 6).as("similarity"))
+    }),
+
     // --- Brute-force cosine top-k neighbors over embeddings ---
     "q_ann_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2256,6 +2312,86 @@ object SparkEntry {
          SELECT q AS query_id, n AS neighbor_id, ROUND(sim, 6) AS similarity FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
            FROM pairs)
+         WHERE rk <= 5""",
+
+    // PQ encode/reconstruct under pinned codebooks: per subspace the
+    // nearest of the four pinned subvectors (tie -> lower code)
+    "q_pq" ->
+      """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cands AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, e
+                  FROM emb WHERE vec_id IN (3, 99, 201, 350)),
+         ms AS (SELECT UNNEST(range(0, 8)) AS m),
+         subs AS (SELECT emb.vec_id, ms.m,
+                         list_slice(emb.e, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+                  FROM emb CROSS JOIN ms),
+         csubs AS (SELECT c.code, ms.m,
+                          list_slice(c.e, ms.m * 8 + 1, ms.m * 8 + 8) AS cv
+                   FROM cands c CROSS JOIN ms),
+         enc AS (SELECT vec_id, m, code, d FROM (
+                   SELECT s.vec_id, s.m, c.code, list_distance(s.sv, c.cv) AS d,
+                          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY list_distance(s.sv, c.cv), c.code) AS rk
+                   FROM subs s JOIN csubs c ON c.m = s.m) WHERE rk = 1)
+         SELECT vec_id, list(code ORDER BY m) AS codes,
+                ROUND(sqrt(SUM(d * d)), 6) AS recon_err
+         FROM enc GROUP BY vec_id""",
+
+    // IVFPQ: full-precision cell routing (as q_ivf_index), PQ-encoded
+    // lists, ADC scoring — sum of per-subspace partial dot products
+    // against the pinned codebooks; cosine denominator uses the
+    // reconstruction's norm
+    "q_ivf_pq" ->
+      """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cents AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e
+                  FROM emb WHERE vec_id IN (3, 99, 201, 350)),
+         tr AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+         te AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 10 = 0),
+         ms AS (SELECT UNNEST(range(0, 8)) AS m),
+         csubs AS MATERIALIZED (SELECT c.cid AS code, ms.m,
+                          list_slice(c.e, ms.m * 8 + 1, ms.m * 8 + 8) AS cv
+                   FROM cents c CROSS JOIN ms),
+         enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
+                   SELECT s.vec_id, s.m, c.code,
+                          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY list_distance(s.sv, c.cv), c.code) AS rk
+                   FROM (SELECT tr.vec_id, ms.m,
+                                list_slice(tr.e, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+                         FROM tr CROSS JOIN ms) s
+                   JOIN csubs c ON c.m = s.m) WHERE rk = 1),
+         vn AS (SELECT e.vec_id, sqrt(SUM(list_dot_product(c.cv, c.cv))) AS vnorm
+                FROM enc e JOIN csubs c ON c.m = e.m AND c.code = e.code
+                GROUP BY e.vec_id),
+         asg AS (SELECT vec_id, cid FROM (
+                   SELECT tr.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY tr.vec_id ORDER BY
+                            list_dot_product(tr.e, c.e)
+                              / (sqrt(list_dot_product(tr.e, tr.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM tr CROSS JOIN cents c) WHERE rk = 1),
+         probes AS (SELECT vec_id, cid FROM (
+                   SELECT te.vec_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY te.vec_id ORDER BY
+                            list_dot_product(te.e, c.e)
+                              / (sqrt(list_dot_product(te.e, te.e)) * sqrt(list_dot_product(c.e, c.e)))
+                              DESC, c.cid) AS rk
+                   FROM te CROSS JOIN cents c) WHERE rk <= 2),
+         tsubs AS (SELECT te.vec_id, ms.m,
+                          list_slice(te.e, ms.m * 8 + 1, ms.m * 8 + 8) AS sv
+                   FROM te CROSS JOIN ms),
+         qn AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS qnorm FROM te),
+         pairs AS (SELECT p.vec_id AS q, a.vec_id AS n,
+                          SUM(list_dot_product(ts.sv, cs.cv)) AS dp
+                   FROM probes p
+                   JOIN asg a ON a.cid = p.cid
+                   JOIN tsubs ts ON ts.vec_id = p.vec_id
+                   JOIN enc en ON en.vec_id = a.vec_id AND en.m = ts.m
+                   JOIN csubs cs ON cs.m = en.m AND cs.code = en.code
+                   GROUP BY p.vec_id, a.vec_id),
+         sims AS (SELECT pairs.q, pairs.n, pairs.dp / (qn.qnorm * vn.vnorm) AS sim
+                  FROM pairs JOIN qn ON qn.vec_id = pairs.q JOIN vn ON vn.vec_id = pairs.n)
+         SELECT q AS query_id, n AS neighbor_id, ROUND(sim, 6) AS similarity FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
+           FROM sims)
          WHERE rk <= 5""",
 
     "q_sql_pricing" ->

@@ -38,24 +38,42 @@ class IvfIndexer extends Estimator[IvfIndexer, IvfIndexModel] with HasSeed[IvfIn
   final val trainIters: Param[Int] =
     param[Int]("trainIters", "Lloyd iterations for the codebook; 0 uses the provided " +
       "initial centroids verbatim.", 10, ParamValidators.gtEq(0))
-  final val quantize: Param[Boolean] =
-    param[Boolean]("quantize", "Store int8 scalar-quantized vectors in the inverted " +
-      "lists (FAISS IVF+SQ8): 4x less list storage/shuffle; probes score the " +
-      "full-precision query against the dequantized list vector (asymmetric " +
-      "distance computation).", false)
+  final val quantizer: Param[String] =
+    param[String]("quantizer", "List-storage codec: none (float64 vectors), int8 " +
+      "(FAISS SQ8 — per-dim scalar quantization, ~8x smaller lists), pq (FAISS PQ — " +
+      "one byte per subspace, ~dim/subspaces x smaller than int8). Probes always " +
+      "score the full-precision query against the RECONSTRUCTED list vector " +
+      "(asymmetric distance computation).", "none",
+      ParamValidators.inArray("none", "int8", "pq"))
+  final val pqSubspaces: Param[Int] =
+    param[Int]("pqSubspaces", "PQ subvector blocks (quantizer=pq); dim must divide evenly.", 8,
+      ParamValidators.gt(0))
+  final val pqCodes: Param[Int] =
+    param[Int]("pqCodes", "PQ codebook entries per subspace (quantizer=pq).", 256,
+      (v: Int) => v > 0 && v <= 256)
   def setIdCol(v: String): IvfIndexer = set(idCol, v)
   def setVecCol(v: String): IvfIndexer = set(vecCol, v)
   def setNumLists(v: Int): IvfIndexer = set(numLists, v)
   def setTrainIters(v: Int): IvfIndexer = set(trainIters, v)
-  def setQuantize(v: Boolean): IvfIndexer = set(quantize, v)
+  def setQuantizer(v: String): IvfIndexer = set(quantizer, v)
+  /** Sugar: `true` selects the int8 codec. */
+  def setQuantize(v: Boolean): IvfIndexer = set(quantizer, if (v) "int8" else "none")
+  def setPqSubspaces(v: Int): IvfIndexer = set(pqSubspaces, v)
+  def setPqCodes(v: Int): IvfIndexer = set(pqCodes, v)
   def getIdCol: String = get(idCol)
   def getVecCol: String = get(vecCol)
   def getNumLists: Int = get(numLists)
   def getTrainIters: Int = get(trainIters)
-  def getQuantize: Boolean = get(quantize)
+  def getQuantizer: String = get(quantizer)
+  def getPqSubspaces: Int = get(pqSubspaces)
+  def getPqCodes: Int = get(pqCodes)
 
   private var initialCentroids: Option[DataFrame] = None
   def setInitialCentroids(df: DataFrame): IvfIndexer = { initialCentroids = Some(df); this }
+
+  private var initialPqCodebooks: Option[DataFrame] = None
+  /** Pin the PQ codebooks verbatim: (m, code, centroid array<double>). */
+  def setInitialPqCodebooks(df: DataFrame): IvfIndexer = { initialPqCodebooks = Some(df); this }
 
   override def fit(inputs: DataFrame*): IvfIndexModel = {
     require(inputs.size == 1)
@@ -101,10 +119,29 @@ class IvfIndexer extends Estimator[IvfIndexer, IvfIndexModel] with HasSeed[IvfIn
       // compressed
       .withColumn("cell", cellOf(col("vec")))
 
-    val m = if (!getQuantize) {
+    val m = if (getQuantizer == "none") {
       val assignments = slim
         .withColumn("vnorm", norm(col("vec"))) // probe-time pairs pay ONE dot, not three
       new IvfIndexModel().setModelData(centroidsDf, assignments)
+    } else if (getQuantizer == "pq") {
+      // PQ codec: one byte per subspace. The codebooks (third model
+      // frame) are O(pqCodes·dim) model data; vnorm is the
+      // RECONSTRUCTION's norm so probe-time cosine is exact wrt the
+      // stored codes.
+      import org.apache.spark.sql.Column
+      val pq = new ProductQuantizer()
+        .setInputCol("varr").setOutputCol("codes")
+        .setNumSubspaces(getPqSubspaces).setNumCodes(getPqCodes).setSeed(getSeed)
+      initialPqCodebooks.foreach(pq.setInitialCodebooks)
+      val withArr = slim.withColumn("varr",
+        org.apache.spark.ml.functions.vector_to_array(col("vec")).cast("array<double>"))
+      val pqm = pq.fit(withArr.select("varr"))
+      val encoded = pqm.transform(withArr).head
+      val assignments = encoded
+        .withColumn("vnorm", sqrt(aggregate(col("codes_dequant"), lit(0.0),
+          (acc: Column, e: Column) => acc + e * e)))
+        .select("id", "cell", "codes", "vnorm")
+      new IvfIndexModel().setModelData(centroidsDf, assignments, pqm.getModelData.head)
     } else {
       // per-dimension corpus ranges (one O(dim)-row aggregation), then
       // the same in-row int8 encode as ScalarQuantizer — the inverted
@@ -153,8 +190,9 @@ object IvfIndexer extends StageLoader[IvfIndexer] {
 
 /** Model data: (0) the codebook `(centroidId, centroid)`, (1) the
   * inverted lists `(id, vec, cell)` — or, for a quantized index,
-  * `(id, cell, codes: array<tinyint>, vnorm)` plus (2) the per-dim
-  * quantization ranges `(dim, lo, hi)`. */
+  * `(id, cell, codes: array<tinyint>, vnorm)` plus (2) the codec's
+  * model frame: per-dim ranges `(dim, lo, hi)` for int8, or PQ
+  * codebooks `(m, code, centroid)` for pq. */
 class IvfIndexModel extends Model[IvfIndexModel] {
 
   final val idCol: Param[String] = param[String]("idCol", "Id column (long).", "id")
@@ -171,19 +209,24 @@ class IvfIndexModel extends Model[IvfIndexModel] {
 
   private var centroids: DataFrame = _
   private var assignments: DataFrame = _
-  private var ranges: DataFrame = _
+  private var codec: DataFrame = _
   override def setModelData(data: DataFrame*): IvfIndexModel = {
     require(data.size == 2 || data.size == 3,
-      "IvfIndexModel expects (centroids, assignments[, quantRanges])")
+      "IvfIndexModel expects (centroids, assignments[, codecFrame])")
     centroids = data(0); assignments = data(1)
-    ranges = if (data.size == 3) data(2) else null
+    codec = if (data.size == 3) data(2) else null
     this
   }
   override def getModelData: Array[DataFrame] =
-    if (ranges == null) Array(centroids, assignments)
-    else Array(centroids, assignments, ranges)
+    if (codec == null) Array(centroids, assignments)
+    else Array(centroids, assignments, codec)
 
-  private def quantized: Boolean = ranges != null
+  // codec frame schema identifies the codec: (dim, lo, hi) = int8
+  // scalar ranges; (m, code, centroid) = PQ codebooks
+  private def codecKind: String =
+    if (codec == null) "none"
+    else if (codec.columns.contains("code")) "pq"
+    else "int8"
 
   /** Probe: top-k cosine neighbors from the `nprobe` closest lists of
     * each query. Output: (query_id, neighbor_id, similarity). */
@@ -263,7 +306,7 @@ class IvfIndexModel extends Model[IvfIndexModel] {
     import spark.implicits._
     val probesDs = probes.select(col("cell"), col("query_id"), col("qvec"), col("qnorm"))
       .as[(Int, Long, Vector, Double)]
-    val partial = (if (!quantized) {
+    val partial = (if (codecKind == "none") {
       // older persisted indexes predate the vnorm column — derive it
       val asg =
         if (assignments.columns.contains("vnorm")) assignments
@@ -273,12 +316,74 @@ class IvfIndexModel extends Model[IvfIndexModel] {
       probesDs.groupByKey(_._1).cogroup(asgDs.groupByKey(_._1)) { (_, qIt, dIt) =>
         scoreCell(qIt, dIt.map { case (_, id, v, vn) => (id, v.toArray, vn) })
       }
+    } else if (codecKind == "pq") {
+      // PQ lists: asymmetric distance computation — per (query, cell)
+      // a [subspaces][codes] table of partial dot products is built
+      // ONCE, and each list vector costs `subspaces` table lookups
+      // instead of a d-wide dot. The candidate payload is one byte per
+      // subspace.
+      val books = new ProductQuantizerModel().setModelData(codec).collectBooks()
+      val bBooks = spark.sparkContext.broadcast(books)
+      val asgDs = assignments.select(col("cell"), col("id"), col("codes"), col("vnorm"))
+        .as[(Int, Long, Seq[Byte], Double)]
+      probesDs.groupByKey(_._1).cogroup(asgDs.groupByKey(_._1)) { (_, qIt, dIt) =>
+        val bks = bBooks.value
+        val m = bks.length
+        val qs = qIt.map { case (_, qid, qv, qn) => (qid, qv.toArray, qn) }.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val sub = qs.head._2.length / m
+          // ADC tables: tables(qi)(mi)(code) = dot(query subvector, centroid)
+          val tables = qs.map { case (_, qa, _) =>
+            Array.tabulate(m) { mi =>
+              val book = bks(mi)
+              Array.tabulate(book.length) { c =>
+                var s = 0.0; var j = 0
+                while (j < sub) { s += qa(mi * sub + j) * book(c)(j); j += 1 }
+                s
+              }
+            }
+          }
+          val ord = new java.util.Comparator[(Double, Long)] {
+            override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+              val c = java.lang.Double.compare(x._1, y._1)
+              if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+            }
+          }
+          val kk2 = kk
+          val heaps = qs.map(_ => new java.util.PriorityQueue[(Double, Long)](kk2 + 1, ord))
+          dIt.foreach { case (_, id, codesSeq, vn) =>
+            val codes = codesSeq.toArray
+            var qi = 0
+            while (qi < qs.length) {
+              val t = tables(qi)
+              var s = 0.0
+              var mi = 0
+              while (mi < m) { s += t(mi)(codes(mi) + 128); mi += 1 }
+              val sim = s / (qs(qi)._3 * vn)
+              val heap = heaps(qi)
+              if (heap.size < kk2) heap.add((sim, id))
+              else {
+                val worst = heap.peek()
+                if (sim > worst._1 || (sim == worst._1 && id < worst._2)) {
+                  heap.poll(); heap.add((sim, id))
+                }
+              }
+              qi += 1
+            }
+          }
+          qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _, _), heap) =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala
+              .map { case (sim, id) => (qid, id, sim) }
+          }
+        }
+      }
     } else {
       // int8 lists: the asymmetric-distance pass (full-precision query
       // vs DEQUANTIZED list vector, FAISS SQ8 style). Each list vector
       // is decoded ONCE per cell against the broadcast per-dim ranges —
       // the shuffled list payload is the 1-byte-per-dim code array.
-      val rng = ranges.orderBy("dim").collect()
+      val rng = codec.orderBy("dim").collect()
         .map(r => (r.getDouble(1), r.getDouble(2)))
       val bLo = spark.sparkContext.broadcast(rng.map(_._1))
       val bHi = spark.sparkContext.broadcast(rng.map(_._2))

@@ -411,25 +411,50 @@ object ScaleUp {
       hits
     }
 
-    // the storage/shuffle lever IVF+SQ8 exists for: bytes on disk of
-    // the full-precision vs int8 inverted lists for the SAME corpus
+    // IVFPQ at scale: same split as the probes above, lists store ONE
+    // BYTE per 8-dim subspace (64x less than float64); ADC probe
+    // against codebooks trained on a gated 20k-row sample
+    stage("ivf_pq_probe") {
+      val index = vecs.where(col("vec_id") % 4 <= 2)
+      val probes = vecs.where(col("vec_id") % 4 === 3)
+      val model = new graft.ann.IvfIndexer()
+        .setIdCol("vec_id").setVecCol("vec")
+        .setNumLists(64).setTrainIters(5).setSeed(3L)
+        .setQuantizer("pq").setPqSubspaces(8).setPqCodes(256)
+        .fit(index)
+      val top1 = model.setK(1).setNprobe(4).transform(probes).head
+      val hits = top1.where(col("neighbor_id") === col("query_id") - 3).count()
+      val total = probes.count()
+      println(s"""{"ivf_pq_probe_recall":${String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(hits.toDouble / total))}}""")
+      hits
+    }
+
+    // the storage/shuffle lever the quantized codecs exist for: bytes
+    // on disk of the float64 vs int8 vs PQ inverted lists, same corpus
     stage("ivf_list_sizes") {
       val index = vecs.where(col("vec_id") % 4 <= 2)
-      def ivf(quant: Boolean) = new graft.ann.IvfIndexer()
+      def ivf(codec: String) = new graft.ann.IvfIndexer()
         .setIdCol("vec_id").setVecCol("vec")
-        .setNumLists(64).setTrainIters(5).setSeed(3L).setQuantize(quant)
+        .setNumLists(64).setTrainIters(5).setSeed(3L).setQuantizer(codec)
+        .setPqSubspaces(8).setPqCodes(256)
         .fit(index)
       val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-lists").toString
-      ivf(false).getModelData(1).write.mode("overwrite").parquet(s"$tmp/full")
-      ivf(true).getModelData(1).write.mode("overwrite").parquet(s"$tmp/quant")
+      ivf("none").getModelData(1).write.mode("overwrite").parquet(s"$tmp/full")
+      ivf("int8").getModelData(1).write.mode("overwrite").parquet(s"$tmp/quant")
+      ivf("pq").getModelData(1).write.mode("overwrite").parquet(s"$tmp/pq")
       def dirBytes(p: String): Long =
         Option(new java.io.File(p).listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
           .getOrElse(0L)
       val fullB = dirBytes(s"$tmp/full"); val quantB = dirBytes(s"$tmp/quant")
+      val pqB = dirBytes(s"$tmp/pq")
       println(s"""{"ivf_list_full_mb":${fmtMb(fullB)},"ivf_list_quant_mb":${fmtMb(quantB)},""" +
-        s""""ivf_list_ratio":${String.format(java.util.Locale.ROOT, "%.2f",
-          Double.box(fullB.toDouble / math.max(quantB, 1L)))}}""")
-      fullB / math.max(quantB, 1L)
+        s""""ivf_list_pq_mb":${fmtMb(pqB)},""" +
+        s""""ivf_list_int8_ratio":${String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(fullB.toDouble / math.max(quantB, 1L)))},""" +
+        s""""ivf_list_pq_ratio":${String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(fullB.toDouble / math.max(pqB, 1L)))}}""")
+      fullB / math.max(pqB, 1L)
     }
 
     // CosineIndexer at scale: index members 0-2 of each embedding

@@ -190,8 +190,9 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
           (maxV, modelData.where(col("version") === maxV)
             .select("centroidId", "centroid", "weight").collect())
         } else (0L, modelData.select("centroidId", "centroid", "weight").collect())
-      val sorted = rows.sortBy(_.getInt(0))
-      (ver, sorted.map(_.getAs[Vector]("centroid")), sorted.map(_.getDouble(2)))
+      // getAs[Number]: a python-built init frame carries bigint ids
+      val sorted = rows.sortBy(_.getAs[Number](0).intValue())
+      (ver, sorted.map(_.getAs[Vector]("centroid")), sorted.map(_.getAs[Number](2).doubleValue()))
   }
 
   /** One mini-batch step; returns the model holding the new centroids.
@@ -350,7 +351,8 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
       .toArray.sortBy(_._1)
     val times = grouped.map(_._1._1)
     val vers = grouped.map(_._1._2)
-    val cents = grouped.map(_._2.sortBy(_.getInt(2)).map(r => VectorWithNorm(r.getAs[Vector](3))))
+    val cents = grouped.map(_._2.sortBy(_.getAs[Number](2).intValue())
+      .map(r => VectorWithNorm(r.getAs[Vector](3))))
     val spark = input.sparkSession
     val bTimes = spark.sparkContext.broadcast(times)
     val bVers = spark.sparkContext.broadcast(vers)
