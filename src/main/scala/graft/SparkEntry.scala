@@ -450,6 +450,20 @@ object SparkEntry {
         round(col("ppl"), 2).as("ppl"))
     }),
 
+    // --- DSIR importance scoring (Xie et al. 2023): log-likelihood
+    // ratio of each doc under the English-target bigram LM vs the
+    // raw-corpus LM, bits per bigram; the data-selection score a
+    // target-domain pretraining mix ranks by ---
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en")
+      new graft.text.ImportanceScorer()
+        .setInputCol("text").setOutputCol("dsir_score").setIdCol("doc_id")
+        .transform(docs, target).head
+        .select(col("doc_id"), col("lang"),
+          round(col("dsir_score"), 6).as("dsir_score"))
+    }),
+
     // --- Sliding-window token chunking for embedding pipelines ---
     "q_chunks" -> ((s, dir) => {
       val out = new graft.text.ChunkSplitter()
@@ -2787,6 +2801,51 @@ object SparkEntry {
                 ROUND(pow(2.0, -p.s / p.m), 2) AS ppl
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN perdoc p ON p.doc_id = d.doc_id""",
+
+    // two q_ngram_lm replays — counts from the en-target subset and
+    // from the whole corpus — then score = raw bits − target bits
+    "q_dsir" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents
+         ),
+         vt AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+                FROM (SELECT unnest(words) AS t FROM w WHERE lang = 'en')),
+         vr AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+                FROM (SELECT unnest(words) AS t FROM w)),
+         flat AS (
+           SELECT doc_id, lang, u.p AS p, u.w1 AS w1, u.w2 AS w2
+           FROM (SELECT doc_id, lang,
+                        unnest([{'p': i, 'w1': words[i], 'w2': words[i+1]}
+                                FOR i IN range(1, len(words))]) AS u
+                 FROM w)
+         ),
+         ct AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
+                FROM flat WHERE lang = 'en' GROUP BY w1, w2),
+         cr AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM flat GROUP BY w1, w2),
+         xt AS (SELECT w1, SUM(c) AS ctx FROM ct GROUP BY w1),
+         xr AS (SELECT w1, SUM(c) AS ctx FROM cr GROUP BY w1),
+         st AS (SELECT f.doc_id, f.p,
+                       log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * vt.vs)) AS lp
+                FROM flat f
+                LEFT JOIN ct c ON c.w1 = f.w1 AND c.w2 = f.w2
+                LEFT JOIN xt x ON x.w1 = f.w1
+                CROSS JOIN vt),
+         sr AS (SELECT f.doc_id, f.p,
+                       log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * vr.vs)) AS lp
+                FROM flat f
+                LEFT JOIN cr c ON c.w1 = f.w1 AND c.w2 = f.w2
+                LEFT JOIN xr x ON x.w1 = f.w1
+                CROSS JOIN vr),
+         pt AS (SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s FROM st GROUP BY doc_id),
+         pr AS (SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s FROM sr GROUP BY doc_id)
+         SELECT d.doc_id, d.lang,
+                ROUND((-pr.s / pr.m) - (-pt.s / pt.m), 6) AS dsir_score
+         FROM (SELECT doc_id, lang FROM documents) d
+         LEFT JOIN pt ON pt.doc_id = d.doc_id
+         LEFT JOIN pr ON pr.doc_id = d.doc_id""",
 
     "q_chunks" ->
       """WITH w AS (

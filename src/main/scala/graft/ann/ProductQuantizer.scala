@@ -78,6 +78,7 @@ class ProductQuantizer extends Estimator[ProductQuantizer, ProductQuantizerModel
         // gated sample → driver Lloyd per subspace. limit() bounds the
         // collect by construction; sampling is deterministic under seed.
         val sample = data.select(col(getInputCol).cast("array<double>"))
+          .where(col(getInputCol).isNotNull)
           .limit(getTrainSample).collect().map(_.getSeq[Double](0).toArray)
         require(sample.nonEmpty, "ProductQuantizer: empty training input")
         val d = sample.head.length
@@ -162,6 +163,8 @@ class ProductQuantizerModel extends Model[ProductQuantizerModel]
     val spark = inputs.head.sparkSession
     val bc = spark.sparkContext.broadcast(collectBooks())
     val encode = udf { v: Seq[Double] =>
+      if (v == null) null
+      else {
       val books = bc.value
       val m = books.length
       val sub = v.length / m
@@ -186,6 +189,7 @@ class ProductQuantizerModel extends Model[ProductQuantizerModel]
       }
       // Seq[Byte] -> array<tinyint> (Array[Byte] would map to binary)
       (codes.toSeq: Seq[Byte], recon.toSeq: Seq[Double])
+      }
     }
     val enc = encode(col(getInputCol).cast("array<double>"))
     Array(inputs.head

@@ -72,6 +72,33 @@ object IvfQuantizedExample {
   }
 }
 
+/** DSIR data selection (Xie et al. 2023): score raw documents by the
+  * log-likelihood ratio under a target-domain LM vs the raw-corpus LM;
+  * keep the top scorers to build a target-like pretraining mix. */
+object DsirExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("DsirExample")
+    import spark.implicits._
+    val raw = Seq(
+      (0L, "the model trains on curated text data"),
+      (1L, "la red se entrena con datos curados"),
+      (2L, "the data pipeline filters the text corpus"),
+      (3L, "der korpus wird gefiltert und sortiert"))
+      .toDF("id", "text")
+    val target = Seq(
+      (100L, "the corpus holds curated text"),
+      (101L, "the pipeline filters training data"))
+      .toDF("id", "text")
+    val scored = new graft.text.ImportanceScorer()
+      .setInputCol("text").setOutputCol("dsir_score").setIdCol("id")
+      .transform(raw, target).head
+    // top-N selection compiles to TakeOrdered — no global sort at scale
+    scored.orderBy(org.apache.spark.sql.functions.col("dsir_score").desc)
+      .limit(2).select("id", "text", "dsir_score").show(false)
+    spark.stop()
+  }
+}
+
 /** Versioned OnlineKMeans: each mini-batch becomes a stamped model
   * version; inference under maxAllowedModelDelayMs scores every row by
   * the earliest version fresh enough for its own event time (reference

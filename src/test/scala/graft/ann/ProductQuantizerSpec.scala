@@ -85,6 +85,18 @@ class ProductQuantizerSpec extends SparkSpec {
     out2.foreach(r => assert(r.getLong(0) % 4 == r.getLong(1) % 4, r))
   }
 
+  test("null vectors pass through as null codes, and never poison codebook training") {
+    import spark.implicits._
+    val withNull = Seq((1L, Some(Seq(1.0, 2.0, 3.0, 4.0))), (2L, Option.empty[Seq[Double]]))
+      .toDF("id", "arr")
+    val model = new ProductQuantizer().setInputCol("arr").setOutputCol("codes")
+      .setNumSubspaces(2).setNumCodes(2).setTrainIters(2).setSeed(1L)
+      .fit(withNull)
+    val rows = model.transform(withNull).head.select("id", "codes").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L) && rows(2L))
+  }
+
   test("guards: dim not divisible by subspaces fails fast; non-contiguous codes rejected") {
     import spark.implicits._
     val bad = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("arr")
