@@ -143,41 +143,21 @@ class IvfIndexer extends Estimator[IvfIndexer, IvfIndexModel] with HasSeed[IvfIn
         .select("id", "cell", "codes", "vnorm")
       new IvfIndexModel().setModelData(centroidsDf, assignments, pqm.getModelData.head)
     } else {
-      // per-dimension corpus ranges (one O(dim)-row aggregation), then
-      // the same in-row int8 encode as ScalarQuantizer — the inverted
-      // lists shrink 8x vs the double array (4x vs float32). vnorm is
-      // the DEQUANTIZED vector's norm so probe-time cosine is exact
-      // with respect to the stored (reconstructed) values.
+      // int8 codec: COMPOSE ScalarQuantizer (one codec implementation,
+      // not two that could drift) — its materialized (dim, lo, hi)
+      // frame becomes the model's codec frame. vnorm is the
+      // DEQUANTIZED vector's norm so probe-time cosine is exact with
+      // respect to the stored (reconstructed) values.
       import org.apache.spark.sql.Column
-      val ranges = slim.select(posexplode(
-          org.apache.spark.ml.functions.vector_to_array(col("vec"))).as(Seq("dim", "x")))
-        .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
-      val collected = ranges.orderBy("dim").collect()
-        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      val lows = lit(collected.map(_._2))
-      val highs = lit(collected.map(_._3))
-      val x = org.apache.spark.ml.functions.vector_to_array(col("vec"))
-      val idxs = sequence(lit(1), size(x))
-      val codes = zip_with(x, idxs, (v: Column, i: Column) => {
-        val lo = element_at(lows, i)
-        val hi = element_at(highs, i)
-        val scaled = floor((v - lo) * 255.0 / (hi - lo) + 0.5)
-        when(hi === lo, lit(-128))
-          .otherwise(greatest(least(scaled, lit(255.0)), lit(0.0)) - 128)
-          .cast("tinyint")
-      })
-      val dequant = zip_with(codes, idxs, (c: Column, i: Column) => {
-        val lo = element_at(lows, i)
-        val hi = element_at(highs, i)
-        when(hi === lo, lo)
-          .otherwise((c.cast("double") + 128.0) * (hi - lo) / 255.0 + lo)
-      })
-      val assignments = slim
-        .withColumn("codes", codes)
-        .withColumn("vnorm", sqrt(aggregate(dequant, lit(0.0),
+      val withArr = slim.withColumn("varr",
+        org.apache.spark.ml.functions.vector_to_array(col("vec")).cast("array<double>"))
+      val sq = new ScalarQuantizer().setInputCol("varr").setOutputCol("codes")
+        .fit(withArr.select("varr"))
+      val assignments = sq.transform(withArr).head
+        .withColumn("vnorm", sqrt(aggregate(col("codes_dequant"), lit(0.0),
           (acc: Column, e: Column) => acc + e * e)))
-        .drop("vec")
-      new IvfIndexModel().setModelData(centroidsDf, assignments, ranges)
+        .select("id", "cell", "codes", "vnorm")
+      new IvfIndexModel().setModelData(centroidsDf, assignments, sq.getModelData.head)
     }
     copyParamsTo(m)
     m
@@ -332,6 +312,12 @@ class IvfIndexModel extends Model[IvfIndexModel] {
         val qs = qIt.map { case (_, qid, qv, qn) => (qid, qv.toArray, qn) }.toArray
         if (qs.isEmpty) Iterator.empty
         else {
+          val expectDim = m * bks(0)(0).length
+          qs.foreach { case (qid, qa, _) =>
+            if (qa.length != expectDim) throw new IllegalArgumentException(
+              s"IvfIndexModel: query $qid dim ${qa.length} does not match the PQ " +
+                s"codebooks' $expectDim — an ADC score over a prefix would be silently wrong")
+          }
           val sub = qs.head._2.length / m
           // ADC tables: tables(qi)(mi)(code) = dot(query subvector, centroid)
           val tables = qs.map { case (_, qa, _) =>

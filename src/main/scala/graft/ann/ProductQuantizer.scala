@@ -167,6 +167,10 @@ class ProductQuantizerModel extends Model[ProductQuantizerModel]
       else {
       val books = bc.value
       val m = books.length
+      val expectDim = m * books(0)(0).length
+      if (v.length != expectDim) throw new IllegalArgumentException(
+        s"ProductQuantizer: vector dim ${v.length} does not match the codebooks' " +
+          s"$m x ${books(0)(0).length} = $expectDim — truncated encoding would be silently wrong")
       val sub = v.length / m
       val arr = v.toArray
       val codes = new Array[Byte](m)

@@ -33,10 +33,17 @@ class ScalarQuantizer extends Estimator[ScalarQuantizer, ScalarQuantizerModel]
 
   override def fit(inputs: DataFrame*): ScalarQuantizerModel = {
     require(inputs.size == 1)
-    val ranges = inputs.head
+    val spark = inputs.head.sparkSession
+    // materialize the O(dim) ranges NOW: a lazy plan here would re-scan
+    // the training corpus on every transform/save, and decode ranges
+    // could silently diverge from the encode if the source moved
+    val collected = inputs.head
       .select(posexplode(col(getInputCol).cast("array<double>")).as(Seq("dim", "x")))
       .groupBy("dim")
       .agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    import spark.implicits._
+    val ranges = collected.toSeq.toDF("dim", "lo", "hi")
     val m = new ScalarQuantizerModel().setModelData(ranges)
     copyParamsTo(m)
     m

@@ -314,46 +314,49 @@ object ScaleUp {
       val chk = java.nio.file.Files.createTempDirectory("graft-smh-chk").toString
       val nFiles = Option(new java.io.File(batchPath).listFiles())
         .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(1)
-      val flagged = new java.util.concurrent.atomic.AtomicLong(0L)
-      val totalRows = new java.util.concurrent.atomic.AtomicLong(0L)
-      val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      // per-batch results keyed by batchId: a batch interrupted by the
+      // kill is REPLAYED on restart with the same id and its put is
+      // idempotent — exactly-once counting whatever instant the kill
+      // lands (replaying addToIndex can only duplicate index entries,
+      // which cannot change any is_duplicate flag)
+      val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", math.max(1, nFiles / 16))
         .parquet(batchPath)
       def start() = featurize(stream).writeStream.outputMode("append")
         .option("checkpointLocation", chk)
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          if (seen.add(id)) { // replayed in-flight batch -> counted once
+          if (!perBatch.containsKey(id)) {
             val c = b.persist()
             val r = model.transform(c).head.agg(count(lit(1)),
               sum(when(col("is_duplicate"), 1L).otherwise(0L))).collect()(0)
-            totalRows.addAndGet(r.getLong(0))
-            flagged.addAndGet(if (r.isNullAt(1)) 0L else r.getLong(1))
             model = model.addToIndex(c)
             c.unpersist(blocking = false)
-            nBatches.incrementAndGet()
+            perBatch.put(id, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
           }
           ()
         }.start()
       val q1 = start()
       // kill mid-run, then resume from the checkpoint with a model
       // that went through a real save/load round-trip
-      while (nBatches.get < 6 && q1.isActive) Thread.sleep(100)
+      while (perBatch.size < 6 && q1.isActive) Thread.sleep(100)
       q1.stop()
-      val restartMidRun = nBatches.get < 16
+      val restartMidRun = perBatch.size < 16
       val mdir = java.nio.file.Files.createTempDirectory("graft-smh-model").toString
       model.save(mdir)
       model = graft.dedup.MinHashIndexModel.load(spark, mdir)
       val q2 = start()
       q2.processAllAvailable(); q2.stop()
+      import scala.jdk.CollectionConverters._
+      val totalRows = perBatch.values.asScala.map(_._1).sum
+      val flagged = perBatch.values.asScala.map(_._2).sum
       val expected = docs.where(col("doc_id") % 5 >= 3).count()
-      println(s"""{"streaming_minhash_batches":${nBatches.get},""" +
+      println(s"""{"streaming_minhash_batches":${perBatch.size},""" +
         s""""streaming_minhash_restart_mid_run":$restartMidRun,""" +
-        s""""streaming_minhash_rows_once":${totalRows.get == expected},""" +
+        s""""streaming_minhash_rows_once":${totalRows == expected},""" +
         s""""streaming_minhash_recall":${String.format(java.util.Locale.ROOT,
-          "%.4f", Double.box(flagged.get.toDouble / totalRows.get))}}""")
-      flagged.get
+          "%.4f", Double.box(flagged.toDouble / totalRows))}}""")
+      flagged
     }
 
     // PCA at scale: one treeAggregate Gram pass over every embedding,

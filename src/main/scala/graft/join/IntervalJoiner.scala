@@ -87,6 +87,13 @@ class IntervalJoiner extends AlgoOperator[IntervalJoiner] {
     require(!getValueCols.contains(getRightStartCol) && !getValueCols.contains(getRightEndCol),
       "IntervalJoiner: valueCols must not include rightStartCol/rightEndCol " +
         "(they are attached automatically)")
+    // a valueCol (or interval bound) that is ALSO a join key would be
+    // selected twice on the right side → ambiguous-reference error
+    val keyClash = (getValueCols.toSeq :+ getRightStartCol :+ getRightEndCol)
+      .filter(getOnCols.contains)
+    require(keyClash.isEmpty,
+      s"IntervalJoiner: ${keyClash.mkString(", ")} cannot be both a join key (onCols) " +
+        "and an attached right column")
     val w = getBinWidthMs
     val maxBins = getMaxBinsPerInterval
     val keys = getOnCols.toSeq

@@ -108,15 +108,22 @@ class DriftDetector extends AlgoOperator[DriftDetector] {
       .groupBy("feature")
       .agg(
         sum("psi_term").as("psi"),
-        max(abs(col("cdf_ref") - col("cdf_cur"))).as("ks"),
-        first("n_ref").as("n_ref"), first("n_cur").as("n_cur"))
+        max(abs(col("cdf_ref") - col("cdf_cur"))).as("ks"))
 
     // a feature with zero non-null reference rows never enters `range`
-    // and would silently VANISH; surface it with null metrics instead
+    // and would silently VANISH; surface it with null metrics instead.
+    // The reported n_ref/n_cur count each side's non-null rows
+    // DIRECTLY — routing them through the ref-derived histogram would
+    // report n_cur = 0 for a ref-empty feature even when current rows
+    // exist (the monitor would read "no data arrived").
     val spark = ref.sparkSession
     import spark.implicits._
     val allFeats = feats.toDF("feature")
-    Array(broadcast(allFeats).join(out, Seq("feature"), "left")
+    val refN = refLong.groupBy("feature").agg(count(lit(1)).as("n_ref"))
+    val curN = curLong.groupBy("feature").agg(count(lit(1)).as("n_cur"))
+    Array(allFeats.join(out, Seq("feature"), "left")
+      .join(refN, Seq("feature"), "left")
+      .join(curN, Seq("feature"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur")))
   }
 }

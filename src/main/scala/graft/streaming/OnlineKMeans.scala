@@ -192,13 +192,19 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
         } else (0L, modelData.select("centroidId", "centroid", "weight").collect())
       // getAs[Number]: a python-built init frame carries bigint ids
       val sorted = rows.sortBy(_.getAs[Number](0).intValue())
-      (ver, sorted.map(_.getAs[Vector]("centroid")), sorted.map(_.getAs[Number](2).doubleValue()))
+      val state = (ver, sorted.map(_.getAs[Vector]("centroid")),
+        sorted.map(_.getAs[Number](2).doubleValue()))
+      latestCache = Some(state) // a loaded model must not re-pay the scan per call
+      state
   }
 
   /** One mini-batch step; returns the model holding the new centroids.
     * Passing `modelTimeMs` (anything above Long.MinValue) stamps the
     * result as a new model VERSION appended to the stream; the default
-    * keeps the legacy single-snapshot shape. A ZERO-PARTITION
+    * keeps the legacy single-snapshot shape — but once the model IS
+    * versioned, every further update must carry a stamp (enforced
+    * here: an unstamped version would be silently unservable under
+    * delay gating). A ZERO-PARTITION
     * micro-batch (a rate/kafka source's first trigger) is a no-op —
     * that is the only shape that crashes treeReduce, since
     * mapPartitions emits one partial per partition even when all
@@ -208,6 +214,13 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
   def update(batch: DataFrame, featuresCol: String = getFeaturesCol,
       modelTimeMs: Long = Long.MinValue): OnlineKMeansModel = {
     val spark = batch.sparkSession
+    // a versioned model trained on without stamps would keep appending
+    // versions that delay-gated inference silently filters out (their
+    // MinValue stamp is "never emitted") — stale gated predictions
+    // with no error. Fail fast instead.
+    require(!hasVersions || modelTimeMs != Long.MinValue,
+      "this model carries a version stream; pass modelTimeMs to update() — " +
+        "an unstamped version would be unservable under delay gating")
     if (batch.rdd.getNumPartitions == 0) return this
     val measure = DistanceMeasure(getDistanceMeasure)
     val (latestVersion, centroidVecs, weights) = latestState()

@@ -105,6 +105,15 @@ class ProductQuantizerSpec extends SparkSpec {
         .setNumSubspaces(2).fit(bad)
     }
     assert(ex.getMessage.contains("divisible"), ex.getMessage)
+    // encode of a vector whose dim disagrees with the codebooks must
+    // throw, not silently encode a prefix (r9 review finding)
+    val books = Seq((0, 0, Seq(0.0, 0.0)), (1, 0, Seq(0.0, 0.0))).toDF("m", "code", "centroid")
+    val model = new ProductQuantizerModel().setModelData(books)
+      .setInputCol("arr").setOutputCol("c")
+    val exDim = intercept[Exception] {
+      model.transform(Seq(Tuple1(Seq(1.0, 2.0, 3.0, 4.0, 5.0))).toDF("arr")).head.collect()
+    }
+    assert(exDim.getMessage != null)
     val gappy = Seq((0, 0, Seq(1.0)), (0, 2, Seq(2.0))).toDF("m", "code", "centroid")
     val ex2 = intercept[IllegalArgumentException] {
       new ProductQuantizerModel().setModelData(gappy)

@@ -102,6 +102,14 @@ class IntervalJoinerSpec extends SparkSpec {
         .transform(left, right)
     }
     assert(ex3.getMessage.contains("valueCols"), ex3.getMessage)
+    // a valueCol that is ALSO a join key would be selected twice on the
+    // right -> ambiguous reference downstream; rejected up front
+    val ex4 = intercept[IllegalArgumentException] {
+      new IntervalJoiner().setOnCols("k").setLeftTimeCol("t")
+        .setRightStartCol("s").setRightEndCol("e").setValueCols("k", "tag")
+        .transform(left.drop("tag"), right)
+    }
+    assert(ex4.getMessage.contains("join key"), ex4.getMessage)
   }
 
   test("param save/load round-trip") {

@@ -67,8 +67,10 @@ class DriftDetectorSpec extends SparkSpec {
     assert(out("x").getAs[Long]("n_ref") == 3L && out("x").getAs[Long]("n_cur") == 0L)
     assert(out("x").isNullAt(out("x").fieldIndex("ks")), "ks must be explicit null, not a NaN")
     // y: reference all-null -> the feature still APPEARS, with null metrics
+    // but REAL current-side counts (r9 review: n_cur must not read 0
+    // when current rows exist just because the reference was empty)
     assert(out.contains("y"), "features with no reference rows must not vanish")
-    assert(out("y").getAs[Long]("n_ref") == 0L)
+    assert(out("y").getAs[Long]("n_ref") == 0L && out("y").getAs[Long]("n_cur") == 2L)
     assert(out("y").isNullAt(out("y").fieldIndex("psi")))
     assert(out("y").isNullAt(out("y").fieldIndex("ks")))
   }

@@ -107,6 +107,13 @@ class OnlineKMeansVersionedSpec extends SparkSpec {
     assert(scored(1).getAs[Long]("ver") == -1L, "MinValue+1 stamp must never serve late rows")
   }
 
+  test("a versioned model refuses an unstamped update (silently-unservable version)") {
+    var m = new OnlineKMeansModel().setDecayFactor(0.5).setModelData(init1d)
+    m = m.update(batch1d(1.0, 9.0), "features", 1000L)
+    val ex = intercept[IllegalArgumentException] { m.update(batch1d(2.0, 8.0)) }
+    assert(ex.getMessage.contains("modelTimeMs"), ex.getMessage)
+  }
+
   test("save/load restart continuity: version numbering and gating survive a new process") {
     var m = new OnlineKMeansModel().setDecayFactor(0.5).setModelData(init1d)
     m = m.update(batch1d(1.0, 9.0), "features", 1000L)
