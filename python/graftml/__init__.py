@@ -104,6 +104,7 @@ _STAGES = [
     "graft.dedup.SpanDeduplicator",
     "graft.text.Bm25Scorer",
     "graft.text.FrequentNgrams",
+    "graft.text.GopherFilter",
     "graft.text.ImportanceScorer",
     "graft.text.BpeTrainer", "graft.text.BpeModel",
     "graft.text.ChunkSplitter",

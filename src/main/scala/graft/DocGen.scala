@@ -59,7 +59,8 @@ object DocGen {
     "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.ChunkSplitter",
     "graft.text.DocumentFingerprinter", "graft.text.ExactDeduplicator",
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
-    "graft.text.FrequentNgrams", "graft.text.ImportanceScorer",
+    "graft.text.FrequentNgrams", "graft.text.GopherFilter",
+    "graft.text.ImportanceScorer",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.SequencePacker", "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",

@@ -450,6 +450,23 @@ object SparkEntry {
         round(col("ppl"), 2).as("ppl"))
     }),
 
+    // --- Gopher quality rules (Rae et al. 2021 Appendix A): the
+    // published hard-rule bundle, one boolean per rule; minWords
+    // lowered to 30 so the rule splits this corpus (docs are 10-99
+    // words) ---
+    "q_gopher" -> ((s, dir) => {
+      // minWords 30 and stopword-hits 1: the synthetic corpus is
+      // tech-jargon word soup (10-99 words, at most one of the 8
+      // Gopher stopwords), so the published defaults would fail every
+      // row and prove nothing
+      new graft.text.GopherFilter().setInputCol("text").setMinWords(30)
+        .setMinStopwordHits(1)
+        .transform(t(s, dir, "documents")).head
+        .select(col("doc_id"), col("rule_word_count"), col("rule_mean_word_len"),
+          col("rule_symbol_ratio"), col("rule_bullet_lines"), col("rule_ellipsis_lines"),
+          col("rule_alpha_words"), col("rule_stopwords"), col("gopher_keep"))
+    }),
+
     // --- DSIR importance scoring (Xie et al. 2023): log-likelihood
     // ratio of each doc under the English-target bigram LM vs the
     // raw-corpus LM, bits per bigram; the data-selection score a
@@ -2801,6 +2818,65 @@ object SparkEntry {
                 ROUND(pow(2.0, -p.s / p.m), 2) AS ppl
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN perdoc p ON p.doc_id = d.doc_id""",
+
+    // every Gopher rule replayed: whitespace words, length-diff symbol
+    // counts, line-array bullet/ellipsis ratios, alpha-word fraction,
+    // padded-contains stopword hits
+    "q_gopher" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words,
+                  string_split(text, chr(10)) AS lines,
+                  ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS padded
+           FROM documents
+         ),
+         m AS (
+           SELECT doc_id,
+                  len(words) AS nw,
+                  CASE WHEN len(words) > 0
+                       THEN CAST(list_sum([len(x) FOR x IN words]) AS DOUBLE) / len(words) END AS mean_len,
+                  CASE WHEN len(words) > 0 THEN
+                    CAST((len(text) - len(replace(text, '#', '')))
+                         + (len(text) - len(replace(text, '...', ''))) // 3
+                         + (len(text) - len(replace(text, '…', ''))) AS DOUBLE) / len(words)
+                  END AS symbol_ratio,
+                  CASE WHEN len(lines) > 0 THEN
+                    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣◦]'))) AS DOUBLE)
+                      / len(lines) END AS bullet_ratio,
+                  CASE WHEN len(lines) > 0 THEN
+                    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+                      / len(lines) END AS ellipsis_ratio,
+                  CASE WHEN len(words) > 0 THEN
+                    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(words) END AS alpha_ratio,
+                  (CASE WHEN position(' the ' IN padded) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position(' be ' IN padded) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position(' to ' IN padded) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position(' of ' IN padded) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position(' and ' IN padded) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position(' that ' IN padded) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position(' have ' IN padded) > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN position(' with ' IN padded) > 0 THEN 1 ELSE 0 END) AS stop_hits
+           FROM w
+         ),
+         r AS (
+           SELECT doc_id,
+                  nw BETWEEN 30 AND 100000 AS rule_word_count,
+                  COALESCE(mean_len BETWEEN 3.0 AND 10.0, FALSE) AS rule_mean_word_len,
+                  COALESCE(symbol_ratio <= 0.1, FALSE) AS rule_symbol_ratio,
+                  COALESCE(bullet_ratio <= 0.9, FALSE) AS rule_bullet_lines,
+                  COALESCE(ellipsis_ratio <= 0.3, FALSE) AS rule_ellipsis_lines,
+                  COALESCE(alpha_ratio >= 0.8, FALSE) AS rule_alpha_words,
+                  stop_hits >= 1 AS rule_stopwords
+           FROM m
+         )
+         SELECT doc_id, rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+                rule_bullet_lines, rule_ellipsis_lines, rule_alpha_words, rule_stopwords,
+                rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                  AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
+                  AND rule_stopwords AS gopher_keep
+         FROM r""",
 
     // two q_ngram_lm replays — counts from the en-target subset and
     // from the whole corpus — then score = raw bits − target bits

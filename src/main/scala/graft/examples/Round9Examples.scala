@@ -72,6 +72,26 @@ object IvfQuantizedExample {
   }
 }
 
+/** The Gopher quality rules (Rae et al. 2021): the published hard-rule
+  * bundle with per-rule pass flags — the practical shape for tuning a
+  * corpus filter (which rule fires, not just that one did). */
+object GopherFilterExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("GopherFilterExample")
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the model trains on data that we have curated with care and effort over time"),
+      (1L, "short doc"),
+      (2L, "- item one of the list\n- item two of the list\n- item three of the list"))
+      .toDF("doc_id", "text")
+    new graft.text.GopherFilter().setInputCol("text").setMinWords(10)
+      .transform(docs).head
+      .select("doc_id", "rule_word_count", "rule_bullet_lines", "rule_stopwords", "gopher_keep")
+      .orderBy("doc_id").show(false)
+    spark.stop()
+  }
+}
+
 /** DSIR data selection (Xie et al. 2023): score raw documents by the
   * log-likelihood ratio under a target-domain LM vs the raw-corpus LM;
   * keep the top scorers to build a target-like pretraining mix. */
