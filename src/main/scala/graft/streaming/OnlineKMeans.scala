@@ -211,8 +211,14 @@ class OnlineKMeansModel extends Model[OnlineKMeansModel]
     * partitions are empty. Checking getNumPartitions is free; an
     * isEmpty check here would cost one extra Spark job per mini-batch
     * in the bounded fit loop. */
-  def update(batch: DataFrame, featuresCol: String = getFeaturesCol,
-      modelTimeMs: Long = Long.MinValue): OnlineKMeansModel = {
+  def update(batch: DataFrame): OnlineKMeansModel =
+    update(batch, getFeaturesCol, Long.MinValue)
+  // explicit overloads, not default args: py4j (the Python surface)
+  // matches JVM signatures by arity and cannot fill Scala defaults
+  def update(batch: DataFrame, featuresCol: String): OnlineKMeansModel =
+    update(batch, featuresCol, Long.MinValue)
+  def update(batch: DataFrame, featuresCol: String,
+      modelTimeMs: Long): OnlineKMeansModel = {
     val spark = batch.sparkSession
     // a versioned model trained on without stamps would keep appending
     // versions that delay-gated inference silently filters out (their
