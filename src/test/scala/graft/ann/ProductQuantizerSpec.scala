@@ -97,6 +97,24 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(!rows(1L) && rows(2L))
   }
 
+  test("quantized probes stay equi-join-shaped (no cartesian, no nested loop)") {
+    import spark.implicits._
+    val vecs = corpus.select(col("id"),
+      org.apache.spark.ml.functions.array_to_vector(col("arr")).as("vec"))
+    val queries = Seq((1000L, Vectors.dense(Array.tabulate(16)(i => if (i == 0) 5.0 else 0.1))))
+      .toDF("id", "vec")
+    Seq("int8", "pq").foreach { codec =>
+      val model = new IvfIndexer().setIdCol("id").setVecCol("vec")
+        .setNumLists(4).setTrainIters(2).setSeed(7L)
+        .setQuantizer(codec).setPqSubspaces(4).setPqCodes(16)
+        .fit(vecs)
+      val plan = model.setK(3).setNprobe(2).transform(queries).head
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$codec: $plan")
+    }
+  }
+
   test("guards: dim not divisible by subspaces fails fast; non-contiguous codes rejected") {
     import spark.implicits._
     val bad = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("arr")
