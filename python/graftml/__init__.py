@@ -108,6 +108,7 @@ _STAGES = [
     "graft.text.ImportanceScorer",
     "graft.text.BpeTrainer", "graft.text.BpeModel",
     "graft.text.ChunkSplitter",
+    "graft.text.CorpusOverlap",
     "graft.text.DocumentFingerprinter",
     "graft.text.ExactDeduplicator",
     "graft.text.LanguageDetector",

@@ -57,6 +57,7 @@ object DocGen {
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher", "graft.dedup.SpanDeduplicator",
     "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.ChunkSplitter",
+    "graft.text.CorpusOverlap",
     "graft.text.DocumentFingerprinter", "graft.text.ExactDeduplicator",
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",

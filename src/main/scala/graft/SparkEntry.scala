@@ -450,6 +450,19 @@ object SparkEntry {
         round(col("ppl"), 2).as("ppl"))
     }),
 
+    // --- Cross-source corpus overlap matrix: the corpus has no
+    // natural cross-source exact dups, so a planted "zz_eval" source
+    // (every 10th doc re-labeled) provides the nonzero overlap — the
+    // realistic decontamination-planning shape (eval set vs sources) ---
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.where(col("doc_id") % 10 === 0).withColumn("source", lit("zz_eval"))
+      new graft.text.CorpusOverlap().setInputCol("text").setSourceCol("source")
+        .transform(docs.unionByName(eval)).head
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("shared"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // --- Gopher quality rules (Rae et al. 2021 Appendix A): the
     // published hard-rule bundle, one boolean per rule; minWords
     // lowered to 30 so the rule splits this corpus (docs are 10-99
@@ -2818,6 +2831,30 @@ object SparkEntry {
                 ROUND(pow(2.0, -p.s / p.m), 2) AS ppl
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN perdoc p ON p.doc_id = d.doc_id""",
+
+    // distinct (fingerprint, source) + self-join on the fingerprint;
+    // zero-overlap pairs kept via the per-source-count cross pairs
+    "q_corpus_overlap" ->
+      """WITH all_docs AS (
+           SELECT text, source FROM documents
+           UNION ALL
+           SELECT text, 'zz_eval' AS source FROM documents WHERE doc_id % 10 = 0
+         ),
+         s AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                      source
+               FROM all_docs WHERE source IS NOT NULL),
+         n AS (SELECT source, COUNT(*) AS n FROM s GROUP BY source),
+         sh AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+                FROM s a JOIN s b ON a.fp = b.fp AND a.source < b.source
+                GROUP BY 1, 2),
+         p AS (SELECT na.source AS source_a, nb.source AS source_b,
+                      na.n AS n_a, nb.n AS n_b
+               FROM n na JOIN n nb ON na.source < nb.source)
+         SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+                COALESCE(sh.shared, 0) AS shared,
+                ROUND(CAST(COALESCE(sh.shared, 0) AS DOUBLE)
+                      / (p.n_a + p.n_b - COALESCE(sh.shared, 0)), 6) AS jaccard
+         FROM p LEFT JOIN sh ON sh.sa = p.source_a AND sh.sb = p.source_b""",
 
     // every Gopher rule replayed: whitespace words, length-diff symbol
     // counts, line-array bullet/ellipsis ratios, alpha-word fraction,
