@@ -72,6 +72,38 @@ object IvfQuantizedExample {
   }
 }
 
+/** Streaming drift monitoring: DriftDetector compared per micro-batch
+  * against a fixed reference window from foreachBatch — the
+  * retrain-alarm loop (PSI > 0.25 is the conventional threshold) a
+  * continuously-fed training pipeline runs between every ingest window
+  * and its training snapshot. */
+object DriftMonitorExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("DriftMonitorExample")
+    import spark.implicits._
+    val reference = (0 until 500).map(i => (i % 100).toDouble).toDF("x")
+    val det = new graft.stats.DriftDetector().setFeatureCols("x").setNumBins(10)
+    val alarms = new java.util.concurrent.CopyOnWriteArrayList[(Long, Double)]()
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+      // values drift upward over time relative to the uniform reference
+      .select(((col("value") % 100) + col("value") / 10).cast("double").as("x"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty) {
+          val psi = det.transform(reference, b).head.select("psi").head().getDouble(0)
+          alarms.add((id, psi)); ()
+        }
+      }.start()
+    q.awaitTermination(6000)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    alarms.asScala.foreach { case (id, psi) =>
+      println(f"batch $id: psi $psi%.4f ${if (psi > 0.25) "DRIFT ALARM" else "ok"}")
+    }
+    spark.stop()
+  }
+}
+
 /** The Gopher quality rules (Rae et al. 2021): the published hard-rule
   * bundle with per-rule pass flags — the practical shape for tuning a
   * corpus filter (which rule fires, not just that one did). */
