@@ -450,6 +450,20 @@ object SparkEntry {
         round(col("ppl"), 2).as("ppl"))
     }),
 
+    // --- Connected components as a first-class operator: chains of 5
+    // consecutive event ids (diameter 4 — real multi-hop propagation),
+    // forced through the DISTRIBUTED min-label loop (driverEdgeLimit 0
+    // disables the small-graph union-find fast path); the oracle knows
+    // each chain's component in closed form ---
+    "q_connected_components" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 5 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") - 1).as("dst"))
+      graft.dedup.ConnectedComponents.run(edges, "src", "dst",
+          maxIter = 50, driverEdgeLimit = 0L)
+        .select(col("id"), col("component"))
+    }),
+
     // --- Cross-source corpus overlap matrix: the corpus has no
     // natural cross-source exact dups, so a planted "zz_eval" source
     // (every 10th doc re-labeled) provides the nonzero overlap — the
@@ -2831,6 +2845,11 @@ object SparkEntry {
                 ROUND(pow(2.0, -p.s / p.m), 2) AS ppl
          FROM (SELECT doc_id FROM documents) d
          LEFT JOIN perdoc p ON p.doc_id = d.doc_id""",
+
+    // chain k covers ids [5k, 5k+4]; min reachable id = 5k
+    "q_connected_components" ->
+      """SELECT event_id AS id, event_id - event_id % 5 AS component
+         FROM events""",
 
     // distinct (fingerprint, source) + self-join on the fingerprint;
     // zero-overlap pairs kept via the per-source-count cross pairs
