@@ -911,12 +911,18 @@ object SparkEntry {
         .setInputCol("arr").setOutputCol("codes").setNumSubspaces(8)
         .setInitialCodebooks(booksDf)
         .fit(emb)
+      // One scalar row per (vector, subspace): array cells break the
+      // driver's pandas comparator (same reshape as q_quantize), so the
+      // code array is posexploded and recon_err repeated per row.
       model.transform(emb).head
         .select(col("vec_id"),
-          expr("transform(codes, c -> cast(c as int) + 128)").as("codes"),
+          expr("transform(codes, c -> cast(c as int) + 128)").as("c"),
           round(sqrt(expr(
             "aggregate(zip_with(arr, codes_dequant, (a, b) -> (a - b) * (a - b)), " +
               "cast(0.0 as double), (acc, x) -> acc + x)")), 6).as("recon_err"))
+        .select(col("vec_id"), col("recon_err"), posexplode(col("c")).as(Seq("m", "code")))
+        .select(col("vec_id"), col("m").cast("int").as("m"),
+          col("code").cast("int").as("code"), col("recon_err"))
     }),
 
     // --- IVF + PQ (FAISS IVFPQ): coarse cells from the pinned
@@ -2389,10 +2395,12 @@ object SparkEntry {
                    SELECT s.vec_id, s.m, c.code, list_distance(s.sv, c.cv) AS d,
                           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                             ORDER BY list_distance(s.sv, c.cv), c.code) AS rk
-                   FROM subs s JOIN csubs c ON c.m = s.m) WHERE rk = 1)
-         SELECT vec_id, list(code ORDER BY m) AS codes,
-                ROUND(sqrt(SUM(d * d)), 6) AS recon_err
-         FROM enc GROUP BY vec_id""",
+                   FROM subs s JOIN csubs c ON c.m = s.m) WHERE rk = 1),
+         err AS (SELECT vec_id, ROUND(sqrt(SUM(d * d)), 6) AS recon_err
+                 FROM enc GROUP BY vec_id)
+         SELECT e.vec_id, CAST(e.m AS INT) AS m, CAST(e.code AS INT) AS code,
+                err.recon_err
+         FROM enc e JOIN err ON err.vec_id = e.vec_id""",
 
     // IVFPQ: full-precision cell routing (as q_ivf_index), PQ-encoded
     // lists, ADC scoring — sum of per-subspace partial dot products

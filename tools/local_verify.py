@@ -70,6 +70,16 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-FAIL: {e}"
             continue
+        # The driver's harness sorts RAW columns with pandas and dies on
+        # unhashable array cells (the q_pq round-9 red). Refuse arrays
+        # here so the local gate matches the driver's behavior.
+        arr_cols = [c for c in spark_df.columns
+                    if spark_df[c].map(lambda v: isinstance(v, (list, tuple))
+                                       or type(v).__name__ == "ndarray").any()]
+        if arr_cols:
+            results[name] = (f"ARRAY-COLUMNS: {arr_cols} would break the driver "
+                             "harness sort - reshape to scalar rows (posexplode)")
+            continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA-MISMATCH: spark={list(a.columns)} duck={list(b.columns)}"
