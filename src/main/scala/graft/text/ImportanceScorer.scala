@@ -32,7 +32,11 @@ import graft.util.ReadWrite
  * map-side partial aggregation — the target side is small by
  * definition) and two scoring passes over the raw corpus (explode →
  * equi-join on the bigram → per-doc fold); no driver materialization
- * beyond each LM's vocab scalar, no sort. Selection on top is the
+ * beyond each LM's vocab scalar, no sort. At web scale set
+ * `hashBuckets` (e.g. 1 << 22): the raw-corpus LM's exact bigram
+ * vocabulary is unbounded, and hashing bounds both count tables to
+ * ≤ hashBuckets rows — small enough to broadcast-join the scoring
+ * passes instead of shuffling the exploded corpus. Selection on top is the
  * caller's: a threshold filter is shuffle-free; top-N compiles to
  * TakeOrdered.
  *
@@ -52,6 +56,16 @@ class ImportanceScorer extends AlgoOperator[ImportanceScorer]
   def getSmoothing: Double = get(smoothing)
   def setSmoothing(v: Double): ImportanceScorer = set(smoothing, v)
 
+  /** DSIR's actual construction hashes n-grams into a fixed feature
+    * space (Xie et al. 2023 §2) precisely because the exact raw-corpus
+    * bigram vocabulary is unbounded at web scale. > 0 bounds BOTH LMs
+    * to ≤ hashBuckets rows per count table; 0 keeps exact keys. */
+  final val hashBuckets: Param[Int] =
+    param[Int]("hashBuckets", "When > 0, hash both LMs' n-gram keys into this many " +
+      "buckets (bounded model tables); 0 = exact.", 0, ParamValidators.gtEq(0))
+  def getHashBuckets: Int = get(hashBuckets)
+  def setHashBuckets(v: Int): ImportanceScorer = set(hashBuckets, v)
+
   /** inputs = (raw corpus, target-domain corpus). */
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 2, "ImportanceScorer expects (raw, target)")
@@ -61,7 +75,7 @@ class ImportanceScorer extends AlgoOperator[ImportanceScorer]
 
     def bits(corpus: DataFrame, scoreCol: String): DataFrame = {
       val lm = new NgramLm().setInputCol(getInputCol).setOutputCol(scoreCol)
-        .setSmoothing(getSmoothing).fit(corpus)
+        .setSmoothing(getSmoothing).setHashBuckets(getHashBuckets).fit(corpus)
       lm.setIdCol(getIdCol).transform(raw).head
         .select(col(getIdCol).as("__isid"), col(scoreCol + "_bits").as(scoreCol))
     }

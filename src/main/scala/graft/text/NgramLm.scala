@@ -30,6 +30,17 @@ import graft.util.ReadWrite
  * because FP addition is not associative and an unordered SUM would
  * flap the last ulp between runs.
  *
+ * The exact table has one row per DISTINCT corpus bigram — web-scale
+ * corpora have billions, so `hashBuckets > 0` applies the DSIR
+ * hashing trick (Xie et al. 2023 §2: hash n-grams into a fixed
+ * feature space): the bigram key becomes xxhash64(w₁,w₂) mod B and
+ * the context key xxhash64(w₁) mod B, giving two count tables of at
+ * most B rows each regardless of corpus vocabulary (colliding grams
+ * pool their counts — the usual hashing-trick bias). With no
+ * collisions the hash is a bijection on the observed grams, so the
+ * hashed model's probabilities — and therefore bits/perplexity —
+ * equal the exact model's ('NgramLmHashedSpec' pins this parity).
+ *
  * No reference counterpart — beyond-reference LLM-data-pipeline tier.
  */
 class NgramLm extends Estimator[NgramLm, NgramLmModel]
@@ -40,29 +51,60 @@ class NgramLm extends Estimator[NgramLm, NgramLmModel]
   def getSmoothing: Double = get(smoothing)
   def setSmoothing(v: Double): NgramLm = set(smoothing, v)
 
+  final val hashBuckets: Param[Int] =
+    param[Int]("hashBuckets", "When > 0, hash bigram and context keys into this many " +
+      "buckets (DSIR hashing trick) so each model table is bounded by hashBuckets rows; " +
+      "0 = exact string keys.", 0, ParamValidators.gtEq(0))
+  def getHashBuckets: Int = get(hashBuckets)
+  def setHashBuckets(v: Int): NgramLm = set(hashBuckets, v)
+
   override def fit(inputs: DataFrame*): NgramLmModel = {
     require(inputs.size == 1)
     val spark = inputs.head.sparkSession
+    import spark.implicits._
     val words = NgramLm.tokens(col(getInputCol))
     val toks = inputs.head.select(words.as("__w"))
-    // persist: the model table would otherwise be unpersisted lineage
-    // over the corpus, and transform() consumes it twice (context
-    // totals + the per-document join) — each consumer would re-read
-    // and re-count the whole corpus
-    val bigrams = toks
-      .select(posexplode(NgramLm.bigrams(col("__w"))).as(Seq("__p", "__bg")))
-      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // vocab size collapses to one number at fit time: a local-relation
-    // stats table instead of a corpus-scan lineage per transform()
-    val vocab = toks.select(explode(col("__w")).as("__t"))
-      .agg(countDistinct("__t").cast("long").as("vocabSize")).head().getLong(0)
-    import spark.implicits._
-    val stats = Seq(vocab).toDF("vocabSize")
-    val m = new NgramLmModel().setModelData(bigrams, stats)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val m = new NgramLmModel()
+    if (getHashBuckets > 0) {
+      val b = getHashBuckets.toLong
+      // one corpus scan: partial-agg the exploded grams down to
+      // distinct (ctxBucket, bgBucket) pairs, then derive the two
+      // bounded (≤ B rows each) model tables from that intermediate
+      val pairs = toks
+        .select(explode(NgramLm.bigrams(col("__w"))).as("__bg"))
+        .groupBy(pmod(xxhash64(col("__bg.w1")), lit(b)).as("ctx"),
+          pmod(xxhash64(col("__bg.w1"), col("__bg.w2")), lit(b)).as("bg"))
+        .agg(count(lit(1)).as("c"))
+        .persist(lvl)
+      val bgCounts = pairs.groupBy("bg").agg(sum("c").as("c")).persist(lvl)
+      val ctxCounts = pairs.groupBy("ctx").agg(sum("c").as("c")).persist(lvl)
+      bgCounts.count(); ctxCounts.count()
+      pairs.unpersist(blocking = false)
+      // vocab over hashed tokens: ≤ B, and = exact vocab when collision-free
+      val vocab = toks.select(explode(col("__w")).as("__t"))
+        .agg(countDistinct(pmod(xxhash64(col("__t")), lit(b)))
+          .cast("long").as("vocabSize")).head().getLong(0)
+      m.setModelData(bgCounts, Seq(vocab).toDF("vocabSize"), ctxCounts)
+    } else {
+      // persist: the model table would otherwise be unpersisted lineage
+      // over the corpus, and transform() consumes it twice (context
+      // totals + the per-document join) — each consumer would re-read
+      // and re-count the whole corpus
+      val bigrams = toks
+        .select(posexplode(NgramLm.bigrams(col("__w"))).as(Seq("__p", "__bg")))
+        .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .persist(lvl)
+      // vocab size collapses to one number at fit time: a local-relation
+      // stats table instead of a corpus-scan lineage per transform()
+      val vocab = toks.select(explode(col("__w")).as("__t"))
+        .agg(countDistinct("__t").cast("long").as("vocabSize")).head().getLong(0)
+      m.setModelData(bigrams, Seq(vocab).toDF("vocabSize"))
+    }
     copyParamsTo(m)
     m.set(m.smoothing, getSmoothing)
+    m.set(m.hashBuckets, getHashBuckets)
     m
   }
 }
@@ -87,7 +129,10 @@ object NgramLm extends StageLoader[NgramLm] {
 
 /**
  * Scores documents against the fitted bigram table. Model data:
- * table 0 = (w1, w2, c) bigram counts, table 1 = (vocabSize) stats.
+ * exact mode — table 0 = (w1, w2, c) bigram counts, table 1 =
+ * (vocabSize) stats; hashed mode (`hashBuckets > 0`) — table 0 =
+ * (bg, c) bigram-bucket counts, table 1 = stats, table 2 = (ctx, c)
+ * context-bucket counts.
  * Appends `<outputCol>_bits` (cross-entropy, bits/bigram) and
  * `<outputCol>` (perplexity, 2^bits); null for docs with < 2 tokens.
  */
@@ -98,6 +143,11 @@ class NgramLmModel extends Model[NgramLmModel]
     param[Double]("smoothing", "Add-k smoothing constant.", 0.1, ParamValidators.gt(0))
   def getSmoothing: Double = get(smoothing)
 
+  final val hashBuckets: Param[Int] =
+    param[Int]("hashBuckets", "Bucket count the model was fitted with; 0 = exact keys.",
+      0, ParamValidators.gtEq(0))
+  def getHashBuckets: Int = get(hashBuckets)
+
   final val idCol: Param[String] =
     param[String]("idCol", "Unique document id column.", "id")
   def getIdCol: String = get(idCol)
@@ -105,11 +155,17 @@ class NgramLmModel extends Model[NgramLmModel]
 
   private var bigramCounts: DataFrame = _
   private var stats: DataFrame = _
+  private var ctxCounts: DataFrame = _
   override def setModelData(data: DataFrame*): NgramLmModel = {
-    require(data.size == 2, "expected (bigramCounts, stats)")
-    bigramCounts = data(0); stats = data(1); this
+    require(data.size == 2 || data.size == 3,
+      "expected (bigramCounts, stats) or (bgCounts, stats, ctxCounts)")
+    bigramCounts = data(0); stats = data(1)
+    ctxCounts = if (data.size == 3) data(2) else null
+    this
   }
-  override def getModelData: Array[DataFrame] = Array(bigramCounts, stats)
+  override def getModelData: Array[DataFrame] =
+    if (ctxCounts == null) Array(bigramCounts, stats)
+    else Array(bigramCounts, stats, ctxCounts)
 
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
@@ -119,7 +175,6 @@ class NgramLmModel extends Model[NgramLmModel]
     // vocabSize is one number; context totals are O(vocab) — derived
     // from the model table with one partial agg, never from raw data
     val vocabSize = stats.head().getLong(0)
-    val contexts = bigramCounts.groupBy("w1").agg(sum("c").as("ctx"))
 
     val words = NgramLm.tokens(col(getInputCol))
     val docBigrams = df
@@ -130,10 +185,24 @@ class NgramLmModel extends Model[NgramLmModel]
     val logp = log(2.0,
       (coalesce(col("c"), lit(0L)).cast("double") + k) /
         (coalesce(col("ctx"), lit(0L)).cast("double") + k * vocabSize))
-    val perDoc = docBigrams
-      .join(bigramCounts.withColumnRenamed("w1", "__w1").withColumnRenamed("w2", "__w2"),
-        col("__bg.w1") === col("__w1") && col("__bg.w2") === col("__w2"), "left")
-      .join(contexts, col("__bg.w1") === col("w1"), "left")
+    // same probability formula either way; only the join keys differ
+    // (strings vs hash buckets). Spurious bucket matches on the null
+    // row of an empty doc are masked by the __p-null guard below.
+    val joined = if (getHashBuckets > 0) {
+      val b = getHashBuckets.toLong
+      docBigrams
+        .join(bigramCounts.withColumnRenamed("bg", "__bgk"),
+          pmod(xxhash64(col("__bg.w1"), col("__bg.w2")), lit(b)) === col("__bgk"), "left")
+        .join(ctxCounts.withColumnRenamed("ctx", "__ctxk").withColumnRenamed("c", "ctx"),
+          pmod(xxhash64(col("__bg.w1")), lit(b)) === col("__ctxk"), "left")
+    } else {
+      val contexts = bigramCounts.groupBy("w1").agg(sum("c").as("ctx"))
+      docBigrams
+        .join(bigramCounts.withColumnRenamed("w1", "__w1").withColumnRenamed("w2", "__w2"),
+          col("__bg.w1") === col("__w1") && col("__bg.w2") === col("__w2"), "left")
+        .join(contexts, col("__bg.w1") === col("w1"), "left")
+    }
+    val perDoc = joined
       .withColumn("__logp", when(col("__p").isNull, lit(null)).otherwise(logp))
       .groupBy("__id")
       .agg(max("__m").as("__m"),
@@ -155,6 +224,11 @@ class NgramLmModel extends Model[NgramLmModel]
 object NgramLmModel extends StageLoader[NgramLmModel] {
   def load(spark: SparkSession, path: String): NgramLmModel = {
     val m = ReadWrite.applyParams(new NgramLmModel, path)
-    m.setModelData(ReadWrite.loadModelData(spark, path, 0), ReadWrite.loadModelData(spark, path, 1))
+    if (m.getHashBuckets > 0)
+      m.setModelData(ReadWrite.loadModelData(spark, path, 0),
+        ReadWrite.loadModelData(spark, path, 1), ReadWrite.loadModelData(spark, path, 2))
+    else
+      m.setModelData(ReadWrite.loadModelData(spark, path, 0),
+        ReadWrite.loadModelData(spark, path, 1))
   }
 }
