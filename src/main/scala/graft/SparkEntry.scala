@@ -452,8 +452,9 @@ object SparkEntry {
 
     // --- Connected components as a first-class operator: chains of 5
     // consecutive event ids (diameter 4 — real multi-hop propagation),
-    // forced through the DISTRIBUTED min-label loop (driverEdgeLimit 0
-    // disables the small-graph union-find fast path); the oracle knows
+    // forced through the DISTRIBUTED loop (driverEdgeLimit 0 disables
+    // the small-graph union-find fast path; default algorithm = the
+    // Kiveris large-star/small-star contraction); the oracle knows
     // each chain's component in closed form ---
     "q_connected_components" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1164,6 +1165,44 @@ object SparkEntry {
         col("imeta.width").as("png_width"),
         col("imeta.height").as("png_height"),
         col("imeta.format").as("png_format"))
+    }),
+
+    // --- audio/video header decode: REAL WAV (RIFF) and MP4 (ISO
+    // BMFF) payloads built per row from closed-form doc_id params,
+    // then parsed back by AudioDecoder/VideoDecoder — the oracle
+    // knows every header field in closed form, so a parser bug
+    // (endianness, box walk, chunk alignment) breaks the hash ---
+    "q_multimodal_av" -> ((s, dir) => {
+      val mkWav = udf { id: Long =>
+        graft.multimodal.AudioDecoder.syntheticWav(
+          (8000 * (1 + id % 3)).toInt, (4000 + (id % 100) * 40).toInt,
+          (1 + id % 2).toInt, id)
+      }
+      val brands = Array("isom", "mp42", "avc1")
+      val mkMp4 = udf { id: Long =>
+        graft.multimodal.VideoDecoder.syntheticMp4(
+          600, 600 + (id % 240) * 30, (1 + id % 3).toInt,
+          brands((id % 3).toInt))
+      }
+      val docs = t(s, dir, "documents")
+        .withColumn("audio", mkWav(col("doc_id")))
+        .withColumn("video", mkMp4(col("doc_id")))
+      val a = new graft.multimodal.AudioDecoder()
+        .setInputCol("audio").setOutputCol("ameta")
+        .transform(docs).head
+      val av = new graft.multimodal.VideoDecoder()
+        .setInputCol("video").setOutputCol("vmeta")
+        .transform(a).head
+      av.select(col("doc_id"),
+        col("ameta.channels").as("channels"),
+        col("ameta.sample_rate").as("sample_rate"),
+        col("ameta.n_samples").as("n_samples"),
+        round(col("ameta.duration_sec"), 6).as("audio_sec"),
+        col("vmeta.brand").as("brand"),
+        col("vmeta.timescale").as("timescale"),
+        col("vmeta.duration").as("duration"),
+        round(col("vmeta.duration_sec"), 6).as("video_sec"),
+        col("vmeta.n_tracks").as("n_tracks"))
     }),
 
     // --- Swing item-recall (packed top-k parsed back into rows) ---
@@ -3619,6 +3658,23 @@ object SparkEntry {
                 CAST(8 + doc_id % 16 AS INT) AS png_width,
                 CAST(4 + doc_id % 8 AS INT) AS png_height,
                 'png' AS png_format
+         FROM documents""",
+
+    // closed-form replay of the synthetic WAV/MP4 header parameters
+    // (the Spark side builds REAL container bytes from the same
+    // formulas and parses them back)
+    "q_multimodal_av" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 2 AS INT) AS channels,
+                CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+                CAST(4000 + (doc_id % 100) * 40 AS BIGINT) AS n_samples,
+                ROUND((4000 + (doc_id % 100) * 40) * 1.0
+                      / (8000 * (1 + doc_id % 3)), 6) AS audio_sec,
+                (['isom', 'mp42', 'avc1'])[CAST(doc_id % 3 AS INT) + 1] AS brand,
+                CAST(600 AS BIGINT) AS timescale,
+                CAST(600 + (doc_id % 240) * 30 AS BIGINT) AS duration,
+                ROUND((600 + (doc_id % 240) * 30) / 600.0, 6) AS video_sec,
+                CAST(1 + doc_id % 3 AS INT) AS n_tracks
          FROM documents""",
 
     "q_quantize" ->

@@ -57,26 +57,64 @@ class DedupSpec extends SparkSpec {
 
   test("ConnectedComponents throws instead of returning partial labels at maxIter") {
     import spark.implicits._
-    // a 6-vertex path has diameter 5: labels spread one hop per round,
-    // so maxIter=2 cannot converge. driverEdgeLimit=0 forces the
-    // distributed loop (the driver fast path needs no iterations).
+    // a 6-vertex path has diameter 5: min-label spreads one hop per
+    // round, so maxIter=2 cannot converge. driverEdgeLimit=0 forces
+    // the distributed loop (the driver fast path needs no iterations).
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.run(chain, maxIter = 2, driverEdgeLimit = 0)
+      ConnectedComponents.run(chain, maxIter = 2, driverEdgeLimit = 0,
+        algorithm = "minlabel")
     }
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("ConnectedComponents distributed loop matches the driver fast path") {
+  test("ConnectedComponents distributed loops (star and minlabel) match the driver fast path") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 3L), (20L, 21L)).toDF("src", "dst")
     val driver = ConnectedComponents.run(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val dist = ConnectedComponents.run(edges, driverEdgeLimit = 0)
+    val star = ConnectedComponents.run(edges, driverEdgeLimit = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(driver === dist)
+    val minlabel = ConnectedComponents.run(edges, driverEdgeLimit = 0,
+        algorithm = "minlabel")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(driver === star)
+    assert(driver === minlabel)
     assert(driver === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L),
       (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
+  test("ConnectedComponents star contraction: long chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 64-hop path (diameter 64): min-label needs 64+ rounds; the
+    // alternating large-star/small-star contraction needs ~log2(65)
+    val chain = (100L until 164L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.run(chain, driverEdgeLimit = 0, maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (100L to 164L).map(i => (i, 100L)).toSet)
+    assert(ConnectedComponents.lastRounds <= 10,
+      s"star took ${ConnectedComponents.lastRounds} rounds on a 64-chain")
+  }
+
+  test("ConnectedComponents star matches driver union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val driver = ConnectedComponents.run(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = ConnectedComponents.run(edges, driverEdgeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === driver)
+  }
+
+  test("ConnectedComponents star works on string vertex ids") {
+    import spark.implicits._
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges, driverEdgeLimit = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")))
   }
 
   test("MinHashDeduplicator groups near-identical shingle sets and flags non-canonical members") {
