@@ -150,3 +150,177 @@ object FrameSampler extends StageLoader[FrameSampler] {
   def load(spark: SparkSession, path: String): FrameSampler =
     ReadWrite.applyParams(new FrameSampler, path)
 }
+
+/** Decoded WAV metadata (fixed output schema of [[AudioDecoder]]). */
+case class WavMeta(channels: Int, sample_rate: Int, bits_per_sample: Int,
+    n_samples: Long, duration_sec: Double)
+
+/**
+ * A REAL audio header decoder on the [[BinaryDecodeStub]] seam: parses
+ * RIFF/WAVE headers (the public WAV container format — chunked RIFF
+ * with a little-endian `fmt ` chunk and a `data` chunk) and emits
+ * (channels, sample_rate, bits_per_sample, n_samples, duration_sec).
+ * Header-only: the sample data is never touched, so a 100 TB audio
+ * corpus pays header IO per row, not a PCM decode. Non-WAV payloads
+ * decode to null.
+ */
+class AudioDecoder extends Transformer[AudioDecoder]
+    with HasInputCol[AudioDecoder] with HasOutputCol[AudioDecoder] {
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val decode = udf { payload: Array[Byte] => AudioDecoder.parseWav(payload) }
+    Array(inputs.head.withColumn(getOutputCol, decode(col(getInputCol))))
+  }
+}
+object AudioDecoder extends StageLoader[AudioDecoder] {
+  def load(spark: SparkSession, path: String): AudioDecoder =
+    ReadWrite.applyParams(new AudioDecoder, path)
+
+  /** RIFF/WAVE header walk; null/garbage → None. */
+  private[multimodal] def parseWav(b: Array[Byte]): Option[WavMeta] = {
+    if (b == null || b.length < 44) return None
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = -1; var rate = 0L; var bits = -1
+    var blockAlign = -1; var dataSize = -1L
+    while (off + 8 <= b.length) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (id == "fmt " && off + 24 <= b.length) {
+        channels = le16(off + 10); rate = le32(off + 12)
+        blockAlign = le16(off + 20); bits = le16(off + 22)
+      } else if (id == "data") dataSize = sz
+      off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else Some(WavMeta(channels, rate.toInt, bits, dataSize / blockAlign,
+      dataSize.toDouble / (rate * blockAlign)))
+  }
+
+  /** Deterministic 16-bit PCM WAV payload for tests/benchmarks:
+    * samples derive from (index, seed). */
+  def syntheticWav(sampleRate: Int, numSamples: Int, channels: Int,
+      seed: Long): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = numSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                      // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)           // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16.toShort)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < numSamples * channels) {
+      buf.putShort(((seed + i * 2654435761L) & 0xffff).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+}
+
+/** Decoded MP4 metadata (fixed output schema of [[VideoDecoder]]). */
+case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+    duration_sec: Double, n_tracks: Int)
+
+/**
+ * A REAL video container decoder on the [[BinaryDecodeStub]] seam:
+ * walks the ISO BMFF (MP4) box structure — `ftyp` for the major
+ * brand, `moov`/`mvhd` (version 0 and 1) for timescale and duration,
+ * and one `trak` child per track — and emits (brand, timescale,
+ * duration, duration_sec, n_tracks). Header-only: media data (`mdat`)
+ * is skipped by box size, so the scan cost is bytes-to-moov, not a
+ * frame decode. Non-MP4 payloads decode to null.
+ */
+class VideoDecoder extends Transformer[VideoDecoder]
+    with HasInputCol[VideoDecoder] with HasOutputCol[VideoDecoder] {
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val decode = udf { payload: Array[Byte] => VideoDecoder.parseMp4(payload) }
+    Array(inputs.head.withColumn(getOutputCol, decode(col(getInputCol))))
+  }
+}
+object VideoDecoder extends StageLoader[VideoDecoder] {
+  def load(spark: SparkSession, path: String): VideoDecoder =
+    ReadWrite.applyParams(new VideoDecoder, path)
+
+  /** ISO BMFF top-level box walk; null/garbage → None. */
+  private[multimodal] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    if (b == null || b.length < 16) return None
+    def be32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (tag(4) != "ftyp") return None // first box must be ftyp
+    var off = 0
+    var brand: String = null
+    var timescale = -1L; var duration = -1L; var tracks = 0; var sawMoov = false
+    while (off + 8 <= b.length) {
+      val sz = be32(off); val typ = tag(off + 4)
+      if (sz < 8 || off + sz > b.length) return None
+      if (typ == "ftyp") brand = tag(off + 8)
+      else if (typ == "moov") {
+        sawMoov = true
+        var c = off + 8
+        val end = off + sz.toInt
+        while (c + 8 <= end) {
+          val csz = be32(c); val ctyp = tag(c + 4)
+          if (csz < 8 || c + csz > end) return None
+          if (ctyp == "mvhd") {
+            val version = b(c + 8) & 0xff
+            if (version == 0) { timescale = be32(c + 20); duration = be32(c + 24) }
+            else { timescale = be32(c + 28); duration = (be32(c + 32) << 32) | be32(c + 36) }
+          } else if (ctyp == "trak") tracks += 1
+          c += csz.toInt
+        }
+      }
+      off += sz.toInt
+    }
+    if (!sawMoov || timescale <= 0) None
+    else Some(Mp4Meta(brand, timescale, duration,
+      duration.toDouble / timescale, tracks))
+  }
+
+  /** Deterministic minimal MP4 payload for tests/benchmarks: an ftyp
+    * box, a moov with a version-0 mvhd and `numTracks` stub trak
+    * boxes, and an empty mdat. */
+  def syntheticMp4(timescale: Int, duration: Long, numTracks: Int,
+      brand: String = "isom"): Array[Byte] = {
+    require(brand.length == 4, "brand must be 4 chars")
+    val mvhdSize = 108
+    val trakSize = 16
+    val moovSize = 8 + mvhdSize + numTracks * trakSize
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSize + 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put(brand.getBytes("US-ASCII")).putInt(0)
+    buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)                                  // version 0 + flags
+      .putInt(0).putInt(0)                        // creation, modification
+      .putInt(timescale).putInt(duration.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      .putShort(0.toShort).putInt(0).putInt(0)    // reserved
+    // identity matrix
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => buf.putInt(0))       // pre_defined
+    buf.putInt(numTracks + 1)                     // next_track_ID
+    (0 until numTracks).foreach { _ =>
+      buf.putInt(trakSize).put("trak".getBytes("US-ASCII"))
+        .putInt(8).put("free".getBytes("US-ASCII"))
+    }
+    buf.putInt(8).put("mdat".getBytes("US-ASCII"))
+    buf.array()
+  }
+}
