@@ -25,8 +25,14 @@ import org.apache.spark.sql.SparkSession
   * summed warm seconds, ordered cheapest-first so any residual JVM
   * degradation lands on the query that caused it, not its followers.
   * Any row with warm > cold (an impossible ordering for a healthy
-  * JVM) is retried once and, if it persists, published with
-  * `"suspect":true` instead of silently standing.
+  * JVM) is retried once — and, for sub-second queries where a single
+  * scheduler hiccup outweighs the query itself, with
+  * [[ExtraWarmRunsSubSecond]] further samples — and if it still
+  * persists ABOVE [[SuspectNoiseFloorSec]] it is published with
+  * `"suspect":true` instead of silently standing. Below the floor
+  * the inversion is sub-noise by construction (round-9 lesson:
+  * q_ngram published warm 0.312 > cold 0.292 — 20 ms of jitter on a
+  * 0.3 s query — and flagged a healthy run).
   *
   * Timing forces full execution through the noop datasource sink so
   * Catalyst cannot prune deterministic projection columns the way a
@@ -67,6 +73,19 @@ object Bench {
     * 1.4×+ its prior from a shared JVM; the solo number was real). */
   private val SoloReverifyFactor = 1.4
   private val CostsPath = "benchmarks/bench_costs.json"
+  /** warm > cold only counts as suspect when warm also exceeds this
+    * floor: beneath it the inversion is scheduler jitter on a query
+    * cheaper than the noise, not JVM degradation. */
+  private[graft] val SuspectNoiseFloorSec = 0.5
+  /** Extra warm samples taken when a sub-second query still shows
+    * warm > cold after the standard retry. */
+  private val ExtraWarmRunsSubSecond = 3
+
+  /** Is a (cold, warm) row suspect? warm > cold is impossible for a
+    * healthy JVM (warm is a min over later runs of the same work) —
+    * but only meaningful above the noise floor. */
+  private[graft] def isSuspect(cold: Double, warm: Double): Boolean =
+    warm > cold && warm > SuspectNoiseFloorSec
 
   /** Does this (query, warm) row need the automatic solo re-run?
     * Only rows that ran in a SHARED child qualify — a solo child IS
@@ -207,16 +226,16 @@ object Bench {
       "q_linsvc_predict", "q_logreg_train", "q_naive_bayes", "q_knn")
     val coreTotal = timings.collect { case (k, (_, w)) if r1Queries(k) => w }.sum
 
-    // warm > cold is impossible for a healthy JVM (warm is a min over
-    // later runs of the same work) — publish the contradiction as a
-    // flag instead of leaving the reader to spot it (round-5 lesson)
-    val suspects = timings.collect { case (k, (c, w)) if w > c => k }.toSeq
+    // warm > cold is impossible for a healthy JVM — publish the
+    // contradiction as a flag instead of leaving the reader to spot
+    // it (round-5 lesson), but only above the noise floor (round-9)
+    val suspects = timings.collect { case (k, (c, w)) if isSuspect(c, w) => k }.toSeq
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // full detail (every query, cold + warm) — survives as a repo file
     val detailJson = timings
       .map { case (k, (c, w)) =>
-        val flag = if (w > c) ""","suspect":true""" else ""
+        val flag = if (isSuspect(c, w)) ""","suspect":true""" else ""
         s""""$k":{"cold":${fmt(c)},"warm":${fmt(w)}$flag}"""
       }
       .mkString("{", ",", "}")
@@ -335,6 +354,11 @@ object Bench {
         // storm); one retry usually resolves it — if not, the parent
         // publishes the row as suspect
         if (warm > cold) warm = math.min(warm, once())
+        // sub-second queries: a single scheduler hiccup outweighs the
+        // query itself, so take a deeper sample before letting the
+        // inversion stand (round-9 q_ngram lesson)
+        if (warm > cold && cold < 1.0)
+          warm = math.min(warm, (1 to ExtraWarmRunsSubSecond).map(_ => once()).min)
         writer.println(s"$name\t$cold\t$warm")
       } catch {
         case e: Throwable =>
