@@ -224,6 +224,112 @@ object ScaleUp {
       n
     }
 
+    // DSIR importance scoring at scale: exact bigram keys vs the
+    // bounded hashed feature space (hashBuckets — Xie et al.'s actual
+    // construction). The planted target domain is a vocabulary-
+    // restricted projection of a corpus slice (tokens whose hash % 4
+    // == 0), so raw documents genuinely differ in how target-like
+    // they are. Reports: per-variant seconds, LM table rows (the
+    // unbounded-vocab term the hashing bounds), and top-1% selection
+    // overlap hashed-vs-exact.
+    stage("dsir") {
+      val target = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), array_join(filter(split(col("text"), " "),
+          t => pmod(xxhash64(t), lit(4)) === lit(0)), " ").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      target.count()
+      val topN = 5000
+      def fmtD(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      def score(buckets: Int): (DataFrame, Set[Long], Double) = {
+        val t0 = System.nanoTime()
+        val scored = new graft.text.ImportanceScorer()
+          .setInputCol("text").setOutputCol("dsir").setIdCol("doc_id")
+          .setHashBuckets(buckets)
+          .transform(docs, target).head
+          .where(col("dsir").isNotNull).select("doc_id", "dsir")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ids = scored.orderBy(col("dsir").desc, col("doc_id")).limit(topN)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        (scored, ids, (System.nanoTime() - t0) / 1e9)
+      }
+      def lmRows(buckets: Int): Long = new graft.text.NgramLm()
+        .setInputCol("text").setOutputCol("b").setHashBuckets(buckets)
+        .fit(docs).getModelData(0).count()
+      val (exactDf, exactIds, exactSec) = score(0)
+      // two points on the bound-vs-fidelity dial: 2^22 (heavier
+      // pooling: ~2 bigrams/bucket here) and 2^24 (~collision-light)
+      val variants = Seq(1 << 22, 1 << 24).map { b =>
+        val (hDf, hIds, hSec) = score(b)
+        val overlap = (exactIds & hIds).size.toDouble / topN
+        // ID overlap at a dense top-1% boundary understates score
+        // fidelity — Pearson r over all docs is the direct measure
+        val r = exactDf.join(hDf.withColumnRenamed("dsir", "h")
+            .withColumnRenamed("doc_id", "d2"), col("doc_id") === col("d2"))
+          .agg(corr(col("dsir"), col("h"))).head.getDouble(0)
+        hDf.unpersist(blocking = false)
+        s""""dsir_b$b":{"sec":${String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(hSec))},"lm_rows":${lmRows(b)},""" +
+          s""""top${topN}_overlap":${fmtD(overlap)},"score_corr":${fmtD(r)}}"""
+      }
+      val exactRows = lmRows(0)
+      exactDf.unpersist(blocking = false)
+      target.unpersist(blocking = false)
+      println(s"""{"dsir_exact_sec":${String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(exactSec))},"dsir_lm_rows_exact":$exactRows,""" +
+        variants.mkString(",") + "}")
+      exactIds.size.toLong
+    }
+
+    // Gopher rule bundle: pure in-row Column math — prove the
+    // one-pass/scan-bound claim with a measured row
+    stage("gopher") {
+      new graft.text.GopherFilter().setInputCol("text")
+        .setMinWords(10).setMinStopwordHits(1)
+        .transform(docs).head
+        .where(col("gopher_keep")).count()
+    }
+
+    // Cross-source overlap matrix: distinct (fingerprint, source) +
+    // slim self-join; the planted zz_eval source (every 10th doc
+    // relabeled, as in the oracle query) provides nonzero overlap
+    stage("corpus_overlap") {
+      val multi = docs.union(
+        docs.where(col("doc_id") % 10 === 0).withColumn("source", lit("zz_eval")))
+      new graft.text.CorpusOverlap().setInputCol("text").setSourceCol("source")
+        .transform(multi).head.count()
+    }
+
+    // Connected components at graph scale: a 10M-edge Erdős–Rényi
+    // graph over 5M vertices (mean degree 4 — one giant component,
+    // diameter ~20) PLUS a planted 1000-hop path (diameter 1000: the
+    // witness min-label propagation cannot finish in bounded rounds;
+    // the alternating star contraction converges in O(log n))
+    stage("connected_components") {
+      val er = spark.range(0, 10000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(5000000L)).as("dst"))
+      val chain = spark.range(0, 1000).select(
+        (col("id") + 6000000L).as("src"), (col("id") + 6000001L).as("dst"))
+      val t0 = System.nanoTime()
+      val labels = graft.dedup.ConnectedComponents.run(er.union(chain), maxIter = 30)
+      val n = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rounds = graft.dedup.ConnectedComponents.lastRounds
+      val chainOk = labels.where(col("id") >= 6000000L)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("component") === 6000000L, 1L).otherwise(0L)).as("ok")).head
+      val comp = labels.groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("numComponents"), max("sz").as("giant")).head
+      labels.unpersist(blocking = false)
+      println(s"""{"cc_algorithm":"star","cc_rounds":$rounds,""" +
+        s""""cc_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""cc_vertices":$n,"cc_components":${comp.getLong(0)},""" +
+        s""""cc_giant_component":${comp.getLong(1)},""" +
+        s""""cc_chain_vertices":${chainOk.getLong(0)},""" +
+        s""""cc_chain_correct":${chainOk.getLong(1) == chainOk.getLong(0)}}""")
+      n
+    }
+
     // q_dedup's pipeline at scale, with HashingTF in place of the
     // fitted CountVectorizer — shingle hashing needs no vocabulary
     // pass, which is the choice a 100 TB corpus forces anyway
@@ -451,12 +557,24 @@ object ScaleUp {
           .getOrElse(0L)
       val fullB = dirBytes(s"$tmp/full"); val quantB = dirBytes(s"$tmp/quant")
       val pqB = dirBytes(s"$tmp/pq")
+      // list-size skew — the classic IVF trade-off, measured: task
+      // pressure at probe time is proportional to the largest probed
+      // list, so report the histogram and the max/median ratio
+      val sizes = spark.read.parquet(s"$tmp/full")
+        .groupBy("cell").agg(count(lit(1)).as("sz"))
+        .agg(min("sz").as("mn"), expr("percentile_approx(sz, 0.5)").as("p50"),
+          max("sz").as("mx"), count(lit(1)).as("lists")).head
+      val (mn, p50, mx) = (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2))
       println(s"""{"ivf_list_full_mb":${fmtMb(fullB)},"ivf_list_quant_mb":${fmtMb(quantB)},""" +
         s""""ivf_list_pq_mb":${fmtMb(pqB)},""" +
         s""""ivf_list_int8_ratio":${String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(fullB.toDouble / math.max(quantB, 1L)))},""" +
         s""""ivf_list_pq_ratio":${String.format(java.util.Locale.ROOT, "%.2f",
-          Double.box(fullB.toDouble / math.max(pqB, 1L)))}}""")
+          Double.box(fullB.toDouble / math.max(pqB, 1L)))},""" +
+        s""""ivf_list_count":${sizes.getLong(3)},"ivf_list_size_min":$mn,""" +
+        s""""ivf_list_size_p50":$p50,"ivf_list_size_max":$mx,""" +
+        s""""ivf_list_max_over_median":${String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(mx.toDouble / math.max(p50, 1L)))}}""")
       fullB / math.max(pqB, 1L)
     }
 
