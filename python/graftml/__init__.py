@@ -125,9 +125,11 @@ _STAGES = [
     "graft.ann.IvfIndexer", "graft.ann.IvfIndexModel",
     "graft.ann.ProductQuantizer", "graft.ann.ProductQuantizerModel",
     "graft.ann.ScalarQuantizer", "graft.ann.ScalarQuantizerModel",
+    "graft.multimodal.AudioDecoder",
     "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder",
+    "graft.multimodal.VideoDecoder",
     "graft.join.AsOfJoiner",
     "graft.join.IntervalJoiner",
 ]

@@ -21,3 +21,21 @@ def cosine_similarity(a, b):
     """Cosine similarity of two array<double> columns (whole-stage
     codegen); call register(spark) once per session before use."""
     return call_function("cosineSimilarity", a, b)
+
+
+def connected_components(edges, src="src", dst="dst", max_iter=50,
+                         driver_edge_limit=None, algorithm="star"):
+    """Connected components over an edge-list DataFrame: returns a
+    DataFrame (id, component) where component is the minimum vertex id
+    reachable from id. Delegates to graft.dedup.ConnectedComponents
+    (driver union-find for small edge lists; distributed alternating
+    large-star/small-star contraction — or min-label propagation with
+    algorithm="minlabel" — above driver_edge_limit)."""
+    from pyspark.sql import DataFrame
+    spark = edges.sparkSession
+    cc = spark._jvm.graft.dedup.ConnectedComponents
+    if driver_edge_limit is None:
+        driver_edge_limit = cc.DriverEdgeLimit()
+    jdf = cc.run(edges._jdf, src, dst, int(max_iter), int(driver_edge_limit),
+                 algorithm)
+    return DataFrame(jdf, spark)
