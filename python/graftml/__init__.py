@@ -103,6 +103,7 @@ _STAGES = [
     "graft.dedup.SimHasher",
     "graft.dedup.SpanDeduplicator",
     "graft.text.Bm25Scorer",
+    "graft.text.C4Filter",
     "graft.text.FrequentNgrams",
     "graft.text.GopherFilter",
     "graft.text.ImportanceScorer",
@@ -117,6 +118,7 @@ _STAGES = [
     "graft.text.PiiRedactor",
     "graft.text.RepetitionStats",
     "graft.text.SequencePacker",
+    "graft.text.TextNormalizer",
     "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",
     "graft.ann.BruteForceCosineKnn",

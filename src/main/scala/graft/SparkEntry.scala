@@ -495,6 +495,42 @@ object SparkEntry {
           col("rule_alpha_words"), col("rule_stopwords"), col("gopher_keep"))
     }),
 
+    // --- C4 cleaning rules (Raffel et al. 2020 §2.2) over a
+    // synthetic multi-line page per doc: the constant lines exercise
+    // every LINE rule (terminal punct, min words, javascript) and
+    // doc_id-gated lines exercise both PAGE rules ---
+    "q_c4_filter" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("Too short."),
+        lit("no terminal punctuation on this line at all"),
+        lit("Enable javascript to view this site properly."),
+        when(col("doc_id") % 7 === 0,
+          lit("this page has lorem ipsum placeholder text inside."))
+          .otherwise(lit("A perfectly fine closing sentence sits right here.")),
+        when(col("doc_id") % 11 === 0,
+          lit("code with a { brace drops the whole page."))
+          .otherwise(lit("Another good ending sentence stands right here!")))
+      new graft.text.C4Filter().setInputCol("page")
+        .transform(t(s, dir, "documents").withColumn("page", page)).head
+        .select(col("doc_id"),
+          col("n_lines_kept"), col("n_sentences"),
+          col("rule_min_sentences"), col("rule_not_banned"), col("c4_keep"),
+          md5(to_binary(col("c4_text"), lit("utf-8"))).as("c4_md5"))
+    }),
+
+    // --- canonical text normalization (pre-fingerprint convention):
+    // planted control chars, accents, case, and whitespace runs ---
+    "q_normalize" -> ((s, dir) => {
+      val dirty = concat(lit("  Héllo\tWörld "), upper(col("text")),
+        lit("  à LA ÑOÑO "))
+      new graft.text.TextNormalizer().setInputCol("dirty").setOutputCol("norm")
+        .transform(t(s, dir, "documents").withColumn("dirty", dirty)).head
+        .select(col("doc_id"),
+          md5(to_binary(col("norm"), lit("utf-8"))).as("norm_md5"),
+          length(col("norm")).cast("int").as("n_chars"))
+    }),
+
     // --- DSIR importance scoring (Xie et al. 2023): log-likelihood
     // ratio of each doc under the English-target bigram LM vs the
     // raw-corpus LM, bits per bigram; the data-selection score a
@@ -2980,6 +3016,61 @@ object SparkEntry {
                   AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
                   AND rule_stopwords AS gopher_keep
          FROM r""",
+
+    // the C4 rules replayed line by line on the same synthetic page
+    "q_c4_filter" ->
+      """WITH pages AS (
+           SELECT doc_id,
+                  concat_ws(chr(10),
+                    text || '.',
+                    'Too short.',
+                    'no terminal punctuation on this line at all',
+                    'Enable javascript to view this site properly.',
+                    CASE WHEN doc_id % 7 = 0
+                         THEN 'this page has lorem ipsum placeholder text inside.'
+                         ELSE 'A perfectly fine closing sentence sits right here.' END,
+                    CASE WHEN doc_id % 11 = 0
+                         THEN 'code with a { brace drops the whole page.'
+                         ELSE 'Another good ending sentence stands right here!' END) AS page
+           FROM documents),
+         cleaned AS (
+           SELECT doc_id, page,
+                  array_to_string(list_filter(string_split(page, chr(10)), l ->
+                    regexp_matches(trim(l), '[.!?]["”]?$')
+                    AND len(string_split_regex(trim(l), '\s+')) >= 5
+                    AND NOT regexp_matches(lower(l), '\bjavascript\b')), chr(10)) AS c4,
+                  len(list_filter(string_split(page, chr(10)), l ->
+                    regexp_matches(trim(l), '[.!?]["”]?$')
+                    AND len(string_split_regex(trim(l), '\s+')) >= 5
+                    AND NOT regexp_matches(lower(l), '\bjavascript\b'))) AS nkept
+           FROM pages),
+         m AS (
+           SELECT doc_id, c4, nkept,
+                  len(c4) - len(regexp_replace(c4, '[.!?]', '', 'g')) AS nsent,
+                  NOT (contains(lower(page), 'lorem ipsum')
+                       OR contains(lower(page), '{')) AS not_banned
+           FROM cleaned)
+         SELECT doc_id,
+                CAST(nkept AS INT) AS n_lines_kept,
+                CAST(nsent AS INT) AS n_sentences,
+                nsent >= 3 AS rule_min_sentences,
+                not_banned AS rule_not_banned,
+                nsent >= 3 AND not_banned AND nkept >= 1 AS c4_keep,
+                md5(c4) AS c4_md5
+         FROM m""",
+
+    // normalization chain replayed in the Spark operator's order:
+    // control strip -> accent translate -> lower -> collapse + trim
+    "q_normalize" ->
+      ("""SELECT doc_id, md5(n) AS norm_md5, CAST(length(n) AS INT) AS n_chars
+         FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(translate(
+                   regexp_replace('  Héllo' || chr(9) || 'Wörld ' || upper(text) || '  à LA ÑOÑO ',
+                     '[\x00-\x1f\x7f]', ' ', 'g'),
+                   '""" + graft.text.TextNormalizer.AccentFrom + """', '"""
+        + graft.text.TextNormalizer.AccentTo + """')),
+                 '\s+', ' ', 'g')) AS n
+               FROM documents)"""),
 
     // two q_ngram_lm replays — counts from the en-target subset and
     // from the whole corpus — then score = raw bits − target bits
