@@ -94,6 +94,7 @@ _STAGES = [
     "graft.streaming.Sessionizer",
     "graft.streaming.StreamingDeduplicator",
     # dedup / text / ann / multimodal / join
+    "graft.dedup.BloomDecontaminator",
     "graft.dedup.CosineDeduplicator",
     "graft.dedup.CosineIndexer", "graft.dedup.CosineIndexModel",
     "graft.dedup.Decontaminator",

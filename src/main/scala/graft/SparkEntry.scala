@@ -1753,6 +1753,28 @@ object SparkEntry {
         .select("doc_id", "matched_ngrams", "contaminated")
     }),
 
+    // --- Bloom-filter decontamination: same contract as
+    // q_decontaminate but the corpus side is one zero-shuffle scan
+    // against a broadcast filter. The oracle is the EXACT match count:
+    // Bloom has no false negatives, and at fpp 1e-6 over ~400k probed
+    // grams the expected false-positive count is < 0.4 — a mismatch
+    // here means real overcounting, which is the thing to catch ---
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(t(s, dir, "documents")).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(8)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+      val train = grams.where(col("doc_id") % 10 =!= 0)
+      val evalSet = grams.where(col("doc_id") % 10 === 0)
+      new graft.dedup.BloomDecontaminator()
+        .setIdCol("doc_id").setInputCol("shingles").setFpp(1e-6)
+        .transform(train, evalSet).head
+        .select("doc_id", "matched_ngrams", "contaminated")
+    }),
+
     // --- Sessionizer (gap-based sessions per user over the event stream) ---
     "q_sessionize" -> ((s, dir) => {
       val ev = eventsTsm(s, dir)
@@ -4228,6 +4250,33 @@ object SparkEntry {
          SELECT doc_id, lang FROM r WHERE rn <= 50""",
 
     "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                 || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+                                 FOR i IN range(1, len(ws) - 6)]) AS sg
+           FROM toks WHERE len(ws) >= 8
+         ),
+         tr AS (SELECT doc_id, sg FROM sh WHERE doc_id % 10 <> 0),
+         ev AS (SELECT DISTINCT unnest(sg) AS g FROM sh WHERE doc_id % 10 = 0),
+         tg AS (SELECT doc_id, unnest(sg) AS g FROM tr),
+         cnt AS (SELECT tg.doc_id, COUNT(*) AS m
+                 FROM tg JOIN ev ON tg.g = ev.g GROUP BY tg.doc_id)
+         SELECT tr.doc_id,
+                COALESCE(cnt.m, 0) AS matched_ngrams,
+                COALESCE(cnt.m, 0) >= 1 AS contaminated
+         FROM tr LEFT JOIN cnt ON tr.doc_id = cnt.doc_id""",
+
+    // same oracle as q_decontaminate ON PURPOSE: Bloom membership has
+    // no false negatives, and at fpp 1e-6 the expected false-positive
+    // overcount on this corpus is < 0.4 grams — equality with the
+    // exact join is the meaningful check
+    "q_bloom_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
                   list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) >= 1) AS ws

@@ -280,6 +280,49 @@ object ScaleUp {
       exactIds.size.toLong
     }
 
+    // Decontamination two ways at 500k docs: the exact gram equi-join
+    // vs the broadcast Bloom filter (corpus side: one zero-shuffle
+    // scan). Reports per-variant seconds + flag parity + overcount.
+    stage("decontaminate") {
+      val toks = new graft.feature.RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+        .transform(docs).head
+      val grams = new graft.feature.NGram()
+        .setInputCol("tokens").setOutputCol("shingles").setN(8)
+        .transform(toks).head
+        .where(size(col("shingles")) > 0)
+        .select("doc_id", "shingles")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      grams.count()
+      val train = grams.where(col("doc_id") % 10 =!= 0)
+      val evalSet = grams.where(col("doc_id") % 10 === 0)
+      def run(op: => DataFrame): (DataFrame, Double) = {
+        val t0 = System.nanoTime()
+        val out = op.select(col("doc_id"), col("contaminated"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        (out, (System.nanoTime() - t0) / 1e9)
+      }
+      val (exact, exactSec) = run(new graft.dedup.Decontaminator()
+        .setIdCol("doc_id").setInputCol("shingles").transform(train, evalSet).head)
+      val (bloom, bloomSec) = run(new graft.dedup.BloomDecontaminator()
+        .setIdCol("doc_id").setInputCol("shingles").setFpp(1e-6)
+        .transform(train, evalSet).head)
+      val joined = exact.withColumnRenamed("contaminated", "e")
+        .join(bloom.withColumnRenamed("contaminated", "b")
+          .withColumnRenamed("doc_id", "d2"), col("doc_id") === col("d2"))
+      val fn = joined.where(col("e") && !col("b")).count()   // must be 0
+      val fp = joined.where(!col("e") && col("b")).count()
+      val flagged = exact.where(col("contaminated")).count()
+      exact.unpersist(blocking = false); bloom.unpersist(blocking = false)
+      grams.unpersist(blocking = false)
+      println(s"""{"decon_exact_sec":${String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(exactSec))},"decon_bloom_sec":${String.format(java.util.Locale.ROOT,
+        "%.2f", Double.box(bloomSec))},"decon_flagged":$flagged,""" +
+        s""""decon_bloom_false_negatives":$fn,"decon_bloom_false_positives":$fp}""")
+      flagged
+    }
+
     // Gopher rule bundle: pure in-row Column math — prove the
     // one-pass/scan-bound claim with a measured row
     stage("gopher") {
