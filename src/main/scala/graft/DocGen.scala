@@ -51,25 +51,29 @@ object DocGen {
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",
     "graft.streaming.OnlineStandardScaler", "graft.streaming.Sessionizer",
     "graft.streaming.StreamingDeduplicator",
+    "graft.dedup.BloomDecontaminator",
     "graft.dedup.CosineDeduplicator", "graft.dedup.CosineIndexer",
     "graft.dedup.Decontaminator",
     "graft.dedup.MinHashDeduplicator", "graft.dedup.MinHashIndexer",
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher", "graft.dedup.SpanDeduplicator",
-    "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.ChunkSplitter",
+    "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.C4Filter",
+    "graft.text.ChunkSplitter",
     "graft.text.CorpusOverlap",
     "graft.text.DocumentFingerprinter", "graft.text.ExactDeduplicator",
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",
     "graft.text.ImportanceScorer",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
-    "graft.text.SequencePacker", "graft.text.TextQualityScorer",
+    "graft.text.SequencePacker", "graft.text.TextNormalizer",
+    "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",
     "graft.ann.BruteForceCosineKnn", "graft.ann.CosineLshKnn",
     "graft.ann.IvfCosineKnn", "graft.ann.IvfIndexer", "graft.ann.ProductQuantizer",
     "graft.ann.ScalarQuantizer",
-    "graft.multimodal.BinaryDecodeStub", "graft.multimodal.FrameSampler",
-    "graft.multimodal.ImageDecoder",
+    "graft.multimodal.AudioDecoder", "graft.multimodal.BinaryDecodeStub",
+    "graft.multimodal.FrameSampler",
+    "graft.multimodal.ImageDecoder", "graft.multimodal.VideoDecoder",
     "graft.join.AsOfJoiner", "graft.join.IntervalJoiner")
 
   private def instantiate(fqcn: String): WithParams[_] =
