@@ -465,6 +465,18 @@ object SparkEntry {
         .select(col("id"), col("component"))
     }),
 
+    // --- same graph through the min-label loop, so BOTH distributed
+    // algorithms stay oracle-gated (default above is the star
+    // contraction) ---
+    "q_cc_minlabel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 5 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") - 1).as("dst"))
+      graft.dedup.ConnectedComponents.run(edges, "src", "dst",
+          maxIter = 50, driverEdgeLimit = 0L, algorithm = "minlabel")
+        .select(col("id"), col("component"))
+    }),
+
     // --- Cross-source corpus overlap matrix: the corpus has no
     // natural cross-source exact dups, so a planted "zz_eval" source
     // (every 10th doc re-labeled) provides the nonzero overlap — the
@@ -540,6 +552,20 @@ object SparkEntry {
       val target = docs.where(col("lang") === "en")
       new graft.text.ImportanceScorer()
         .setInputCol("text").setOutputCol("dsir_score").setIdCol("doc_id")
+        .transform(docs, target).head
+        .select(col("doc_id"), col("lang"),
+          round(col("dsir_score"), 6).as("dsir_score"))
+    }),
+
+    // --- hashed-LM DSIR against the SAME exact-count oracle: at
+    // Int.MaxValue buckets the ~46k corpus bigrams hash collision-
+    // free, so the bounded tables must reproduce the exact scores ---
+    "q_dsir_hashed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en")
+      new graft.text.ImportanceScorer()
+        .setInputCol("text").setOutputCol("dsir_score").setIdCol("doc_id")
+        .setHashBuckets(Int.MaxValue)
         .transform(docs, target).head
         .select(col("doc_id"), col("lang"),
           round(col("dsir_score"), 6).as("dsir_score"))
@@ -2286,6 +2312,52 @@ object SparkEntry {
    * scales — cross-checked round 7: all three share the same single
    * tie diff at sf0.1).
    */
+  /** Shared by q_dsir and q_dsir_hashed: a collision-free hash width
+    * reproduces the exact bigram LM scores, so both queries replay the
+    * same exact-count SQL. */
+  private val dsirOracleSql: String =
+    """WITH w AS (
+           SELECT doc_id, lang,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents
+         ),
+         vt AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+                FROM (SELECT unnest(words) AS t FROM w WHERE lang = 'en')),
+         vr AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+                FROM (SELECT unnest(words) AS t FROM w)),
+         flat AS (
+           SELECT doc_id, lang, u.p AS p, u.w1 AS w1, u.w2 AS w2
+           FROM (SELECT doc_id, lang,
+                        unnest([{'p': i, 'w1': words[i], 'w2': words[i+1]}
+                                FOR i IN range(1, len(words))]) AS u
+                 FROM w)
+         ),
+         ct AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
+                FROM flat WHERE lang = 'en' GROUP BY w1, w2),
+         cr AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM flat GROUP BY w1, w2),
+         xt AS (SELECT w1, SUM(c) AS ctx FROM ct GROUP BY w1),
+         xr AS (SELECT w1, SUM(c) AS ctx FROM cr GROUP BY w1),
+         st AS (SELECT f.doc_id, f.p,
+                       log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * vt.vs)) AS lp
+                FROM flat f
+                LEFT JOIN ct c ON c.w1 = f.w1 AND c.w2 = f.w2
+                LEFT JOIN xt x ON x.w1 = f.w1
+                CROSS JOIN vt),
+         sr AS (SELECT f.doc_id, f.p,
+                       log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * vr.vs)) AS lp
+                FROM flat f
+                LEFT JOIN cr c ON c.w1 = f.w1 AND c.w2 = f.w2
+                LEFT JOIN xr x ON x.w1 = f.w1
+                CROSS JOIN vr),
+         pt AS (SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s FROM st GROUP BY doc_id),
+         pr AS (SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s FROM sr GROUP BY doc_id)
+         SELECT d.doc_id, d.lang,
+                ROUND((-pr.s / pr.m) - (-pt.s / pt.m), 6) AS dsir_score
+         FROM (SELECT doc_id, lang FROM documents) d
+         LEFT JOIN pt ON pt.doc_id = d.doc_id
+         LEFT JOIN pr ON pr.doc_id = d.doc_id"""
+
   private val swingOracleSql: String =
     """WITH p AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -2956,6 +3028,12 @@ object SparkEntry {
       """SELECT event_id AS id, event_id - event_id % 5 AS component
          FROM events""",
 
+    // same closed-form oracle: both distributed algorithms must
+    // produce identical min-labelled components
+    "q_cc_minlabel" ->
+      """SELECT event_id AS id, event_id - event_id % 5 AS component
+         FROM events""",
+
     // distinct (fingerprint, source) + self-join on the fingerprint;
     // zero-overlap pairs kept via the per-source-count cross pairs
     "q_corpus_overlap" ->
@@ -3096,48 +3174,14 @@ object SparkEntry {
 
     // two q_ngram_lm replays — counts from the en-target subset and
     // from the whole corpus — then score = raw bits − target bits
-    "q_dsir" ->
-      """WITH w AS (
-           SELECT doc_id, lang,
-                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                       ELSE string_split_regex(trim(text), '\s+') END AS words
-           FROM documents
-         ),
-         vt AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
-                FROM (SELECT unnest(words) AS t FROM w WHERE lang = 'en')),
-         vr AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
-                FROM (SELECT unnest(words) AS t FROM w)),
-         flat AS (
-           SELECT doc_id, lang, u.p AS p, u.w1 AS w1, u.w2 AS w2
-           FROM (SELECT doc_id, lang,
-                        unnest([{'p': i, 'w1': words[i], 'w2': words[i+1]}
-                                FOR i IN range(1, len(words))]) AS u
-                 FROM w)
-         ),
-         ct AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
-                FROM flat WHERE lang = 'en' GROUP BY w1, w2),
-         cr AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM flat GROUP BY w1, w2),
-         xt AS (SELECT w1, SUM(c) AS ctx FROM ct GROUP BY w1),
-         xr AS (SELECT w1, SUM(c) AS ctx FROM cr GROUP BY w1),
-         st AS (SELECT f.doc_id, f.p,
-                       log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * vt.vs)) AS lp
-                FROM flat f
-                LEFT JOIN ct c ON c.w1 = f.w1 AND c.w2 = f.w2
-                LEFT JOIN xt x ON x.w1 = f.w1
-                CROSS JOIN vt),
-         sr AS (SELECT f.doc_id, f.p,
-                       log2((COALESCE(c.c, 0) + 0.1) / (COALESCE(x.ctx, 0) + 0.1 * vr.vs)) AS lp
-                FROM flat f
-                LEFT JOIN cr c ON c.w1 = f.w1 AND c.w2 = f.w2
-                LEFT JOIN xr x ON x.w1 = f.w1
-                CROSS JOIN vr),
-         pt AS (SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s FROM st GROUP BY doc_id),
-         pr AS (SELECT doc_id, COUNT(*) AS m, SUM(lp ORDER BY p) AS s FROM sr GROUP BY doc_id)
-         SELECT d.doc_id, d.lang,
-                ROUND((-pr.s / pr.m) - (-pt.s / pt.m), 6) AS dsir_score
-         FROM (SELECT doc_id, lang FROM documents) d
-         LEFT JOIN pt ON pt.doc_id = d.doc_id
-         LEFT JOIN pr ON pr.doc_id = d.doc_id""",
+    "q_dsir" -> dsirOracleSql,
+
+    // SAME oracle on purpose: a collision-free hash width (the query
+    // uses Int.MaxValue buckets over ~46k corpus bigrams) must
+    // reproduce the exact scores bitwise — the end-to-end version of
+    // the NgramLmHashedSpec parity property
+    "q_dsir_hashed" -> dsirOracleSql,
+
 
     "q_chunks" ->
       """WITH w AS (
