@@ -819,6 +819,26 @@ object SparkEntry {
         .select(col("event_id"), col("w_start"), col("purchase_value"))
     }),
 
+    // --- interval-OVERLAP join (RangeJoiner): 30-min click sessions
+    // against 1-h purchase windows, keyed by user; the binned grid
+    // join must reproduce the exact overlap predicate pair-for-pair ---
+    "q_range_join" -> ((s, dir) => {
+      val ev = eventsTsm(s, dir)
+      val sessions = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("tsm").as("s_start"), (col("tsm") + 1800000L).as("s_end"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsm").as("w_start"),
+          (col("tsm") + 3600000L).as("w_end"), round(col("value"), 6).as("purchase_value"))
+      new graft.join.RangeJoiner()
+        .setOnCols("user_id")
+        .setLeftStartCol("s_start").setLeftEndCol("s_end")
+        .setRightStartCol("w_start").setRightEndCol("w_end")
+        .setValueCols("purchase_value").setBinWidthMs(3600L * 1000)
+        .transform(sessions, windows).head
+        .select(col("event_id"), col("w_start"), col("purchase_value"))
+    }),
+
     // --- Per-source corpus composition report (quality x dedup x
     // token mass — the "what is in this corpus" dashboard query) ---
     "q_corpus_report" -> ((s, dir) => {
@@ -3628,6 +3648,18 @@ object SparkEntry {
          SELECT c.event_id, w.w_start, w.purchase_value
          FROM c JOIN w ON c.user_id = w.user_id
                       AND c.tsm BETWEEN w.w_start AND w.w_end""",
+
+    // plain overlap predicate — the grid join must match it exactly
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS tsm, value FROM events),
+         c AS (SELECT event_id, user_id, tsm AS s_start, tsm + 1800000 AS s_end
+               FROM e WHERE event_type = 'click'),
+         w AS (SELECT user_id, tsm AS w_start, tsm + 3600000 AS w_end,
+                      ROUND(value, 6) AS purchase_value
+               FROM e WHERE event_type = 'purchase')
+         SELECT c.event_id, w.w_start, w.purchase_value
+         FROM c JOIN w ON c.user_id = w.user_id
+                      AND c.s_start <= w.w_end AND w.w_start <= c.s_end""",
 
     "q_corpus_report" ->
       """WITH s AS (
