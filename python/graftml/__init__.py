@@ -135,6 +135,7 @@ _STAGES = [
     "graft.multimodal.VideoDecoder",
     "graft.join.AsOfJoiner",
     "graft.join.IntervalJoiner",
+    "graft.join.RangeJoiner",
 ]
 
 

@@ -74,7 +74,7 @@ object DocGen {
     "graft.multimodal.AudioDecoder", "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder", "graft.multimodal.VideoDecoder",
-    "graft.join.AsOfJoiner", "graft.join.IntervalJoiner")
+    "graft.join.AsOfJoiner", "graft.join.IntervalJoiner", "graft.join.RangeJoiner")
 
   private def instantiate(fqcn: String): WithParams[_] =
     Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[WithParams[_]]
