@@ -275,4 +275,57 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("star contraction ≡ driver union-find on every random graph") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(5, 60)          // vertices
+      m <- Gen.choose(4, 120)         // edges
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.filter { case (a, b) => a != b }
+    (1 to 5).foreach { i =>
+      val es = draw(edgeGen, 31L * i)
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst")
+        val want = graft.dedup.ConnectedComponents.run(edges)       // driver union-find
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = graft.dedup.ConnectedComponents.run(edges, driverEdgeLimit = 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === want, s"case $i")
+      }
+    }
+  }
+
+  test("RangeJoiner grid join ≡ plain overlap predicate for every bin width") {
+    import spark.implicits._
+    val ivGen = for {
+      nl <- Gen.choose(3, 20)
+      nr <- Gen.choose(3, 20)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 200L),
+        Gen.choose(0L, 2L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 200L),
+        Gen.choose(0L, 2L)))
+      w <- Gen.oneOf(7L, 50L, 300L)
+    } yield (ls, rs, w)
+    (1 to 4).foreach { i =>
+      val (ls, rs, w) = draw(ivGen, 77L * i)
+      val left = ls.zipWithIndex
+        .map { case ((s, len, k), j) => (j.toLong, s, s + len, k) }
+        .toDF("lid", "start", "end", "k")
+      val right = rs.zipWithIndex
+        .map { case ((s, len, k), j) => (j.toLong, s, s + len, k) }
+        .toDF("rid", "r_start", "r_end", "k")
+      val got = new graft.join.RangeJoiner().setOnCols("k")
+        .setLeftStartCol("start").setLeftEndCol("end")
+        .setRightStartCol("r_start").setRightEndCol("r_end")
+        .setValueCols("rid").setBinWidthMs(w).setMaxBinsPerInterval(1000)
+        .transform(left, right).head
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = left.as("l").join(right.as("r"),
+          col("l.k") === col("r.k") && col("l.start") <= col("r.r_end")
+            && col("r.r_start") <= col("l.end"))
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"case $i (binWidth $w)")
+    }
+  }
 }
