@@ -280,6 +280,30 @@ object ScaleUp {
       exactIds.size.toLong
     }
 
+    // Interval-overlap join at volume: 2M left intervals x 200k right
+    // windows over 1,000 keys in a 24h span — the raw overlap
+    // predicate would be a nested loop (2k x 200 per key); the grid
+    // join is an equi-join on (key, hour-bin) + exact filter
+    stage("range_join") {
+      val left = spark.range(0, 2000000L, 1, cpus.toInt).select(
+        col("id").as("lid"),
+        pmod(xxhash64(col("id"), lit(7)), lit(1000L)).as("k"),
+        pmod(xxhash64(col("id"), lit(8)), lit(82800000L)).as("start"))
+        .withColumn("end", col("start") + lit(300000L)
+          + pmod(xxhash64(col("lid"), lit(9)), lit(1500000L)))
+      val right = spark.range(0, 200000L, 1, cpus.toInt).select(
+        col("id").as("rid"),
+        pmod(xxhash64(col("id"), lit(17)), lit(1000L)).as("k"),
+        pmod(xxhash64(col("id"), lit(18)), lit(79200000L)).as("r_start"))
+        .withColumn("r_end", col("r_start") + lit(3600000L))
+      new graft.join.RangeJoiner().setOnCols("k")
+        .setLeftStartCol("start").setLeftEndCol("end")
+        .setRightStartCol("r_start").setRightEndCol("r_end")
+        .setValueCols("rid").setBinWidthMs(3600L * 1000)
+        .transform(left, right).head
+        .count()
+    }
+
     // Decontamination two ways at 500k docs: the exact gram equi-join
     // vs the broadcast Bloom filter (corpus side: one zero-shuffle
     // scan). Reports per-variant seconds + flag parity + overcount.
