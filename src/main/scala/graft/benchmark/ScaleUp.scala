@@ -356,6 +356,40 @@ object ScaleUp {
         .where(col("gopher_keep")).count()
     }
 
+    // C4 line/page rules + canonical normalization chained: both pure
+    // in-row Column math — the full web-cleaning pass, one scan
+    stage("c4_normalize") {
+      val normalized = new graft.text.TextNormalizer()
+        .setInputCol("text").setOutputCol("norm").setLowercase(false)
+        .transform(docs).head
+      new graft.text.C4Filter().setInputCol("norm")
+        .setMinLineWords(5).setMinSentences(0)
+        .transform(normalized).head
+        .where(col("rule_not_banned")).count()
+    }
+
+    // AV header decode throughput: one synthetic WAV (~32 KB) + one
+    // minimal MP4 per doc, built and parsed in-row (header-only walk)
+    stage("av_decode") {
+      val mkWav = udf { id: Long =>
+        graft.multimodal.AudioDecoder.syntheticWav(
+          16000, (4000 + id % 4000).toInt, 2, id)
+      }
+      val mkMp4 = udf { id: Long =>
+        graft.multimodal.VideoDecoder.syntheticMp4(
+          600, 600 + id % 7200, (1 + id % 3).toInt)
+      }
+      val media = docs.select(col("doc_id"))
+        .withColumn("audio", mkWav(col("doc_id")))
+        .withColumn("video", mkMp4(col("doc_id")))
+      val a = new graft.multimodal.AudioDecoder()
+        .setInputCol("audio").setOutputCol("wav").transform(media).head
+      new graft.multimodal.VideoDecoder()
+        .setInputCol("video").setOutputCol("mp4").transform(a).head
+        .where(col("wav.sample_rate") === 16000 && col("mp4.timescale") === 600L)
+        .count()
+    }
+
     // Cross-source overlap matrix: distinct (fingerprint, source) +
     // slim self-join; the planted zz_eval source (every 10th doc
     // relabeled, as in the oracle query) provides nonzero overlap
