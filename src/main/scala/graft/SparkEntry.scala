@@ -531,6 +531,27 @@ object SparkEntry {
           md5(to_binary(col("c4_text"), lit("utf-8"))).as("c4_md5"))
     }),
 
+    // --- JSONL corpus ingest round-trip: documents written as JSONL
+    // shards, a planted corrupt line, read back through CorpusReader's
+    // pinned-schema/corrupt-routing path; every text round-trips
+    // byte-identically (md5) and the bad line lands in the corrupt
+    // channel, not the records (rows_match would catch a leak) ---
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      docs.coalesce(2).write.mode("overwrite").json(s"$tmp/corpus")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/corpus/zz_corrupt.json"),
+        "{this line is not valid json\n")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("source", "string")
+      val (records, corrupt) = graft.sources.CorpusReader.jsonl(s, s"$tmp/corpus", schema)
+      val nCorrupt = corrupt.count()
+      records.select(col("doc_id"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"),
+        col("source"), lit(nCorrupt).cast("long").as("n_corrupt"))
+    }),
+
     // --- canonical text normalization (pre-fingerprint convention):
     // planted control chars, accents, case, and whitespace runs ---
     "q_normalize" -> ((s, dir) => {
@@ -3178,6 +3199,13 @@ object SparkEntry {
                 nsent >= 3 AND not_banned AND nkept >= 1 AS c4_keep,
                 md5(c4) AS c4_md5
          FROM m""",
+
+    // identity modulo the JSON round-trip (which must be lossless);
+    // the planted corrupt line shows up ONLY in n_corrupt
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, source,
+                CAST(1 AS BIGINT) AS n_corrupt
+         FROM documents""",
 
     // normalization chain replayed in the Spark operator's order:
     // control strip -> accent translate -> lower -> collapse + trim
