@@ -23,6 +23,18 @@ def cosine_similarity(a, b):
     return call_function("cosineSimilarity", a, b)
 
 
+def read_jsonl(spark, path, schema, add_source_file=False):
+    """Pinned-schema JSONL corpus ingest with corrupt-line routing
+    (delegates to graft.sources.CorpusReader). Returns (records,
+    corrupt): records has exactly the schema's columns; corrupt has
+    (raw_line, source_file) for lines that failed to parse."""
+    from pyspark.sql import DataFrame
+    jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(schema.json())
+    t = spark._jvm.graft.sources.CorpusReader.jsonl(
+        spark._jsparkSession, path, jschema, bool(add_source_file))
+    return DataFrame(t._1(), spark), DataFrame(t._2(), spark)
+
+
 def connected_components(edges, src="src", dst="dst", max_iter=50,
                          driver_edge_limit=None, algorithm="star"):
     """Connected components over an edge-list DataFrame: returns a

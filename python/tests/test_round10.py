@@ -22,6 +22,20 @@ def test_connected_components_distributed_star(spark):
     assert out == {(i, 100) for i in range(100, 121)}
 
 
+def test_read_jsonl(spark, tmp_path):
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+    from graftml.functions import read_jsonl
+    p = tmp_path / "shard.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok", "source": "web"}\n'
+                 'broken line\n')
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType()),
+                         StructField("source", StringType())])
+    records, corrupt = read_jsonl(spark, str(tmp_path), schema)
+    assert [(r["doc_id"], r["text"]) for r in records.collect()] == [(1, "ok")]
+    assert corrupt.count() == 1
+
+
 def test_c4_filter_rules(spark):
     from graftml import C4Filter
     page = ("The quick brown fox jumps over the lazy dog.\n"
