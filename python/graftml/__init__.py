@@ -69,6 +69,8 @@ _STAGES = [
     "graft.feature.StratifiedSampler",
     "graft.feature.WeightedMixer",
     "graft.feature.EpochMixer",
+    "graft.feature.FrequencyEncoder", "graft.feature.FrequencyEncoderModel",
+    "graft.feature.TargetEncoder", "graft.feature.TargetEncoderModel",
     # classification / regression / clustering
     "graft.classification.Knn", "graft.classification.KnnModel",
     "graft.classification.LinearSVC", "graft.classification.LinearSVCModel",
@@ -84,6 +86,7 @@ _STAGES = [
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.RegressionEvaluator",
+    "graft.evaluation.ClusteringEvaluator",
     "graft.recommendation.Swing",
     # streaming
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",

@@ -38,6 +38,7 @@ object DocGen {
     "graft.feature.DeterministicShuffler", "graft.feature.GroupedSplitter",
     "graft.feature.StratifiedSampler", "graft.feature.WeightedMixer",
     "graft.feature.EpochMixer",
+    "graft.feature.FrequencyEncoder", "graft.feature.TargetEncoder",
     "graft.classification.Knn", "graft.classification.LinearSVC",
     "graft.classification.LogisticRegression", "graft.classification.NaiveBayes",
     "graft.regression.LinearRegression",
@@ -46,6 +47,7 @@ object DocGen {
     "graft.stats.DriftDetector",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
+    "graft.evaluation.ClusteringEvaluator",
     "graft.evaluation.RegressionEvaluator",
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",

@@ -2122,6 +2122,45 @@ object SparkEntry {
       val model = new graft.clustering.KMeansModel().setModelData(cents)
       model.transform(assembled).head
         .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
+    }),
+
+    // --- Squared-Euclidean silhouette of the embeddings' ground-truth
+    // labeling (per-cluster quality rows) ---
+    "q_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("cluster"),
+          col("embedding").cast("array<double>").as("f"))
+      new graft.evaluation.ClusteringEvaluator()
+        .setFeaturesCol("f").setPredictionCol("cluster")
+        .transform(emb).head
+        .select(col("cluster"), col("n"),
+          round(col("mean_silhouette"), 6).as("mean_silhouette"))
+    }),
+
+    // --- Frequency encoding of order priority (per-row broadcast-join
+    // inference over the full fact table) ---
+    "q_freq_encode" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val model = new graft.feature.FrequencyEncoder()
+        .setInputCol("o_orderpriority").setOutputCol("enc").fit(ord)
+      model.transform(ord).head
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("enc"), 6).as("enc"))
+    }),
+
+    // --- m-estimate target encoding of return flag by extended price,
+    // scored on the category set plus one unseen category ---
+    "q_target_encode" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val model = new graft.feature.TargetEncoder()
+        .setInputCol("l_returnflag").setOutputCol("enc")
+        .setLabelCol("l_extendedprice").setSmoothing(50.0).fit(li)
+      val cats = li.select(col("l_returnflag").cast("string").as("category"))
+        .distinct()
+        .union(Seq("ZZ").toDF("category"))
+      model.setInputCol("category").transform(cats).head
+        .select(col("category"), round(col("enc"), 6).as("enc"))
     })
   )
 
@@ -4699,7 +4738,55 @@ object SparkEntry {
          )
          SELECT l_orderkey, l_linenumber,
                 ROUND((l_extendedprice - q.med) / (q.hi - q.lo), 6) AS scaled_price
-         FROM lineitem, q"""
+         FROM lineitem, q""",
+
+    // squared-Euclidean silhouette via the centroid decomposition:
+    // sum of sq dists from x to cluster c = psi_c + n_c*||x||^2 - 2*x.Y_c
+    "q_silhouette" ->
+      """WITH pts AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster,
+                             CAST(embedding AS DOUBLE[]) AS f FROM embeddings),
+         sq AS (SELECT vec_id, cluster, list_dot_product(f, f) AS sqn FROM pts),
+         ex AS (SELECT vec_id, cluster, unnest(f) AS x,
+                       unnest(range(1, len(f) + 1)) AS dim FROM pts),
+         cdim AS (SELECT cluster, dim, SUM(x) AS y FROM ex GROUP BY 1, 2),
+         cstat AS (SELECT cluster, COUNT(*) AS n, SUM(sqn) AS psi FROM sq GROUP BY 1),
+         dots AS (SELECT e.vec_id, e.cluster AS pc, c.cluster AS cc, SUM(e.x * c.y) AS dot
+                  FROM ex e JOIN cdim c ON e.dim = c.dim GROUP BY 1, 2, 3),
+         dsum AS (SELECT d.vec_id, d.pc, d.cc, cs.n AS nc,
+                         cs.psi + cs.n * s.sqn - 2 * d.dot AS ssum
+                  FROM dots d JOIN cstat cs ON d.cc = cs.cluster
+                              JOIN sq s ON d.vec_id = s.vec_id),
+         ab AS (SELECT vec_id, pc,
+                       MAX(CASE WHEN cc = pc AND nc > 1 THEN ssum / (nc - 1) END) AS a,
+                       MIN(CASE WHEN cc <> pc THEN ssum / nc END) AS b,
+                       MAX(CASE WHEN cc = pc THEN nc END) AS nown
+                FROM dsum GROUP BY 1, 2),
+         sil AS (SELECT pc AS cluster,
+                        CASE WHEN nown = 1 THEN 0.0
+                             WHEN b IS NULL THEN 0.0
+                             WHEN GREATEST(a, b) = 0 THEN 0.0
+                             ELSE (b - a) / GREATEST(a, b) END AS s
+                 FROM ab)
+         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(s), 6) AS mean_silhouette
+         FROM sil GROUP BY 1""",
+
+    "q_freq_encode" ->
+      """SELECT o_orderkey, o_orderpriority,
+                ROUND(COUNT(*) OVER (PARTITION BY o_orderpriority) * 1.0
+                        / COUNT(*) OVER (), 6) AS enc
+         FROM orders""",
+
+    "q_target_encode" ->
+      """WITH stats AS (SELECT CAST(l_returnflag AS VARCHAR) AS category,
+                               COUNT(*) AS n, SUM(l_extendedprice) AS sum_y
+                        FROM lineitem GROUP BY 1),
+         pr AS (SELECT SUM(sum_y) / SUM(n) AS prior FROM stats),
+         cats AS (SELECT category FROM stats UNION ALL SELECT 'ZZ')
+         SELECT c.category,
+                ROUND(COALESCE((s.sum_y + 50.0 * pr.prior) / (s.n + 50.0),
+                               pr.prior), 6) AS enc
+         FROM cats c LEFT JOIN stats s ON c.category = s.category, pr"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))
