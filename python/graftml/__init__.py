@@ -71,6 +71,7 @@ _STAGES = [
     "graft.feature.EpochMixer",
     "graft.feature.FrequencyEncoder", "graft.feature.FrequencyEncoderModel",
     "graft.feature.TargetEncoder", "graft.feature.TargetEncoderModel",
+    "graft.feature.LagFeaturizer",
     # classification / regression / clustering
     "graft.classification.Knn", "graft.classification.KnnModel",
     "graft.classification.LinearSVC", "graft.classification.LinearSVCModel",

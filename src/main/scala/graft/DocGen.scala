@@ -39,6 +39,7 @@ object DocGen {
     "graft.feature.StratifiedSampler", "graft.feature.WeightedMixer",
     "graft.feature.EpochMixer",
     "graft.feature.FrequencyEncoder", "graft.feature.TargetEncoder",
+    "graft.feature.LagFeaturizer",
     "graft.classification.Knn", "graft.classification.LinearSVC",
     "graft.classification.LogisticRegression", "graft.classification.NaiveBayes",
     "graft.regression.LinearRegression",

@@ -2161,6 +2161,21 @@ object SparkEntry {
         .union(Seq("ZZ").toDF("category"))
       model.setInputCol("category").transform(cats).head
         .select(col("category"), round(col("enc"), 6).as("enc"))
+    }),
+
+    // --- Per-user lag/rolling featurization of the event log (one
+    // shuffle + one sort; leakage-safe strictly-preceding frame) ---
+    "q_lag_features" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      new graft.feature.LagFeaturizer()
+        .setInputCol("value").setPartitionCols("user_id")
+        .setOrderCols("ts", "event_id").setNumLags(2).setRollingWindow(5)
+        .transform(ev).head
+        .select(col("event_id"), col("user_id"),
+          col("value_lag1"), col("value_lag2"),
+          round(col("ts_delta"), 6).as("ts_delta"),
+          round(col("value_roll_mean"), 6).as("roll_mean"),
+          col("value_roll_count").as("roll_count"))
     })
   )
 
@@ -4786,7 +4801,19 @@ object SparkEntry {
          SELECT c.category,
                 ROUND(COALESCE((s.sum_y + 50.0 * pr.prior) / (s.n + 50.0),
                                pr.prior), 6) AS enc
-         FROM cats c LEFT JOIN stats s ON c.category = s.category, pr"""
+         FROM cats c LEFT JOIN stats s ON c.category = s.category, pr""",
+
+    "q_lag_features" ->
+      """SELECT event_id, user_id,
+                LAG(value, 1) OVER w AS value_lag1,
+                LAG(value, 2) OVER w AS value_lag2,
+                ROUND(EPOCH(ts) - EPOCH(LAG(ts, 1) OVER w), 6) AS ts_delta,
+                ROUND(AVG(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6)
+                  AS roll_mean,
+                COUNT(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                  AS roll_count
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))
