@@ -2176,6 +2176,21 @@ object SparkEntry {
           round(col("ts_delta"), 6).as("ts_delta"),
           round(col("value_roll_mean"), 6).as("roll_mean"),
           col("value_roll_count").as("roll_count"))
+    }),
+
+    // --- Rolling z-score anomaly flags over the event log (composition:
+    // LagFeaturizer rolling mean/std -> per-row deviation score) ---
+    "q_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val f = new graft.feature.LagFeaturizer()
+        .setInputCol("value").setPartitionCols("user_id")
+        .setOrderCols("ts", "event_id").setNumLags(0).setRollingWindow(20)
+        .transform(ev).head
+      f.where(col("value_roll_count") >= 10 && col("value_roll_std") > 0)
+        .select(col("event_id"), col("user_id"),
+          round(abs(col("value") - col("value_roll_mean"))
+            / col("value_roll_std"), 6).as("abs_z"))
+        .withColumn("anomaly", col("abs_z") > 3.0)
     })
   )
 
@@ -4813,7 +4828,21 @@ object SparkEntry {
                 COUNT(value) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
                   AS roll_count
          FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "q_anomaly" ->
+      """WITH f AS (
+           SELECT event_id, user_id, value,
+                  AVG(value) OVER fr AS m,
+                  STDDEV_SAMP(value) OVER fr AS sd,
+                  COUNT(value) OVER fr AS c
+           FROM events
+           WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id,
+                ROUND(ABS(value - m) / sd, 6) AS abs_z,
+                ROUND(ABS(value - m) / sd, 6) > 3.0 AS anomaly
+         FROM f WHERE c >= 10 AND sd > 0"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

@@ -811,6 +811,52 @@ object ScaleUp {
       n
     }
 
+    // Silhouette at scale: 200k x 64-dim points, 16 clusters. The
+    // cost is the k x (d+2) summary shuffle (posexplode -> map-side
+    // combined groupBy) plus a pure per-row panel of 16 literal
+    // distances — silhouette on 100 TB is two aggregations, not a
+    // pairwise join.
+    stage("silhouette") {
+      val pts = vecs.select(
+        pmod(col("vec_id"), lit(16L)).as("cluster"),
+        org.apache.spark.ml.functions.vector_to_array(col("vec")).as("f"))
+      val out = new graft.evaluation.ClusteringEvaluator()
+        .setFeaturesCol("f").setPredictionCol("cluster")
+        .transform(pts).head
+      out.count()
+    }
+
+    // Categorical encoders at scale: fit on the 500k-doc corpus
+    // (5 sources), transform the full corpus through the broadcast
+    // join — the point being measured is that the fact table never
+    // shuffles (shuffle bytes stay model-sized).
+    stage("target_encode") {
+      val labeled = docs.withColumn("y", length(col("text")).cast("double"))
+      val te = new graft.feature.TargetEncoder()
+        .setInputCol("source").setOutputCol("te").setLabelCol("y")
+        .setSmoothing(100.0).fit(labeled)
+      val fe = new graft.feature.FrequencyEncoder()
+        .setInputCol("source").setOutputCol("fe").fit(docs)
+      fe.transform(te.transform(labeled).head).head
+        .agg(sum("te"), sum("fe")).head()
+      numDocs
+    }
+
+    // Lag/rolling featurization at scale: 2M events over 50k users —
+    // one shuffle on user_id + one in-partition sort carries 3 lags,
+    // the time delta, and a 20-row rolling frame.
+    stage("lag_features") {
+      val ev = spark.range(0, 2000000L, 1, cpus.toInt).select(
+        col("id").as("event_id"),
+        pmod(col("id") * 2654435761L, lit(50000L)).as("user_id"),
+        (col("id") * 7L % 1000L).cast("double").as("value"))
+      val out = new graft.feature.LagFeaturizer()
+        .setInputCol("value").setPartitionCols("user_id")
+        .setOrderCols("event_id").setNumLags(3).setRollingWindow(20)
+        .transform(ev).head
+      out.where(col("value_roll_count") > 0).count()
+    }
+
     println(s"""{"scaleup_done":true,"num_docs":$numDocs,"num_vecs":$numVecs,"dim":$dim}""")
     spark.stop()
   }

@@ -20,9 +20,10 @@ import graft.util.ReadWrite
  * `rollingWindow` W: `<v>_lag1..<v>_lagL` (null where history is
  * short), `<order>_delta` (order-col difference to the previous row,
  * null on each key's first row; seconds when the order column is a
- * timestamp), and `<v>_roll_mean/min/max/count` over the W rows
+ * timestamp), and `<v>_roll_mean/min/max/count/std` over the W rows
  * STRICTLY BEFORE the current row (leakage-safe: the current value
- * never feeds its own features; count 0 and null stats on first rows).
+ * never feeds its own features; count 0 and null stats on first rows;
+ * std is the sample deviation, null until the frame holds 2 values).
  *
  * Scale shape: everything rides ONE window spec — one shuffle on the
  * key columns, one in-partition sort on the order columns, all
@@ -93,6 +94,9 @@ class LagFeaturizer extends Transformer[LagFeaturizer]
         .withColumn(s"${v}_roll_min", min(col(v)).over(frame))
         .withColumn(s"${v}_roll_max", max(col(v)).over(frame))
         .withColumn(s"${v}_roll_count", count(col(v)).over(frame))
+        // sample stddev (n−1): null until the frame holds ≥ 2 values,
+        // which keeps downstream z-scores null instead of divide-by-zero
+        .withColumn(s"${v}_roll_std", stddev_samp(col(v)).over(frame))
     }
     Array(out)
   }

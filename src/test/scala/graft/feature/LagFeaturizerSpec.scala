@@ -31,6 +31,10 @@ class LagFeaturizerSpec extends SparkSpec {
     val r4 = out(3) // t=7: window of 2 strictly before -> {20,30}
     assert(r4.getDouble(r4.fieldIndex("v_roll_mean")) == 25.0)
     assert(r4.getDouble(r4.fieldIndex("v_roll_max")) == 30.0)
+    // sample stddev of {20,30} = sqrt(50); single-value frame (t=2) is null
+    assert(math.abs(r4.getDouble(r4.fieldIndex("v_roll_std")) - math.sqrt(50.0)) < 1e-12)
+    val r2 = out(1)
+    assert(r2.isNullAt(r2.fieldIndex("v_roll_std")))
     // u2 independent: its first row has no history from u1
     val u2r1 = out(4)
     assert(u2r1.isNullAt(u2r1.fieldIndex("v_lag1")))
