@@ -117,6 +117,7 @@ _STAGES = [
     "graft.text.CorpusOverlap",
     "graft.text.DocumentFingerprinter",
     "graft.text.ExactDeduplicator",
+    "graft.text.HtmlExtractor",
     "graft.text.LanguageDetector",
     "graft.text.LineDeduplicator",
     "graft.text.NgramLm", "graft.text.NgramLmModel",

@@ -67,6 +67,7 @@ object DocGen {
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",
     "graft.text.ImportanceScorer",
+    "graft.text.HtmlExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.SequencePacker", "graft.text.TextNormalizer",
     "graft.text.TextQualityScorer",

@@ -2191,6 +2191,23 @@ object SparkEntry {
           round(abs(col("value") - col("value_roll_mean"))
             / col("value_roll_std"), 6).as("abs_z"))
         .withColumn("anomaly", col("abs_z") > 3.0)
+    }),
+
+    // --- HTML extraction: wrap each document in a REAL page (title,
+    // style block, entity, two anchors), then regex-extract it back;
+    // the oracle replays the construction closed-form ---
+    "q_html" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val page = docs.select(col("doc_id"),
+        concat(lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p { margin: 0; }</style></head><body><p>"),
+          col("text"),
+          lit(" &amp; more</p><a href=\"/d/"), col("doc_id"),
+          lit("\">self</a><A href=\"/next\">n</A></body></html>")).as("html"))
+      new graft.text.HtmlExtractor().setInputCol("html").setOutputCol("h")
+        .transform(page).head
+        .select(col("doc_id"), col("h_title").as("title"),
+          md5(col("h_text")).as("digest"), col("h_links").as("links"))
     })
   )
 
@@ -4842,7 +4859,19 @@ object SparkEntry {
          SELECT event_id, user_id,
                 ROUND(ABS(value - m) / sd, 6) AS abs_z,
                 ROUND(ABS(value - m) / sd, 6) > 3.0 AS anomaly
-         FROM f WHERE c >= 10 AND sd > 0"""
+         FROM f WHERE c >= 10 AND sd > 0""",
+
+    // closed-form replay of the page the Spark side constructs and
+    // regex-extracts (title inner text + body text + decoded entity +
+    // anchor texts, whitespace-canonicalized)
+    "q_html" ->
+      """SELECT doc_id,
+                'Doc ' || doc_id AS title,
+                md5(TRIM(regexp_replace(
+                  'Doc ' || doc_id || ' ' || text || ' & more self n',
+                  '\s+', ' ', 'g'))) AS digest,
+                CAST(2 AS INT) AS links
+         FROM documents"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

@@ -842,6 +842,18 @@ object ScaleUp {
       numDocs
     }
 
+    // HTML extraction at scale: wrap each of the 500k docs in a real
+    // page and regex-extract it back — must stay a zero-shuffle scan.
+    stage("html_extract") {
+      val page = docs.select(col("doc_id"),
+        concat(lit("<html><head><title>D"), col("doc_id"),
+          lit("</title><style>p{}</style></head><body><p>"), col("text"),
+          lit(" &amp; x</p><a href=\"/a\">a</a></body></html>")).as("html"))
+      val out = new graft.text.HtmlExtractor()
+        .setInputCol("html").setOutputCol("h").transform(page).head
+      out.where(col("h_links") === 1 && length(col("h_text")) > 0).count()
+    }
+
     // Lag/rolling featurization at scale: 2M events over 50k users —
     // one shuffle on user_id + one in-partition sort carries 3 lags,
     // the time delta, and a 20-row rolling frame.
