@@ -1,0 +1,60 @@
+"""Second round-10 batch through the Python surface: silhouette
+evaluation, categorical encoders, lag/rolling featurization, and HTML
+extraction."""
+
+
+def test_clustering_evaluator(spark):
+    from graftml import ClusteringEvaluator
+    pts = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (0, [0.2, 0.0]), (1, [9.0, 9.0]), (1, [9.2, 9.0])],
+        ["cluster", "f"])
+    rows = (ClusteringEvaluator(spark=spark)
+            .setFeaturesCol("f").setPredictionCol("cluster")
+            .transform(pts)[0].collect())
+    sils = {r["cluster"]: r["mean_silhouette"] for r in rows}
+    assert set(sils) == {0, 1}
+    assert all(s > 0.99 for s in sils.values())
+
+
+def test_target_and_frequency_encoders(spark):
+    from graftml import TargetEncoder, FrequencyEncoder
+    train = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], ["cat", "y"])
+    te = (TargetEncoder(spark=spark).setInputCol("cat").setOutputCol("enc")
+          .setLabelCol("y").setSmoothing(0.0).fit(train))
+    test = spark.createDataFrame([("a",), ("zzz",)], ["cat"])
+    enc = {r["cat"]: r["enc"] for r in te.transform(test)[0].collect()}
+    assert abs(enc["a"] - 2.0) < 1e-12
+    assert abs(enc["zzz"] - 14.0 / 3) < 1e-12  # prior
+
+    fe = (FrequencyEncoder(spark=spark).setInputCol("cat").setOutputCol("enc")
+          .fit(train))
+    freq = {r["cat"]: r["enc"] for r in fe.transform(test)[0].collect()}
+    assert abs(freq["a"] - 2.0 / 3) < 1e-12 and freq["zzz"] == 0.0
+
+
+def test_lag_featurizer(spark):
+    from graftml import LagFeaturizer
+    ev = spark.createDataFrame(
+        [("u", 1, 10.0), ("u", 2, 20.0), ("u", 3, 30.0)], ["k", "t", "v"])
+    out = (LagFeaturizer(spark=spark).setInputCol("v")
+           .setPartitionCols(["k"]).setOrderCols(["t"])
+           .setNumLags(1).setRollingWindow(2)
+           .transform(ev)[0].orderBy("t").collect())
+    assert out[0]["v_lag1"] is None
+    assert out[2]["v_lag1"] == 20.0
+    assert out[2]["v_roll_mean"] == 15.0
+    assert out[2]["t_delta"] == 1
+
+
+def test_html_extractor(spark):
+    from graftml import HtmlExtractor
+    page = spark.createDataFrame(
+        [(1, '<html><head><title>T</title></head>'
+             '<body><p>hi &amp; bye</p><a href="/x">go</a></body></html>')],
+        ["id", "html"])
+    r = (HtmlExtractor(spark=spark).setInputCol("html").setOutputCol("h")
+         .transform(page)[0].collect()[0])
+    assert r["h_title"] == "T"
+    assert r["h_text"] == "T hi & bye go"
+    assert r["h_links"] == 1
