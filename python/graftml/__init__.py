@@ -124,6 +124,7 @@ _STAGES = [
     "graft.text.PiiRedactor",
     "graft.text.RepetitionStats",
     "graft.text.SequencePacker",
+    "graft.text.UrlParser",
     "graft.text.TextNormalizer",
     "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",

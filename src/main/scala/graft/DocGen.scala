@@ -70,6 +70,7 @@ object DocGen {
     "graft.text.HtmlExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.SequencePacker", "graft.text.TextNormalizer",
+    "graft.text.UrlParser",
     "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",
     "graft.ann.BruteForceCosineKnn", "graft.ann.CosineLshKnn",

@@ -2208,6 +2208,23 @@ object SparkEntry {
         .transform(page).head
         .select(col("doc_id"), col("h_title").as("title"),
           md5(col("h_text")).as("digest"), col("h_links").as("links"))
+    }),
+
+    // --- URL decomposition + domain blocklist over deterministic
+    // crawl-style URLs (1/3 on a blocked TLD) ---
+    "q_url" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val urls = docs.select(col("doc_id"),
+        concat(lit("HTTPS://u@www."), col("source"),
+          when(col("doc_id") % 3 === 0, lit(".spam.biz"))
+            .otherwise(lit(".example.com")),
+          lit(":8443/docs/"), col("doc_id"),
+          lit("?lang="), col("lang"), lit("#top")).as("url"))
+      new graft.text.UrlParser().setInputCol("url").setOutputCol("u")
+        .setBlockedDomains("spam.biz")
+        .transform(urls).head
+        .select(col("doc_id"), col("u_scheme"), col("u_host"),
+          col("u_domain"), col("u_path"), col("u_query"), col("u_blocked"))
     })
   )
 
@@ -4871,7 +4888,31 @@ object SparkEntry {
                   'Doc ' || doc_id || ' ' || text || ' & more self n',
                   '\s+', ' ', 'g'))) AS digest,
                 CAST(2 AS INT) AS links
-         FROM documents"""
+         FROM documents""",
+
+    // replay of UrlParser's RE2-compatible regex decomposition on the
+    // same deterministic URL construction
+    "q_url" ->
+      """WITH urls AS (
+           SELECT doc_id,
+                  'HTTPS://u@www.' || source ||
+                  CASE WHEN doc_id % 3 = 0 THEN '.spam.biz' ELSE '.example.com' END ||
+                  ':8443/docs/' || doc_id || '?lang=' || lang || '#top' AS url
+           FROM documents),
+         parsed AS (
+           SELECT doc_id, url,
+                  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS u_scheme,
+                  lower(regexp_replace(regexp_replace(
+                    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                    '^.*@', ''), ':[0-9]*$', '')) AS u_host,
+                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS u_path,
+                  regexp_extract(url, '\?([^#]*)', 1) AS u_query
+           FROM urls)
+         SELECT doc_id, u_scheme, u_host,
+                regexp_extract(u_host, '([^.]+\.[^.]+)$', 1) AS u_domain,
+                u_path, u_query,
+                regexp_extract(u_host, '([^.]+\.[^.]+)$', 1) = 'spam.biz' AS u_blocked
+         FROM parsed"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))
