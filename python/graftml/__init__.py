@@ -96,6 +96,7 @@ _STAGES = [
     "graft.streaming.OnlineStandardScaler",
     "graft.streaming.OnlineStandardScalerModel",
     "graft.streaming.Sessionizer",
+    "graft.streaming.StreamingAnomalyDetector",
     "graft.streaming.StreamingDeduplicator",
     # dedup / text / ann / multimodal / join
     "graft.dedup.BloomDecontaminator",

@@ -53,6 +53,7 @@ object DocGen {
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",
     "graft.streaming.OnlineStandardScaler", "graft.streaming.Sessionizer",
+    "graft.streaming.StreamingAnomalyDetector",
     "graft.streaming.StreamingDeduplicator",
     "graft.dedup.BloomDecontaminator",
     "graft.dedup.CosineDeduplicator", "graft.dedup.CosineIndexer",

@@ -2225,6 +2225,18 @@ object SparkEntry {
         .transform(urls).head
         .select(col("doc_id"), col("u_scheme"), col("u_host"),
           col("u_domain"), col("u_path"), col("u_query"), col("u_blocked"))
+    }),
+
+    // --- Prequential per-user anomaly scoring (the batch plan of the
+    // streaming detector: expanding frame, entire past as baseline) ---
+    "q_stream_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      new graft.streaming.StreamingAnomalyDetector()
+        .setKeyCol("user_id").setOrderCol("ts").setInputCol("value")
+        .setMinCount(10).setThreshold(3.0)
+        .transform(ev).head
+        .select(col("key"), col("order"), col("n_before"),
+          round(col("z"), 6).as("z"), col("anomaly"))
     })
   )
 
@@ -4912,7 +4924,26 @@ object SparkEntry {
                 regexp_extract(u_host, '([^.]+\.[^.]+)$', 1) AS u_domain,
                 u_path, u_query,
                 regexp_extract(u_host, '([^.]+\.[^.]+)$', 1) = 'spam.biz' AS u_blocked
-         FROM parsed"""
+         FROM parsed""",
+
+    "q_stream_anomaly" ->
+      """WITH slim AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                              epoch_us(ts) AS "order",
+                              CAST(value AS DOUBLE) AS value
+                       FROM events),
+         f AS (SELECT key, "order", value,
+                      COUNT(value) OVER w AS n_before,
+                      AVG(value) OVER w AS m,
+                      STDDEV_SAMP(value) OVER w AS sd
+               FROM slim
+               WINDOW w AS (PARTITION BY key ORDER BY "order", value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT key, "order", n_before,
+                ROUND(CASE WHEN n_before >= 10 AND sd > 0
+                           THEN ABS(value - m) / sd END, 6) AS z,
+                COALESCE(CASE WHEN n_before >= 10 AND sd > 0
+                              THEN ABS(value - m) / sd END > 3.0, false) AS anomaly
+         FROM f"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

