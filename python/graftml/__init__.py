@@ -83,7 +83,7 @@ _STAGES = [
     "graft.clustering.KMeans", "graft.clustering.KMeansModel",
     # stats / evaluation / recommendation
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
-    "graft.stats.DriftDetector",
+    "graft.stats.DriftDetector", "graft.stats.DataValidator",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.RegressionEvaluator",

@@ -45,7 +45,7 @@ object DocGen {
     "graft.regression.LinearRegression",
     "graft.clustering.AgglomerativeClustering", "graft.clustering.KMeans",
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
-    "graft.stats.DriftDetector",
+    "graft.stats.DriftDetector", "graft.stats.DataValidator",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.ClusteringEvaluator",

@@ -2237,6 +2237,22 @@ object SparkEntry {
         .transform(ev).head
         .select(col("key"), col("order"), col("n_before"),
           round(col("z"), 6).as("z"), col("anomaly"))
+    }),
+
+    // --- Declarative data-quality validation of lineitem (two checks
+    // deliberately fail: the tight discount range and line-level
+    // orderkey uniqueness) ---
+    "q_validate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      new graft.stats.DataValidator()
+        .addNotNull("l_shipdate")
+        .addInRange("l_quantity", 1.0, 50.0)
+        .addInRange("l_discount", 0.0, 0.05)
+        .addMatches("l_linestatus", "^[OF]$")
+        .addInSet("l_returnflag", "A", "N", "R")
+        .addSatisfies("charge_consistent", "l_extendedprice >= 0 AND l_tax >= 0")
+        .addUnique("l_orderkey")
+        .transform(li).head
     })
   )
 
@@ -4943,7 +4959,48 @@ object SparkEntry {
                            THEN ABS(value - m) / sd END, 6) AS z,
                 COALESCE(CASE WHEN n_before >= 10 AND sd > 0
                               THEN ABS(value - m) / sd END > 3.0, false) AS anomaly
-         FROM f"""
+         FROM f""",
+
+    "q_validate" ->
+      """WITH c AS (
+           SELECT '1_not_null' AS "check", 'l_shipdate' AS target,
+                  COUNT(*) FILTER (l_shipdate IS NULL) AS violations, COUNT(*) AS total
+           FROM lineitem
+           UNION ALL
+           SELECT '2_in_range', 'l_quantity',
+                  COUNT(*) FILTER (l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0),
+                  COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT '3_in_range', 'l_discount',
+                  COUNT(*) FILTER (l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05),
+                  COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT '4_matches', 'l_linestatus',
+                  COUNT(*) FILTER (NOT COALESCE(regexp_matches(CAST(l_linestatus AS VARCHAR), '^[OF]$'), false)),
+                  COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT '5_in_set', 'l_returnflag',
+                  COUNT(*) FILTER (CAST(l_returnflag AS VARCHAR) NOT IN ('A', 'N', 'R')
+                                   OR l_returnflag IS NULL),
+                  COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT '6_satisfies', 'charge_consistent',
+                  COUNT(*) FILTER (NOT COALESCE(l_extendedprice >= 0 AND l_tax >= 0, false)),
+                  COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT '7_unique', 'l_orderkey',
+                  (SELECT COALESCE(SUM(n), 0) FROM (
+                     SELECT COUNT(*) AS n FROM lineitem
+                     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) g WHERE n > 1),
+                  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL))
+         SELECT "check", target, CAST(violations AS BIGINT) AS violations,
+                CAST(total AS BIGINT) AS total, violations = 0 AS pass
+         FROM c"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

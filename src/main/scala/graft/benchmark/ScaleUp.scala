@@ -842,6 +842,22 @@ object ScaleUp {
       numDocs
     }
 
+    // Data-quality validation at scale: five row-level checks in ONE
+    // aggregation pass over 500k docs plus one uniqueness groupBy —
+    // the pre-training gate must stay scan-bound.
+    stage("validate") {
+      val v = new graft.stats.DataValidator()
+        .addNotNull("text")
+        .addSatisfies("text_nonempty", "length(text) > 0")
+        .addMatches("source", "^src_[0-9]+$")
+        .addInSet("source", "src_0", "src_1", "src_2", "src_3", "src_4")
+        .addSatisfies("id_nonneg", "doc_id >= 0")
+        .addUnique("doc_id")
+      val out = v.transform(docs).head.collect()
+      require(out.forall(_.getBoolean(4)), "expected a clean corpus")
+      out.length.toLong
+    }
+
     // Streaming anomaly scoring at scale: 2M events / 50k users
     // replayed as a ~20-micro-batch file stream through the Welford
     // state path (O(1) state per key in the checkpoint), then the
