@@ -84,6 +84,7 @@ _STAGES = [
     # stats / evaluation / recommendation
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
     "graft.stats.DriftDetector", "graft.stats.DataValidator",
+    "graft.stats.ColumnProfiler",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.RegressionEvaluator",
@@ -119,6 +120,7 @@ _STAGES = [
     "graft.text.DocumentFingerprinter",
     "graft.text.ExactDeduplicator",
     "graft.text.HtmlExtractor",
+    "graft.text.IntraDocDeduplicator",
     "graft.text.LanguageDetector",
     "graft.text.LineDeduplicator",
     "graft.text.NgramLm", "graft.text.NgramLmModel",

@@ -58,3 +58,40 @@ def test_html_extractor(spark):
     assert r["h_title"] == "T"
     assert r["h_text"] == "T hi & bye go"
     assert r["h_links"] == 1
+
+
+def test_url_parser(spark):
+    from graftml import UrlParser
+    urls = spark.createDataFrame(
+        [(1, "HTTPS://u@Www.Example.COM:8080/p/q?x=1#f"),
+         (2, "http://bad.spam.biz/")], ["id", "url"])
+    rows = (UrlParser(spark=spark).setInputCol("url").setOutputCol("u")
+            .setBlockedDomains(["spam.biz"])
+            .transform(urls)[0].orderBy("id").collect())
+    assert rows[0]["u_host"] == "www.example.com"
+    assert rows[0]["u_domain"] == "example.com"
+    assert rows[0]["u_path"] == "/p/q" and rows[0]["u_query"] == "x=1"
+    assert not rows[0]["u_blocked"] and rows[1]["u_blocked"]
+
+
+def test_streaming_anomaly_detector_batch(spark):
+    from graftml import StreamingAnomalyDetector
+    ev = spark.createDataFrame(
+        [("a", t, float(t % 3)) for t in range(1, 21)] + [("a", 21, 500.0)],
+        ["k", "t", "v"])
+    out = (StreamingAnomalyDetector(spark=spark)
+           .setKeyCol("k").setOrderCol("t").setInputCol("v").setMinCount(5)
+           .transform(ev)[0].orderBy("order").collect())
+    assert out[-1]["anomaly"] and out[-1]["n_before"] == 20
+    assert not any(r["anomaly"] for r in out[:-1])
+
+
+def test_data_validator(spark):
+    from graftml import DataValidator
+    df = spark.createDataFrame([(1, 5.0), (2, None), (2, 7.0)], ["id", "v"])
+    rows = (DataValidator(spark=spark)
+            .addNotNull("v").addUnique("id")
+            .transform(df)[0].collect())
+    out = {r["check"]: (r["violations"], r["pass"]) for r in rows}
+    assert out["1_not_null"] == (1, False)
+    assert out["2_unique"] == (2, False)

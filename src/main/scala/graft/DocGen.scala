@@ -46,6 +46,7 @@ object DocGen {
     "graft.clustering.AgglomerativeClustering", "graft.clustering.KMeans",
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
     "graft.stats.DriftDetector", "graft.stats.DataValidator",
+    "graft.stats.ColumnProfiler",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.ClusteringEvaluator",
@@ -68,7 +69,7 @@ object DocGen {
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",
     "graft.text.ImportanceScorer",
-    "graft.text.HtmlExtractor",
+    "graft.text.HtmlExtractor", "graft.text.IntraDocDeduplicator",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.SequencePacker", "graft.text.TextNormalizer",
     "graft.text.UrlParser",

@@ -2253,6 +2253,33 @@ object SparkEntry {
         .addSatisfies("charge_consistent", "l_extendedprice >= 0 AND l_tax >= 0")
         .addUnique("l_orderkey")
         .transform(li).head
+    }),
+
+    // --- Intra-doc repetition removal: each doc planted with its body
+    // repeated 1-3x plus a unique tail line; dedup keeps exactly
+    // (body, tail) ---
+    "q_intradoc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val built = docs.select(col("doc_id"),
+        concat(expr("repeat(concat(text, '\n'), cast(doc_id % 3 + 1 as int))"),
+          lit("tail "), col("doc_id")).as("text"))
+      new graft.text.IntraDocDeduplicator()
+        .setInputCol("text").setOutputCol("d")
+        .transform(built).head
+        .select(col("doc_id"), md5(col("d_text")).as("digest"),
+          col("d_kept"), col("d_removed"))
+    }),
+
+    // --- One-pass column profile of the event log (exact distinct for
+    // the oracle; the default HLL mode is the 100 TB path) ---
+    "q_profile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      new graft.stats.ColumnProfiler()
+        .setInputCols("user_id", "event_type", "value").setExactDistinct(true)
+        .transform(ev).head
+        .select(col("column"), col("total"), col("nulls"), col("distinct_cnt"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          col("vmin"), col("vmax"), col("min_len"), col("max_len"))
     })
   )
 
@@ -5000,7 +5027,39 @@ object SparkEntry {
                   (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL))
          SELECT "check", target, CAST(violations AS BIGINT) AS violations,
                 CAST(total AS BIGINT) AS total, violations = 0 AS pass
-         FROM c"""
+         FROM c""",
+
+    // closed-form replay: k repeated body lines + unique tail dedup to
+    // exactly (body, tail)
+    "q_intradoc_dedup" ->
+      """SELECT doc_id,
+                md5(text || chr(10) || 'tail ' || doc_id) AS digest,
+                CAST(2 AS INT) AS d_kept,
+                CAST(doc_id % 3 AS INT) AS d_removed
+         FROM documents""",
+
+    "q_profile" ->
+      """SELECT 'user_id' AS "column", COUNT(*) AS total,
+                COUNT(*) - COUNT(user_id) AS nulls,
+                COUNT(DISTINCT user_id) AS distinct_cnt,
+                ROUND(AVG(CAST(user_id AS DOUBLE)), 6) AS mean,
+                ROUND(STDDEV_SAMP(CAST(user_id AS DOUBLE)), 6) AS std,
+                MIN(CAST(user_id AS DOUBLE)) AS vmin,
+                MAX(CAST(user_id AS DOUBLE)) AS vmax,
+                CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len
+         FROM events
+         UNION ALL
+         SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                COUNT(DISTINCT event_type),
+                NULL, NULL, NULL, NULL,
+                MIN(length(event_type)), MAX(length(event_type))
+         FROM events
+         UNION ALL
+         SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                COUNT(DISTINCT value),
+                ROUND(AVG(value), 6), ROUND(STDDEV_SAMP(value), 6),
+                MIN(value), MAX(value), NULL, NULL
+         FROM events"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

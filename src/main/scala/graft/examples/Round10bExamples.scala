@@ -68,6 +68,58 @@ object LagFeaturizerExample {
   }
 }
 
+/** Decompose crawl URLs and flag blocklisted domains. */
+object UrlParserExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("UrlParserExample")
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://user@blog.example.com:8443/posts/42?utm=x#c"),
+      (2L, "http://tracker.adsite.biz/pixel.gif"),
+      (3L, "https://docs.example.com/guide")).toDF("id", "url")
+    new graft.text.UrlParser().setInputCol("url").setOutputCol("u")
+      .setBlockedDomains("adsite.biz")
+      .transform(urls).head
+      .select("id", "u_scheme", "u_host", "u_domain", "u_path", "u_blocked")
+      .show(false)
+    spark.stop()
+  }
+}
+
+/** Prequential anomaly flags: the 500-spend event stands out from the
+  * user's whole history — scored before it joins that history. */
+object StreamingAnomalyExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("StreamingAnomalyExample")
+    import spark.implicits._
+    val events = ((1 to 30).map(t => ("u1", t.toLong, 10.0 + (t % 5))) :+
+      (("u1", 31L, 500.0))).toDF("user", "t", "spend")
+    new graft.streaming.StreamingAnomalyDetector()
+      .setKeyCol("user").setOrderCol("t").setInputCol("spend")
+      .setMinCount(10).setThreshold(3.0)
+      .transform(events).head
+      .where(org.apache.spark.sql.functions.col("anomaly")).show(false)
+    spark.stop()
+  }
+}
+
+/** Gate a table on a declarative quality suite; inspect what failed. */
+object DataValidatorExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("DataValidatorExample")
+    import spark.implicits._
+    val batch = Seq(
+      (1L, Some(12.0), "AIR"), (2L, Some(990.0), "SHIP"),
+      (2L, None, "TELEPORT")).toDF("id", "qty", "mode")
+    val suite = new graft.stats.DataValidator()
+      .addNotNull("qty").addInRange("qty", 0, 100)
+      .addInSet("mode", "AIR", "SHIP", "TRUCK").addUnique("id")
+    suite.transform(batch).head.show(false)
+    println(s"gate=${suite.validate(batch)}")
+    spark.stop()
+  }
+}
+
 /** Extract title, visible text, and link counts from raw HTML — the
   * crawl-payload step in front of C4/Gopher/dedup. */
 object HtmlExtractorExample {
