@@ -145,6 +145,7 @@ _STAGES = [
     "graft.join.AsOfJoiner",
     "graft.join.IntervalJoiner",
     "graft.join.RangeJoiner",
+    "graft.join.FuzzyJoiner",
 ]
 
 

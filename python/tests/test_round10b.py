@@ -95,3 +95,30 @@ def test_data_validator(spark):
     out = {r["check"]: (r["violations"], r["pass"]) for r in rows}
     assert out["1_not_null"] == (1, False)
     assert out["2_unique"] == (2, False)
+
+
+def test_intradoc_deduplicator(spark):
+    from graftml import IntraDocDeduplicator
+    docs = spark.createDataFrame([(1, "a\nb\na\nc\nb")], ["id", "text"])
+    r = (IntraDocDeduplicator(spark=spark).setInputCol("text").setOutputCol("d")
+         .transform(docs)[0].collect()[0])
+    assert r["d_text"] == "a\nb\nc" and r["d_kept"] == 3 and r["d_removed"] == 2
+
+
+def test_column_profiler(spark):
+    from graftml import ColumnProfiler
+    df = spark.createDataFrame([(1, "aa"), (2, "bbb"), (2, None)], ["n", "s"])
+    rows = (ColumnProfiler(spark=spark).setInputCols(["n", "s"])
+            .setExactDistinct(True).transform(df)[0].collect())
+    out = {r["column"]: r for r in rows}
+    assert out["n"]["distinct_cnt"] == 2 and out["n"]["vmax"] == 2.0
+    assert out["s"]["nulls"] == 1 and out["s"]["min_len"] == 2
+
+
+def test_fuzzy_joiner(spark):
+    from graftml import FuzzyJoiner
+    l = spark.createDataFrame([(1, "kitten")], ["id", "s"])
+    r = spark.createDataFrame([(10, "mitten"), (11, "dog")], ["id", "s"])
+    out = (FuzzyJoiner(spark=spark).setIdCol("id").setInputCol("s")
+           .setMaxDistance(1).transform(l, r)[0].collect())
+    assert [(x["left_id"], x["right_id"], x["distance"]) for x in out] == [(1, 10, 1)]

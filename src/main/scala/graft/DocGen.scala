@@ -81,7 +81,8 @@ object DocGen {
     "graft.multimodal.AudioDecoder", "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder", "graft.multimodal.VideoDecoder",
-    "graft.join.AsOfJoiner", "graft.join.IntervalJoiner", "graft.join.RangeJoiner")
+    "graft.join.AsOfJoiner", "graft.join.IntervalJoiner", "graft.join.RangeJoiner",
+    "graft.join.FuzzyJoiner")
 
   private def instantiate(fqcn: String): WithParams[_] =
     Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[WithParams[_]]

@@ -2280,6 +2280,17 @@ object SparkEntry {
         .select(col("column"), col("total"), col("nulls"), col("distinct_cnt"),
           round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
           col("vmin"), col("vmax"), col("min_len"), col("max_len"))
+    }),
+
+    // --- Edit-distance join of supplier names against themselves
+    // (digit-suffix mutations land within k=2; oracle is the full
+    // quadratic ground truth) ---
+    "q_fuzzy_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+      new graft.join.FuzzyJoiner().setIdCol("id").setInputCol("nm")
+        .setMaxDistance(2).setGramLength(2)
+        .transform(sup, sup).head
     })
   )
 
@@ -5059,7 +5070,14 @@ object SparkEntry {
                 COUNT(DISTINCT value),
                 ROUND(AVG(value), 6), ROUND(STDDEV_SAMP(value), 6),
                 MIN(value), MAX(value), NULL, NULL
-         FROM events"""
+         FROM events""",
+
+    // quadratic ground truth — the operator must return exactly this set
+    "q_fuzzy_join" ->
+      """SELECT l.s_suppkey AS left_id, r.s_suppkey AS right_id,
+                CAST(levenshtein(l.s_name, r.s_name) AS INT) AS distance
+         FROM supplier l CROSS JOIN supplier r
+         WHERE levenshtein(l.s_name, r.s_name) <= 2"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

@@ -842,6 +842,34 @@ object ScaleUp {
       numDocs
     }
 
+    // Edit-distance self-join at scale: 100k 3-token name-like strings
+    // (documentsLike's planted structure: member 3 of each 5-group is
+    // an EXACT copy of member 0 -> 20k planted pairs at distance 0,
+    // member 4 swaps a whole token and must NOT match at k=1). The
+    // Ed-Join prefix filter keeps candidates to kq+1 rare elements per
+    // string; recall on the planted pairs must be 1.
+    stage("fuzzy_join") {
+      val names = DataGenerators.documentsLike(
+        spark, 100000L, tokensPerDoc = 3, numPartitions = cpus.toInt)
+        .select(col("doc_id").as("id"), col("text").as("nm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      names.count()
+      val pairs = new graft.join.FuzzyJoiner()
+        .setIdCol("id").setInputCol("nm").setMaxDistance(1).setGramLength(3)
+        .transform(names, names).head
+        .where(col("left_id") < col("right_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = pairs.count()
+      val planted = pairs
+        .where(col("right_id") === col("left_id") + 3 && col("left_id") % 5 === 0)
+        .count()
+      names.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      println(s"""{"fuzzy_join_pairs":$total,"fuzzy_planted_found":$planted,""" +
+        s""""fuzzy_planted_expected":20000}""")
+      total
+    }
+
     // Data-quality validation at scale: five row-level checks in ONE
     // aggregation pass over 500k docs plus one uniqueness groupBy —
     // the pre-training gate must stay scan-bound.

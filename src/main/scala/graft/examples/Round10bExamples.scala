@@ -68,6 +68,43 @@ object LagFeaturizerExample {
   }
 }
 
+/** Link records across two tables despite typos: edit-distance join
+  * with exact recall via the q-gram prefix filter. */
+object FuzzyJoinExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("FuzzyJoinExample")
+    import spark.implicits._
+    val crm = Seq((1L, "Jonathan Smith"), (2L, "Acme Corporation"), (3L, "Zelda's Bakery"))
+      .toDF("id", "name")
+    val billing = Seq((10L, "Jonathon Smith"), (11L, "Acme Corp"), (12L, "Zeldas Bakery"))
+      .toDF("id", "name")
+    new graft.join.FuzzyJoiner().setIdCol("id").setInputCol("name")
+      .setMaxDistance(2).setGramLength(2)
+      .transform(crm, billing).head.orderBy("left_id").show(false)
+    spark.stop()
+  }
+}
+
+/** Strip boilerplate repeated INSIDE one document (corpus-level dedup
+  * never sees it) and profile the result table in one pass. */
+object IntraDocAndProfileExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("IntraDocAndProfileExample")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Subscribe to our newsletter!\nReal content here.\nSubscribe to our newsletter!"),
+      (2L, "Only body text, nothing repeated."))
+      .toDF("doc_id", "text")
+    val deduped = new graft.text.IntraDocDeduplicator()
+      .setInputCol("text").setOutputCol("clean").transform(docs).head
+    deduped.select("doc_id", "clean_text", "clean_removed").show(false)
+    new graft.stats.ColumnProfiler()
+      .setInputCols("doc_id", "clean_text").setExactDistinct(true)
+      .transform(deduped).head.show(false)
+    spark.stop()
+  }
+}
+
 /** Decompose crawl URLs and flag blocklisted domains. */
 object UrlParserExample {
   def main(args: Array[String]): Unit = {
