@@ -146,6 +146,7 @@ _STAGES = [
     "graft.join.IntervalJoiner",
     "graft.join.RangeJoiner",
     "graft.join.FuzzyJoiner",
+    "graft.join.Scd2Builder",
 ]
 
 

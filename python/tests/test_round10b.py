@@ -122,3 +122,13 @@ def test_fuzzy_joiner(spark):
     out = (FuzzyJoiner(spark=spark).setIdCol("id").setInputCol("s")
            .setMaxDistance(1).transform(l, r)[0].collect())
     assert [(x["left_id"], x["right_id"], x["distance"]) for x in out] == [(1, 10, 1)]
+
+
+def test_scd2_builder(spark):
+    from graftml import Scd2Builder
+    log = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "a"), ("u", 3, "b")], ["k", "ts", "v"])
+    out = (Scd2Builder(spark=spark).setKeyCols(["k"]).setOrderCol("ts")
+           .transform(log)[0].orderBy("valid_from").collect())
+    assert [(r["v"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out] \
+        == [("a", 1, 3, False), ("b", 3, None, True)]

@@ -82,7 +82,7 @@ object DocGen {
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder", "graft.multimodal.VideoDecoder",
     "graft.join.AsOfJoiner", "graft.join.IntervalJoiner", "graft.join.RangeJoiner",
-    "graft.join.FuzzyJoiner")
+    "graft.join.FuzzyJoiner", "graft.join.Scd2Builder")
 
   private def instantiate(fqcn: String): WithParams[_] =
     Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[WithParams[_]]

@@ -2291,6 +2291,17 @@ object SparkEntry {
       new graft.join.FuzzyJoiner().setIdCol("id").setInputCol("nm")
         .setMaxDistance(2).setGramLength(2)
         .transform(sup, sup).head
+    }),
+
+    // --- SCD2 history from the event log: per-user event_type
+    // validity intervals, no-op repeats collapsed ---
+    "q_scd2" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts"),
+          col("event_type"))
+      new graft.join.Scd2Builder().setKeyCols("user_id").setOrderCol("ts")
+        .transform(log).head
+        .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
     })
   )
 
@@ -5077,7 +5088,19 @@ object SparkEntry {
       """SELECT l.s_suppkey AS left_id, r.s_suppkey AS right_id,
                 CAST(levenshtein(l.s_name, r.s_name) AS INT) AS distance
          FROM supplier l CROSS JOIN supplier r
-         WHERE levenshtein(l.s_name, r.s_name) <= 2"""
+         WHERE levenshtein(l.s_name, r.s_name) <= 2""",
+
+    "q_scd2" ->
+      """WITH slim AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         flag AS (SELECT user_id, ts, event_type,
+                         (event_type IS DISTINCT FROM LAG(event_type) OVER w)
+                           OR LAG(ts) OVER w IS NULL AS chg
+                  FROM slim WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         kept AS (SELECT user_id, ts, event_type FROM flag WHERE chg)
+         SELECT user_id, event_type, ts AS valid_from,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+         FROM kept"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

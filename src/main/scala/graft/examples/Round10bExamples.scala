@@ -68,6 +68,27 @@ object LagFeaturizerExample {
   }
 }
 
+/** Change log → SCD2 validity intervals → point-in-time features via
+  * a BETWEEN join: the leakage-free feature-store pattern. */
+object Scd2Example {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("Scd2Example")
+    import spark.implicits._
+    val changes = Seq(
+      ("u1", 10L, "bronze"), ("u1", 25L, "silver"), ("u1", 25L + 15L, "gold"),
+      ("u2", 12L, "silver")).toDF("user", "ts", "tier")
+    val hist = new graft.join.Scd2Builder()
+      .setKeyCols("user").setOrderCol("ts").transform(changes).head
+    hist.orderBy("user", "valid_from").show(false)
+    val events = Seq(("u1", 30L), ("u2", 11L)).toDF("user", "event_ts")
+    events.join(hist, Seq("user"), "left")
+      .where(col("event_ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("event_ts") < col("valid_to")))
+      .select("user", "event_ts", "tier").show(false)
+    spark.stop()
+  }
+}
+
 /** Link records across two tables despite typos: edit-distance join
   * with exact recall via the q-gram prefix filter. */
 object FuzzyJoinExample {
