@@ -89,6 +89,7 @@ _STAGES = [
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.RegressionEvaluator",
     "graft.evaluation.ClusteringEvaluator",
+    "graft.evaluation.CalibrationEvaluator",
     "graft.recommendation.Swing",
     # streaming
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",

@@ -132,3 +132,16 @@ def test_scd2_builder(spark):
            .transform(log)[0].orderBy("valid_from").collect())
     assert [(r["v"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out] \
         == [("a", 1, 3, False), ("b", 3, None, True)]
+
+
+def test_calibration_evaluator(spark):
+    from graftml import CalibrationEvaluator
+    df = spark.createDataFrame(
+        [(0.2, 0.0), (0.4, 1.0), (0.8, 1.0), (0.8, 1.0), (1.0, 1.0)], ["p", "y"])
+    rows = (CalibrationEvaluator(spark=spark)
+            .setPredictionCol("p").setLabelCol("y").setNumBins(2)
+            .transform(df)[0].collect())
+    bins = {r["bin"]: r for r in rows}
+    assert bins[0]["n"] == 2 and abs(bins[0]["mean_pred"] - 0.3) < 1e-12
+    assert abs(bins[0]["gap"] - 0.2) < 1e-12
+    assert bins[1]["n"] == 3 and abs(bins[1]["frac_pos"] - 1.0) < 1e-12

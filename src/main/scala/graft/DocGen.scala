@@ -50,6 +50,7 @@ object DocGen {
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.ClusteringEvaluator",
+    "graft.evaluation.CalibrationEvaluator",
     "graft.evaluation.RegressionEvaluator",
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",

@@ -2302,6 +2302,22 @@ object SparkEntry {
       new graft.join.Scd2Builder().setKeyCols("user_id").setOrderCol("ts")
         .transform(log).head
         .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+    }),
+
+    // --- Reliability curve of a synthetic scorer over the event log
+    // (deterministic probabilities vs the click indicator) ---
+    "q_calibration" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        ((col("event_id") % 100).cast("double") / 100.0).as("p"),
+        when(col("event_type") === "click", 1.0).otherwise(0.0).as("y"))
+      new graft.evaluation.CalibrationEvaluator()
+        .setPredictionCol("p").setLabelCol("y").setNumBins(10)
+        .transform(ev).head
+        .select(col("bin"), col("n"),
+          round(col("mean_pred"), 6).as("mean_pred"),
+          round(col("frac_pos"), 6).as("frac_pos"),
+          round(col("sq_err"), 6).as("sq_err"),
+          round(col("gap"), 6).as("gap"))
     })
   )
 
@@ -5100,7 +5116,18 @@ object SparkEntry {
          SELECT user_id, event_type, ts AS valid_from,
                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
-         FROM kept"""
+         FROM kept""",
+
+    "q_calibration" ->
+      """WITH d AS (SELECT CAST(event_id % 100 AS DOUBLE) / 100.0 AS p,
+                           CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
+                    FROM events),
+         g AS (SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin, COUNT(*) AS n,
+                      AVG(p) AS mp, AVG(y) AS fp, SUM((p - y) * (p - y)) AS sq
+               FROM d GROUP BY 1)
+         SELECT bin, n, ROUND(mp, 6) AS mean_pred, ROUND(fp, 6) AS frac_pos,
+                ROUND(sq, 6) AS sq_err, ROUND(ABS(mp - fp), 6) AS gap
+         FROM g"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

@@ -178,6 +178,27 @@ object DataValidatorExample {
   }
 }
 
+/** Is the scorer's 0.9 actually a 90%? Reliability curve + Brier/ECE
+  * for a deliberately over-confident scorer. */
+object CalibrationExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("CalibrationExample")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // model predicts p but the true event rate is p^2 — over-confident
+    val scored = (0 until 2000).map { _ =>
+      val p = rnd.nextDouble()
+      (p, if (rnd.nextDouble() < p * p) 1.0 else 0.0)
+    }.toDF("p", "y")
+    val eval = new graft.evaluation.CalibrationEvaluator()
+      .setPredictionCol("p").setLabelCol("y").setNumBins(10)
+    eval.transform(scored).head.orderBy("bin").show(false)
+    val s = eval.summary(scored)
+    println(f"brier=${s.brier}%.4f ece=${s.ece}%.4f")
+    spark.stop()
+  }
+}
+
 /** Extract title, visible text, and link counts from raw HTML — the
   * crawl-payload step in front of C4/Gopher/dedup. */
 object HtmlExtractorExample {
