@@ -967,6 +967,80 @@ object ScaleUp {
       out.where(col("value_roll_count") > 0).count()
     }
 
+    // URL decomposition at scale: synthesize a crawl-like URL per doc
+    // (every 10th on a blocked domain) and parse it back — like
+    // html_extract this is in-row regexp Column math and must stay a
+    // zero-shuffle scan.
+    stage("url_parse") {
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://sub"), col("doc_id") % 1000,
+          when(col("doc_id") % 10 === 0, lit(".spam.example"))
+            .otherwise(lit(".news.example")),
+          lit("/p/"), col("doc_id"), lit("?ref=abc")).as("url"))
+      val out = new graft.text.UrlParser()
+        .setInputCol("url").setOutputCol("u")
+        .setBlockedDomains("spam.example")
+        .transform(urls).head
+      val blocked = out.where(col("u_blocked")).count()
+      require(blocked == numDocs / 10, s"expected ${numDocs / 10} blocked, got $blocked")
+      numDocs
+    }
+
+    // One-pass profiling at scale: every column's null/distinct/
+    // moment/length stats in ONE scan + one global HLL aggregation —
+    // shuffle bytes must stay O(columns), never O(rows).
+    stage("profile") {
+      new graft.stats.ColumnProfiler()
+        .setInputCols("doc_id", "text", "source")
+        .transform(docs).head.count()
+    }
+
+    // Intra-document repetition removal at scale: plant a 3x repeated
+    // line block inside each of the 500k docs — the rebuild is pure
+    // in-row array math (split/array_distinct/array_join), so the
+    // stage must measure ZERO shuffle.
+    stage("intra_doc_dedup") {
+      val paged = docs.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("nav footer"), col("text"),
+          lit("nav footer"), col("text")).as("body"))
+      val out = new graft.text.IntraDocDeduplicator()
+        .setInputCol("body").setOutputCol("dd").transform(paged).head
+      // each doc: 5 lines -> 2 kept (text + "nav footer"), 3 removed
+      out.where(col("dd_removed") === 3 && col("dd_kept") === 2).count()
+    }
+
+    // SCD2 interval building at scale: a 2M-row change log over 50k
+    // keys (40 snapshots each, attribute changes every 4th) — the
+    // collapse + lead() ride ONE window shuffle on the key; the
+    // ambiguity guard adds one limit(1) groupBy probe.
+    stage("scd2") {
+      val log = spark.range(0, 2000000L, 1, cpus.toInt).select(
+        pmod(col("id"), lit(50000L)).as("k"),
+        (col("id") / 50000L).cast("long").as("ts"),
+        floor(col("id") / 50000L / 4L).as("v"))
+      val dim = new graft.join.Scd2Builder()
+        .setKeyCols("k").setOrderCol("ts").transform(log).head
+      val rows = dim.count()
+      val current = dim.where(col("is_current")).count()
+      require(current == 50000L, s"expected one current row per key, got $current")
+      println(s"""{"scd2_intervals":$rows,"scd2_current":$current,""" +
+        s""""scd2_input_rows":2000000}""")
+      rows
+    }
+
+    // Calibration at scale: 2M scored rows reduce to 10 reliability
+    // bins through ONE map-side-combined aggregation — the shuffle is
+    // O(bins x partitions) partials, independent of row count.
+    stage("calibration") {
+      val scored = spark.range(0, 2000000L, 1, cpus.toInt).select(
+        ((col("id") % 1000L).cast("double") / 1000.0).as("p"),
+        when(col("id") * 7919L % 1000L < col("id") % 1000L, 1.0)
+          .otherwise(0.0).as("y"))
+      new graft.evaluation.CalibrationEvaluator()
+        .setPredictionCol("p").setLabelCol("y").setNumBins(10)
+        .transform(scored).head.count()
+    }
+
     println(s"""{"scaleup_done":true,"num_docs":$numDocs,"num_vecs":$numVecs,"dim":$dim}""")
     spark.stop()
   }
