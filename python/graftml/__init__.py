@@ -105,6 +105,7 @@ _STAGES = [
     "graft.dedup.CosineDeduplicator",
     "graft.dedup.CosineIndexer", "graft.dedup.CosineIndexModel",
     "graft.dedup.Decontaminator",
+    "graft.dedup.EntityResolver",
     "graft.dedup.MinHashDeduplicator",
     "graft.dedup.MinHashIndexer", "graft.dedup.MinHashIndexModel",
     "graft.dedup.NgramJaccardJoin",

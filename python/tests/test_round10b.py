@@ -134,6 +134,16 @@ def test_scd2_builder(spark):
         == [("a", 1, 3, False), ("b", 3, None, True)]
 
 
+def test_entity_resolver(spark):
+    from graftml import EntityResolver
+    df = spark.createDataFrame(
+        [(1, "jon"), (2, "john"), (3, "johnn"), (4, "mary")], ["id", "s"])
+    out = (EntityResolver(spark=spark)
+           .setIdCol("id").setInputCol("s").setMaxDistance(1)
+           .transform(df)[0].orderBy("id").collect())
+    assert [r["entity_id"] for r in out] == [1, 1, 1, 4]
+
+
 def test_calibration_evaluator(spark):
     from graftml import CalibrationEvaluator
     df = spark.createDataFrame(

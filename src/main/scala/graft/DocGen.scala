@@ -60,6 +60,7 @@ object DocGen {
     "graft.dedup.BloomDecontaminator",
     "graft.dedup.CosineDeduplicator", "graft.dedup.CosineIndexer",
     "graft.dedup.Decontaminator",
+    "graft.dedup.EntityResolver",
     "graft.dedup.MinHashDeduplicator", "graft.dedup.MinHashIndexer",
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher", "graft.dedup.SpanDeduplicator",

@@ -2318,6 +2318,28 @@ object SparkEntry {
           round(col("frac_pos"), 6).as("frac_pos"),
           round(col("sq_err"), 6).as("sq_err"),
           round(col("gap"), 6).as("gap"))
+    }),
+
+    // --- Entity resolution (FuzzyJoiner -> ConnectedComponents ->
+    // canonical min id) over planted typo clusters. Group key digits
+    // are DOUBLED so any two groups differ by >= 2 edits; inside a
+    // group, members 0-3 chain at distance 1 ("", x, y, z suffixes)
+    // and member 4 ("qq") sits at distance 2 from all — so the
+    // closure must resolve 0-3 to the group minimum and leave 4 its
+    // own entity, which the oracle states in closed form. ---
+    "q_entity_resolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val named = docs.select(col("doc_id"),
+        concat(lit("u"),
+          regexp_replace((col("doc_id") - col("doc_id") % 5).cast("string"),
+            "(.)", "$1$1"),
+          element_at(array(lit(""), lit("x"), lit("y"), lit("z"), lit("qq")),
+            (col("doc_id") % 5 + 1).cast("int"))).as("name"))
+      new graft.dedup.EntityResolver()
+        .setIdCol("doc_id").setInputCol("name")
+        .setMaxDistance(1).setGramLength(2)
+        .transform(named).head
+        .select(col("doc_id"), col("name"), col("entity_id"))
     })
   )
 
@@ -5127,7 +5149,20 @@ object SparkEntry {
                FROM d GROUP BY 1)
          SELECT bin, n, ROUND(mp, 6) AS mean_pred, ROUND(fp, 6) AS frac_pos,
                 ROUND(sq, 6) AS sq_err, ROUND(ABS(mp - fp), 6) AS gap
-         FROM g"""
+         FROM g""",
+
+    // closed-form oracle: the planted cluster structure pins the
+    // closure — members 0-3 of each 5-group chain at distance 1 and
+    // canonicalize to the group minimum, member 4 is a singleton
+    "q_entity_resolution" ->
+      """SELECT doc_id,
+                'u' || regexp_replace(CAST(doc_id - doc_id % 5 AS VARCHAR),
+                                      '(.)', '\1\1', 'g')
+                    || CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'x'
+                            WHEN 2 THEN 'y' WHEN 3 THEN 'z' ELSE 'qq' END AS name,
+                CASE WHEN doc_id % 5 = 4 THEN doc_id
+                     ELSE doc_id - doc_id % 5 END AS entity_id
+         FROM documents"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

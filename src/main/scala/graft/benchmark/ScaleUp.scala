@@ -870,6 +870,35 @@ object ScaleUp {
       total
     }
 
+    // Entity resolution at scale: the fuzzy_join corpus (100k 3-token
+    // strings; member 3 of each 5-group an EXACT copy of member 0)
+    // through the full pipeline — FuzzyJoiner pairs, component
+    // closure over the match graph only, labels joined back. Every
+    // planted copy must resolve to its original's id.
+    stage("entity_resolution") {
+      val names = DataGenerators.documentsLike(
+        spark, 100000L, tokensPerDoc = 3, numPartitions = cpus.toInt)
+        .select(col("doc_id").as("id"), col("text").as("nm"))
+      val resolved = new graft.dedup.EntityResolver()
+        .setIdCol("id").setInputCol("nm").setMaxDistance(1).setGramLength(3)
+        .transform(names).head
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merged = resolved.where(col("entity_id") =!= col("id")).count()
+      // planted copy and its original must land in the SAME entity
+      // (not necessarily id-3's: token collisions can hand the
+      // cluster an even smaller canonical id)
+      val copies = resolved.where(col("id") % 5 === 3)
+        .select((col("id") - 3).as("orig_id"), col("entity_id").as("copy_entity"))
+      val plantedResolved = copies
+        .join(resolved.select(col("id").as("orig_id"), col("entity_id")), "orig_id")
+        .where(col("copy_entity") === col("entity_id")).count()
+      val entities = resolved.select(count_distinct(col("entity_id"))).head.getLong(0)
+      resolved.unpersist(blocking = false)
+      println(s"""{"er_rows_merged":$merged,"er_planted_resolved":$plantedResolved,""" +
+        s""""er_planted_expected":20000,"er_entities":$entities}""")
+      100000L
+    }
+
     // Data-quality validation at scale: five row-level checks in ONE
     // aggregation pass over 500k docs plus one uniqueness groupBy —
     // the pre-training gate must stay scan-bound.

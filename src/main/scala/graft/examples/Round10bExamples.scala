@@ -199,6 +199,26 @@ object CalibrationExample {
   }
 }
 
+/** Same customer, three typo'd spellings: fuzzy-match, close
+  * transitively, and stamp every row with its canonical record id. */
+object EntityResolverExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("EntityResolverExample")
+    import spark.implicits._
+    val crm = Seq(
+      (1L, "john smith"), (2L, "jonh smith"), (3L, "john smiht"),
+      (4L, "mary jones"), (5L, "marie jones"), (6L, "bob wilson"))
+      .toDF("id", "customer")
+    val resolved = new graft.dedup.EntityResolver()
+      .setIdCol("id").setInputCol("customer").setMaxDistance(2)
+      .transform(crm).head
+    resolved.orderBy("id").show(false)
+    // 1,2,3 -> entity 1 (distance-2 star around "john smith");
+    // 4,5 -> entity 4; 6 stays its own entity
+    spark.stop()
+  }
+}
+
 /** Extract title, visible text, and link counts from raw HTML — the
   * crawl-payload step in front of C4/Gopher/dedup. */
 object HtmlExtractorExample {
