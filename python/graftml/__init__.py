@@ -79,6 +79,7 @@ _STAGES = [
     "graft.classification.LogisticRegressionModel",
     "graft.classification.NaiveBayes", "graft.classification.NaiveBayesModel",
     "graft.regression.LinearRegression", "graft.regression.LinearRegressionModel",
+    "graft.regression.IsotonicCalibrator", "graft.regression.IsotonicCalibratorModel",
     "graft.clustering.AgglomerativeClustering",
     "graft.clustering.KMeans", "graft.clustering.KMeansModel",
     # stats / evaluation / recommendation
@@ -90,6 +91,7 @@ _STAGES = [
     "graft.evaluation.RegressionEvaluator",
     "graft.evaluation.ClusteringEvaluator",
     "graft.evaluation.CalibrationEvaluator",
+    "graft.stats.CorrelationMatrix",
     "graft.recommendation.Swing",
     # streaming
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",

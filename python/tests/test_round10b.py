@@ -134,6 +134,29 @@ def test_scd2_builder(spark):
         == [("a", 1, 3, False), ("b", 3, None, True)]
 
 
+def test_correlation_matrix(spark):
+    from graftml import CorrelationMatrix
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)], ["a", "b", "c"])
+    rows = (CorrelationMatrix(spark=spark).setInputCols(["a", "b", "c"])
+            .transform(df)[0].collect())
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in rows}
+    assert abs(out[("a", "b")] - 1.0) < 1e-12
+    assert abs(out[("a", "c")] + 1.0) < 1e-12
+
+
+def test_isotonic_calibrator(spark):
+    from graftml import IsotonicCalibrator
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 0.0), (3.0, 1.0)], ["p", "y"])
+    m = (IsotonicCalibrator(spark=spark)
+         .setPredictionCol("p").setLabelCol("y").fit(df))
+    out = m.transform(spark.createDataFrame([(1.5,), (3.0,)], ["p"]))[0] \
+        .orderBy("p").collect()
+    assert abs(out[0]["calibrated"] - 0.5) < 1e-12
+    assert abs(out[1]["calibrated"] - 1.0) < 1e-12
+
+
 def test_entity_resolver(spark):
     from graftml import EntityResolver
     df = spark.createDataFrame(

@@ -43,10 +43,11 @@ object DocGen {
     "graft.classification.Knn", "graft.classification.LinearSVC",
     "graft.classification.LogisticRegression", "graft.classification.NaiveBayes",
     "graft.regression.LinearRegression",
+    "graft.regression.IsotonicCalibrator",
     "graft.clustering.AgglomerativeClustering", "graft.clustering.KMeans",
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
     "graft.stats.DriftDetector", "graft.stats.DataValidator",
-    "graft.stats.ColumnProfiler",
+    "graft.stats.ColumnProfiler", "graft.stats.CorrelationMatrix",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.ClusteringEvaluator",

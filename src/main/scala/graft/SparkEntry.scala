@@ -2340,6 +2340,32 @@ object SparkEntry {
         .setMaxDistance(1).setGramLength(2)
         .transform(named).head
         .select(col("doc_id"), col("name"), col("entity_id"))
+    }),
+
+    // --- Isotonic calibration: fit PAV on a planted score/label
+    // relation whose 20 group means are monotone BY CONSTRUCTION
+    // (mean_k = (floor(4k/20 as j-count))/5 steps upward), so the
+    // fitted knots equal the group means and the oracle is a plain
+    // grouped AVG; transform at the knots returns them exactly ---
+    "q_isotonic" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        ((col("event_id") % 20).cast("double") / 20.0).as("p"),
+        when(col("event_id") % 100 < (col("event_id") % 20) * 5, 1.0)
+          .otherwise(0.0).as("y"))
+      val m = new graft.regression.IsotonicCalibrator()
+        .setPredictionCol("p").setLabelCol("y").fit(ev)
+      m.transform(ev.select("p").distinct()).head
+        .select(col("p"), round(col("calibrated"), 6).as("calibrated"))
+    }),
+
+    // --- Pairwise Pearson correlations over lineitem's numeric
+    // columns: all 6 pairs in ONE scan + one global aggregation ---
+    "q_correlation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      new graft.stats.CorrelationMatrix()
+        .setInputCols("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .transform(li).head
+        .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
     })
   )
 
@@ -5162,7 +5188,31 @@ object SparkEntry {
                             WHEN 2 THEN 'y' WHEN 3 THEN 'z' ELSE 'qq' END AS name,
                 CASE WHEN doc_id % 5 = 4 THEN doc_id
                      ELSE doc_id - doc_id % 5 END AS entity_id
-         FROM documents"""
+         FROM documents""",
+
+    // the planted relation's group means are monotone, so PAV pools
+    // nothing and isotonic calibration IS the grouped average
+    "q_isotonic" ->
+      """WITH d AS (SELECT CAST(event_id % 20 AS DOUBLE) / 20.0 AS p,
+                           CASE WHEN event_id % 100 < (event_id % 20) * 5
+                                THEN 1.0 ELSE 0.0 END AS y
+                    FROM events)
+         SELECT p, ROUND(AVG(y), 6) AS calibrated
+         FROM d GROUP BY p""",
+
+    "q_correlation" ->
+      """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', 'l_tax', ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_tax', ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

@@ -1070,6 +1070,47 @@ object ScaleUp {
         .transform(scored).head.count()
     }
 
+    // Isotonic calibration at scale: 2M scored rows with 1,000
+    // distinct scores and a DELIBERATELY miscalibrated monotone-noisy
+    // relation — fit is one map-side-combined groupBy to 1,000
+    // aggregate rows + driver PAV; transform broadcasts the knots
+    // back over all 2M rows. Shuffle must stay O(distinct scores).
+    stage("isotonic") {
+      val scored = spark.range(0, 2000000L, 1, cpus.toInt).select(
+        ((col("id") % 1000L).cast("double") / 1000.0).as("p"),
+        // true rate ~ p^2 plus hash jitter: monotone in expectation,
+        // locally violated -> PAV genuinely pools
+        when((col("id") * 7919L % 1000000L).cast("double") / 1000000.0
+          < pow(col("id") % 1000L, 2) / 1000000.0, 1.0).otherwise(0.0).as("y"))
+      val model = new graft.regression.IsotonicCalibrator()
+        .setPredictionCol("p").setLabelCol("y").fit(scored)
+      val knots = model.getModelData.head.count()
+      val out = model.transform(scored).head
+      // calibrated output must be monotone in p: max calibrated of
+      // the lower half <= min calibrated of the upper half
+      val halves = out.agg(
+        max(when(col("p") < 0.5, col("calibrated"))).as("lo_max"),
+        min(when(col("p") >= 0.5, col("calibrated"))).as("hi_min")).head()
+      require(halves.getDouble(0) <= halves.getDouble(1),
+        s"isotonic output not monotone: ${halves.getDouble(0)} > ${halves.getDouble(1)}")
+      println(s"""{"isotonic_knots":$knots,"isotonic_rows":2000000}""")
+      out.count()
+    }
+
+    // Correlation matrix at scale: 16 numeric columns over 2M rows —
+    // all 120 pairwise Pearson aggregates must share ONE scan (the
+    // shuffle is the combined partials, O(d²), never O(rows)).
+    stage("correlation") {
+      val wide = spark.range(0, 2000000L, 1, cpus.toInt).select(
+        (0 until 16).map(i =>
+          ((col("id") * (2 * i + 3L) % 10007L).cast("double") +
+            (col("id") % 101L).cast("double")).as(s"f$i")): _*)
+      val out = new graft.stats.CorrelationMatrix()
+        .setInputCols((0 until 16).map(i => s"f$i"): _*)
+        .transform(wide).head
+      out.where(col("corr").isNotNull).count()
+    }
+
     println(s"""{"scaleup_done":true,"num_docs":$numDocs,"num_vecs":$numVecs,"dim":$dim}""")
     spark.stop()
   }

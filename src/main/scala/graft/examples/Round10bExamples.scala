@@ -199,6 +199,43 @@ object CalibrationExample {
   }
 }
 
+/** Which features are redundant? One scan over lineitem gives every
+  * pairwise Pearson correlation. */
+object CorrelationMatrixExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("CorrelationMatrixExample")
+    val li = spark.read.parquet(ExampleData.dir + "/lineitem.parquet")
+    new graft.stats.CorrelationMatrix()
+      .setInputCols("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .transform(li).head
+      .orderBy("col_a", "col_b").show(false)
+    spark.stop()
+  }
+}
+
+/** The over-confident scorer from CalibrationExample, FIXED: fit an
+  * isotonic map on held-out data and compare ECE before/after. */
+object IsotonicCalibratorExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("IsotonicCalibratorExample")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def draw() = { val p = rnd.nextDouble(); (p, if (rnd.nextDouble() < p * p) 1.0 else 0.0) }
+    val heldOut = (0 until 4000).map(_ => draw()).toDF("p", "y")
+    val test = (0 until 4000).map(_ => draw()).toDF("p", "y")
+    val model = new graft.regression.IsotonicCalibrator()
+      .setPredictionCol("p").setLabelCol("y")
+      // continuous scores: bucket to bound the knot table
+      .fit(heldOut.withColumn("p", round($"p", 2)))
+    val calibrated = model.transform(test).head
+    val eval = new graft.evaluation.CalibrationEvaluator().setLabelCol("y")
+    val before = eval.setPredictionCol("p").summary(test)
+    val after = eval.setPredictionCol("calibrated").summary(calibrated)
+    println(f"ECE before=${before.ece}%.4f after=${after.ece}%.4f")
+    spark.stop()
+  }
+}
+
 /** Same customer, three typo'd spellings: fuzzy-match, close
   * transitively, and stamp every row with its canonical record id. */
 object EntityResolverExample {
