@@ -68,6 +68,7 @@ _STAGES = [
     "graft.feature.GroupedSplitter",
     "graft.feature.StratifiedSampler",
     "graft.feature.WeightedMixer",
+    "graft.feature.WeightedSampler",
     "graft.feature.EpochMixer",
     "graft.feature.FrequencyEncoder", "graft.feature.FrequencyEncoderModel",
     "graft.feature.TargetEncoder", "graft.feature.TargetEncoderModel",

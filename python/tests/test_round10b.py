@@ -134,6 +134,19 @@ def test_scd2_builder(spark):
         == [("a", 1, 3, False), ("b", 3, None, True)]
 
 
+def test_weighted_sampler(spark):
+    from graftml import WeightedSampler
+    df = spark.createDataFrame(
+        [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(2000)], ["id", "w"])
+    out = (WeightedSampler(spark=spark)
+           .setIdCol("id").setWeightCol("w").setSampleSize(200).setSeed(7)
+           .transform(df)[0].collect())
+    ids = [r["id"] for r in out]
+    assert len(ids) == 200 and len(set(ids)) == 200
+    high = sum(1 for i in ids if i % 2 == 0)
+    assert high > 150  # 9:1 weights must dominate the sample
+
+
 def test_correlation_matrix(spark):
     from graftml import CorrelationMatrix
     df = spark.createDataFrame(

@@ -37,6 +37,7 @@ object DocGen {
     "graft.feature.VarianceThresholdSelector", "graft.feature.VectorIndexer",
     "graft.feature.DeterministicShuffler", "graft.feature.GroupedSplitter",
     "graft.feature.StratifiedSampler", "graft.feature.WeightedMixer",
+    "graft.feature.WeightedSampler",
     "graft.feature.EpochMixer",
     "graft.feature.FrequencyEncoder", "graft.feature.TargetEncoder",
     "graft.feature.LagFeaturizer",

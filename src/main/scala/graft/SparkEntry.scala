@@ -2366,6 +2366,17 @@ object SparkEntry {
         .setInputCols("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .transform(li).head
         .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
+    }),
+
+    // --- Weight-proportional sampling (Efraimidis-Spiridakis) with
+    // doc length as the weight: the md5 key construction is 52-bit so
+    // the oracle replays every es_key bit-for-bit in SQL ---
+    "q_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      new graft.feature.WeightedSampler()
+        .setIdCol("doc_id").setWeightCol("w").setSampleSize(100).setSeed(42L)
+        .transform(docs.withColumn("w", length(col("text")).cast("double"))).head
+        .select(col("doc_id"), col("source"))
     })
   )
 
@@ -5212,7 +5223,20 @@ object SparkEntry {
          UNION ALL
          SELECT 'l_extendedprice', 'l_tax', ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
          UNION ALL
-         SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem"""
+         SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem""",
+
+    // same md5 -> 13 hex chars -> (v+1)/2^52 -> ln/weight key as the
+    // operator; 52 bits keep the integer exact in a double, so both
+    // engines compute the identical es_key and the identical top-100
+    "q_weighted_sample" ->
+      """WITH k AS (
+           SELECT doc_id, source,
+                  ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || '42'),
+                                          1, 13) AS BIGINT) + 1.0)
+                     / 4503599627370496.0) / length(text) AS es_key
+           FROM documents),
+         top AS (SELECT doc_id, es_key FROM k ORDER BY es_key DESC, doc_id LIMIT 100)
+         SELECT k.doc_id, k.source FROM k JOIN top ON k.doc_id = top.doc_id"""
   )
   // batched BPE must equal sequential BPE — literally the same replay
   m + ("q_bpe_batched" -> m("q_bpe"))

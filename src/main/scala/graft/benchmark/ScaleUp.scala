@@ -1111,6 +1111,31 @@ object ScaleUp {
       out.where(col("corr").isNotNull).count()
     }
 
+    // Weight-proportional sampling at scale: pick 50k of the 500k
+    // docs proportional to length — the ranking pass is a slim
+    // (id, key) TakeOrdered (50k 16-byte pairs concentrate, never the
+    // documents), then the winners join back. Rate ratio between a
+    // planted heavy tail and the body must track the weight ratio.
+    stage("weighted_sample") {
+      val weighted = docs.withColumn("w",
+        when(col("doc_id") % 10 === 0, 20.0).otherwise(1.0))
+      val sample = new graft.feature.WeightedSampler()
+        .setIdCol("doc_id").setWeightCol("w").setSampleSize(50000).setSeed(11L)
+        .transform(weighted).head
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = sample.count()
+      val heavy = sample.where(col("doc_id") % 10 === 0).count()
+      sample.unpersist(blocking = false)
+      // A-Res inclusion: P(in) = 1 - e^(-w*t) with the threshold t
+      // solving 50k(1-e^(-20t)) + 450k(1-e^(-t)) = 50k -> t ~ 0.0455,
+      // heavy ~ 29.9k (59.7% of heavy pop vs 4.5% of light: the
+      // saturating 13.4x rate ratio, not the small-k-limit 20x)
+      require(heavy > 28500L && heavy < 31500L,
+        s"heavy-weight count off the A-Res expectation: $heavy of $n")
+      println(s"""{"ws_sampled":$n,"ws_heavy":$heavy,"ws_heavy_pop":50000}""")
+      n
+    }
+
     println(s"""{"scaleup_done":true,"num_docs":$numDocs,"num_vecs":$numVecs,"dim":$dim}""")
     spark.stop()
   }

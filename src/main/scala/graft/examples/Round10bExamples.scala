@@ -199,6 +199,25 @@ object CalibrationExample {
   }
 }
 
+/** "Sample 200 docs proportional to quality": weight-proportional
+  * selection that replays identically on any cluster size. */
+object WeightedSamplerExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("WeightedSamplerExample")
+    import org.apache.spark.sql.functions._
+    val docs = ExampleData.table(spark, "documents")
+      .withColumn("quality", length(col("text")).cast("double"))
+    val sample = new graft.feature.WeightedSampler()
+      .setIdCol("doc_id").setWeightCol("quality")
+      .setSampleSize(200).setSeed(7L)
+      .transform(docs).head
+    println(s"sampled ${sample.count()} docs; mean quality " +
+      f"${sample.agg(avg("quality")).head.getDouble(0)}%.1f vs corpus " +
+      f"${docs.agg(avg("quality")).head.getDouble(0)}%.1f")
+    spark.stop()
+  }
+}
+
 /** Which features are redundant? One scan over lineitem gives every
   * pairwise Pearson correlation. */
 object CorrelationMatrixExample {
