@@ -842,6 +842,27 @@ object ScaleUp {
       numDocs
     }
 
+    // Categorical encoding at the cardinality the encoders exist for:
+    // 20M rows over 10M distinct categories. fit's total/prior is a
+    // broadcast scalar aggregate — the 10M-row model must NEVER cross
+    // a single-partition exchange (the old Window.partitionBy() plan
+    // would have funneled all 10M rows through one task); transform
+    // broadcasts the slim model onto the fact table.
+    stage("target_encode_highcard") {
+      val n = 20000000L
+      val hc = spark.range(0, n, 1, cpus.toInt).select(
+        concat(lit("cat_"), pmod(col("id") * 2654435761L, lit(10000000L))).as("c"),
+        (col("id") % 97).cast("double").as("y"))
+      val te = new graft.feature.TargetEncoder()
+        .setInputCol("c").setOutputCol("te").setLabelCol("y")
+        .setSmoothing(50.0).fit(hc)
+      val modelRows = te.getModelData.head.count()
+      val encodedSum = te.transform(hc).head.agg(sum("te")).head.getDouble(0)
+      println(s"""{"te_highcard_model_rows":$modelRows,""" +
+        s""""te_highcard_encoded_mean":${encodedSum / n}}""")
+      modelRows
+    }
+
     // Edit-distance self-join at scale: 100k 3-token name-like strings
     // (documentsLike's planted structure: member 3 of each 5-group is
     // an EXACT copy of member 0 -> 20k planted pairs at distance 0,

@@ -48,10 +48,17 @@ class FrequencyEncoder extends Estimator[FrequencyEncoder, FrequencyEncoderModel
     val counts = df
       .groupBy(col(getInputCol).cast("string").as("category"))
       .agg(count(lit(1)).as("n"))
-    // one extra tiny job for the total; keeps the model self-contained
+    // total via a broadcast scalar aggregate, NOT an unpartitioned
+    // window: Window.partitionBy() would funnel the ENTIRE model table
+    // through one partition — a real straggler at the tens-of-millions
+    // of categories these encoders exist for. ReuseExchange shares the
+    // groupBy shuffle between the two branches, so the input is
+    // scanned once and only 32 partial-sum rows hit the gather.
+    val total = counts.agg(sum("n").as("__fe_total"))
     val modelDf = counts
-      .withColumn("frequency", col("n") / sum("n").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .crossJoin(broadcast(total))
+      .withColumn("frequency", col("n") / col("__fe_total"))
+      .drop("__fe_total")
     val m = new FrequencyEncoderModel().setModelData(modelDf)
     copyParamsTo(m)
     m
@@ -131,14 +138,23 @@ class TargetEncoder extends Estimator[TargetEncoder, TargetEncoderModel]
     val labeled = df.where(col(getLabelCol).isNotNull)
       .select(col(getInputCol).cast("string").as("category"),
         col(getLabelCol).cast("double").as("__y"))
+    // fail at fit (with the cause) rather than as a bare
+    // NoSuchElementException at transform time on an empty model
+    require(!labeled.isEmpty,
+      s"TargetEncoder.fit: no rows with a non-null label '$getLabelCol' — cannot fit")
     val stats = labeled
       .groupBy("category")
       .agg(count(lit(1)).as("n"), sum("__y").as("sum_y"))
     val m = getSmoothing
+    // prior via a broadcast scalar aggregate, NOT Window.partitionBy()
+    // (which would single-partition the whole model table; see
+    // FrequencyEncoder.fit). ReuseExchange shares the groupBy shuffle.
+    val totals = stats.agg(
+      (sum("sum_y") / sum("n")).as("__te_prior"))
     val modelDf = stats
-      .withColumn("prior",
-        sum("sum_y").over(org.apache.spark.sql.expressions.Window.partitionBy())
-          / sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .crossJoin(broadcast(totals))
+      .withColumn("prior", col("__te_prior"))
+      .drop("__te_prior")
       .withColumn("mean", col("sum_y") / col("n"))
       .withColumn("encoding",
         (col("sum_y") + lit(m) * col("prior")) / (col("n") + lit(m)))

@@ -177,29 +177,34 @@ object AudioDecoder extends StageLoader[AudioDecoder] {
   def load(spark: SparkSession, path: String): AudioDecoder =
     ReadWrite.applyParams(new AudioDecoder, path)
 
-  /** RIFF/WAVE header walk; null/garbage → None. */
-  private[multimodal] def parseWav(b: Array[Byte]): Option[WavMeta] = {
+  /** RIFF/WAVE header walk; null/garbage → None. The chunk size is a
+    * raw UNSIGNED 32-bit field from untrusted bytes, so the walk keeps
+    * both the offset and the size as Long (a crafted size like
+    * 0xFFFFFFF8 truncated to Int would advance the offset by 0 — an
+    * executor task hung forever on one bad payload) and any read past
+    * the buffer ends the walk instead of throwing. */
+  private[multimodal] def parseWav(b: Array[Byte]): Option[WavMeta] = try {
     if (b == null || b.length < 44) return None
-    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    def le16(o: Long): Int = (b(o.toInt) & 0xff) | ((b(o.toInt + 1) & 0xff) << 8)
+    def le32(o: Long): Long = (b(o.toInt) & 0xffL) | ((b(o.toInt + 1) & 0xffL) << 8) |
+      ((b(o.toInt + 2) & 0xffL) << 16) | ((b(o.toInt + 3) & 0xffL) << 24)
+    def tag(o: Long): String = new String(b, o.toInt, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    var off = 12L
     var channels = -1; var rate = 0L; var bits = -1
     var blockAlign = -1; var dataSize = -1L
     while (off + 8 <= b.length) {
-      val id = tag(off); val sz = le32(off + 4)
+      val id = tag(off); val sz = le32(off + 4) // unsigned: 0 <= sz < 2^32
       if (id == "fmt " && off + 24 <= b.length) {
         channels = le16(off + 10); rate = le32(off + 12)
         blockAlign = le16(off + 20); bits = le16(off + 22)
       } else if (id == "data") dataSize = sz
-      off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      off += 8L + sz + (sz & 1L) // RIFF chunks are word-aligned; always advances >= 8
     }
     if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataSize < 0) None
     else Some(WavMeta(channels, rate.toInt, bits, dataSize / blockAlign,
       dataSize.toDouble / (rate * blockAlign)))
-  }
+  } catch { case _: RuntimeException => None }
 
   /** Deterministic 16-bit PCM WAV payload for tests/benchmarks:
     * samples derive from (index, seed). */
@@ -255,7 +260,7 @@ object VideoDecoder extends StageLoader[VideoDecoder] {
     ReadWrite.applyParams(new VideoDecoder, path)
 
   /** ISO BMFF top-level box walk; null/garbage → None. */
-  private[multimodal] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+  private[multimodal] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = try {
     if (b == null || b.length < 16) return None
     def be32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
@@ -276,9 +281,18 @@ object VideoDecoder extends StageLoader[VideoDecoder] {
           val csz = be32(c); val ctyp = tag(c + 4)
           if (csz < 8 || c + csz > end) return None
           if (ctyp == "mvhd") {
+            // a truncated mvhd (csz between 8 and the field span) must
+            // decode to None, not read past the buffer: v0 fields end at
+            // c+27 (need csz >= 28), v1 at c+39 (need csz >= 40)
+            if (csz < 12) return None
             val version = b(c + 8) & 0xff
-            if (version == 0) { timescale = be32(c + 20); duration = be32(c + 24) }
-            else { timescale = be32(c + 28); duration = (be32(c + 32) << 32) | be32(c + 36) }
+            if (version == 0) {
+              if (csz < 28) return None
+              timescale = be32(c + 20); duration = be32(c + 24)
+            } else {
+              if (csz < 40) return None
+              timescale = be32(c + 28); duration = (be32(c + 32) << 32) | be32(c + 36)
+            }
           } else if (ctyp == "trak") tracks += 1
           c += csz.toInt
         }
@@ -288,7 +302,7 @@ object VideoDecoder extends StageLoader[VideoDecoder] {
     if (!sawMoov || timescale <= 0) None
     else Some(Mp4Meta(brand, timescale, duration,
       duration.toDouble / timescale, tracks))
-  }
+  } catch { case _: RuntimeException => None }
 
   /** Deterministic minimal MP4 payload for tests/benchmarks: an ftyp
     * box, a moov with a version-0 mvhd and `numTracks` stub trak

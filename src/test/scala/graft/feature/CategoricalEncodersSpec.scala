@@ -63,6 +63,31 @@ class CategoricalEncodersSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("fit plans no unpartitioned window over the model table") {
+    // the total/prior must come from a scalar aggregate, not
+    // Window.partitionBy() — which would funnel the entire
+    // |categories|-row model through ONE partition (a straggler at the
+    // tens-of-millions of categories these encoders exist for)
+    for (plan <- Seq(
+      new FrequencyEncoder().setInputCol("cat").setOutputCol("enc")
+        .fit(train).getModelData.head.queryExecution.executedPlan.toString,
+      new TargetEncoder().setInputCol("cat").setOutputCol("enc").setLabelCol("y")
+        .fit(train).getModelData.head.queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("Window"), plan)
+    }
+  }
+
+  test("TargetEncoder.fit refuses an all-null label column with a clear message") {
+    import spark.implicits._
+    val allNull = Seq("a", "b").toDF("cat")
+      .withColumn("y", lit(null).cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      new TargetEncoder().setInputCol("cat").setOutputCol("enc")
+        .setLabelCol("y").fit(allNull)
+    }
+    assert(e.getMessage.contains("non-null label"))
+  }
+
   test("save/load round-trip preserves params and model data") {
     import spark.implicits._
     val dir = tmpDir()

@@ -100,6 +100,63 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isNullAt(1) && out(3L).isNullAt(1))
   }
 
+  test("parseWav terminates on crafted chunk sizes (no infinite loop, no throw)") {
+    // chunk size 0xFFFFFFF8 truncated to Int used to advance the offset
+    // by exactly 0 — a hung executor task; the walk must finish and
+    // return None (or valid meta) in bounded time
+    val hostile = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    hostile.put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8) // unsigned 4294967288
+    val deadline = System.nanoTime() + 2_000_000_000L
+    assert(AudioDecoder.parseWav(hostile.array()).isEmpty)
+    assert(System.nanoTime() < deadline, "parseWav did not terminate promptly")
+    // other large sizes must not drive the offset negative / throw
+    for (sz <- Seq(0x80000000L, 0xFFFFFFFFL, 0x7FFFFFFFL, 0xFFFFFFF9L)) {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(sz.toInt)
+      AudioDecoder.parseWav(b.array()) // must not throw or loop
+    }
+  }
+
+  test("parseWav/parseMp4 survive fuzzed corruption of valid payloads") {
+    // flip bytes / truncate a few hundred valid payloads: every parse
+    // must return None or a valid meta — never throw, never hang
+    val rnd = new scala.util.Random(42)
+    val wav = AudioDecoder.syntheticWav(16000, 200, 2, 7L)
+    val mp4 = VideoDecoder.syntheticMp4(600, 9000L, 2)
+    val t0 = System.nanoTime()
+    for (_ <- 0 until 400) {
+      val base = if (rnd.nextBoolean()) wav.clone() else mp4.clone()
+      // corrupt 1-8 random bytes
+      for (_ <- 0 to rnd.nextInt(8))
+        base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+      // sometimes truncate
+      val payload = if (rnd.nextInt(3) == 0) base.take(rnd.nextInt(base.length)) else base
+      AudioDecoder.parseWav(payload)
+      VideoDecoder.parseMp4(payload) // no throw, no hang is the assertion
+    }
+    assert(System.nanoTime() - t0 < 30_000_000_000L, "fuzz loop took too long")
+  }
+
+  test("parseMp4 rejects truncated mvhd boxes instead of reading past the buffer") {
+    val good = VideoDecoder.syntheticMp4(600, 9000L, 1)
+    // rewrite the mvhd box size to a value between 8 and the v0 field
+    // span (28) so the fields would read past the box
+    val bb = java.nio.ByteBuffer.wrap(good.clone()).order(java.nio.ByteOrder.BIG_ENDIAN)
+    // layout: ftyp(16) | moov hdr(8) | mvhd size at offset 24
+    bb.putInt(24, 16) // truncated mvhd
+    assert(VideoDecoder.parseMp4(bb.array()).isEmpty)
+    // truncated v1 mvhd (version byte = 1, size below the v1 span 40)
+    val v1 = good.clone()
+    val b1 = java.nio.ByteBuffer.wrap(v1).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b1.putInt(24, 36)       // below 40
+    v1(32) = 1.toByte       // mvhd version = 1
+    assert(VideoDecoder.parseMp4(v1).isEmpty)
+  }
+
   test("av decoders round-trip through param save/load") {
     val d1 = tmpDir(); val d2 = tmpDir()
     new AudioDecoder().setInputCol("a").setOutputCol("am").save(d1)
