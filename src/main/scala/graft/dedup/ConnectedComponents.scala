@@ -133,8 +133,12 @@ object ConnectedComponents {
    * Both preserve connectivity; a full round at least halves the
    * min-distance of every vertex, so components contract to stars
    * centered at their minimum in O(log n) rounds. Convergence =
-   * edge-set fixpoint (count + except emptiness over the already-
-   * distinct canonical sets).
+   * edge-set fixpoint, detected in two phases: every round computes
+   * (count, bit_xor of per-edge xxhash64) in ONE aggregate job — an
+   * order-insensitive set signature — and only a signature match
+   * (i.e. the suspected final round) pays the exact `except`
+   * confirmation; a non-final round costs one scan, not a
+   * distinct+anti-join shuffle of the full edge set.
    */
   private def runStar(sym: DataFrame, maxIter: Int): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
@@ -155,6 +159,17 @@ object ConnectedComponents {
         .distinct()
     }
 
+    // order-insensitive edge-set signature in ONE job: (count, xor of
+    // per-edge 64-bit hashes). Two consecutive rounds with equal
+    // signatures are a fixpoint up to a ~2^-64 xor collision, which
+    // the exact except() below rules out — so the expensive check
+    // runs once, at the true final round, instead of every round.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     // localCheckpoint EVERY round: each star op references its input
     // 3-4 times, so the logical plan grows ~12x per round — persist
     // alone (which keeps lineage) turns the optimizer exponential.
@@ -162,7 +177,7 @@ object ConnectedComponents {
     // write is bounded by the input edge count.
     var edges = sym.where(col("u") > col("v")).select("u", "v")
       .localCheckpoint(true)
-    var prevCount = edges.count()
+    var prevSig = signature(edges)
     sym.unpersist(blocking = false)
 
     var converged = false
@@ -172,11 +187,11 @@ object ConnectedComponents {
       // (its min aggregate and its rewire join)
       val ls = largeStar(edges).persist(StorageLevel.MEMORY_AND_DISK)
       val mat = smallStar(ls).localCheckpoint(true)
-      val nextCount = mat.count()
-      converged = nextCount == prevCount && mat.except(edges).isEmpty
+      val nextSig = signature(mat)
+      converged = nextSig == prevSig && mat.except(edges).isEmpty
       ls.unpersist(blocking = false)
       edges = mat
-      prevCount = nextCount
+      prevSig = nextSig
       iter += 1
     }
     lastRounds = iter

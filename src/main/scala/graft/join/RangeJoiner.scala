@@ -105,14 +105,32 @@ class RangeJoiner extends AlgoOperator[RangeJoiner] {
       (b0 to b1).toArray
     }
 
+    // exact long floorDiv — the explode side uses Math.floorDiv, so the
+    // dedup filter must match it bit-for-bit; floor(x / w) via double
+    // division disagrees for |x| near 2^52 (a pair silently emitted
+    // twice or dropped). x - pmod(x, w) is the largest multiple of
+    // w <= x, so the integral divide below is exact.
+    def floorDivCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("div", x - pmod(x, lit(w)), lit(w))
+
     val ls = col(getLeftStartCol).cast("long")
     val le = col(getLeftEndCol).cast("long")
     val rs = col(getRightStartCol).cast("long")
     val re = col(getRightEndCol).cast("long")
 
+    // Null bounds: dropped EXPLICITLY, not by accident. Under SQL
+    // three-valued logic a null-bounded interval can't satisfy the
+    // plain overlap predicate this operator is exact against, and the
+    // optimizer's constraint inference would filter such rows below
+    // the explode anyway (so an in-plan fail-fast guard is
+    // unreachable; deterministic fail-fast would cost a dedicated
+    // validation scan — enforce upstream with DataValidator.addNotNull
+    // if nulls should be an error).
     val leftBinned = left
+      .where(ls.isNotNull && le.isNotNull)
       .withColumn("__rj_bin", explode(binsOf(getLeftStartCol, getLeftEndCol)(ls, le)))
     val rightBinned = right
+      .where(rs.isNotNull && re.isNotNull)
       .withColumn("__rj_bin", explode(binsOf(getRightStartCol, getRightEndCol)(rs, re)))
       .select((keys.map(col) :+ col("__rj_bin") :+ rs.as("__rj_s") :+ re.as("__rj_e")) ++
         getValueCols.toSeq.map(col): _*)
@@ -122,7 +140,7 @@ class RangeJoiner extends AlgoOperator[RangeJoiner] {
     val matched = leftBinned.join(rightBinned, keys :+ "__rj_bin")
       .where(ls <= col("__rj_e") && col("__rj_s") <= le)
       .where(col("__rj_bin") ===
-        greatest(floor(ls / w).cast("long"), floor(col("__rj_s") / w).cast("long")))
+        greatest(floorDivCol(ls), floorDivCol(col("__rj_s"))))
       .drop("__rj_bin")
       .withColumnRenamed("__rj_s", getRightStartCol)
       .withColumnRenamed("__rj_e", getRightEndCol)

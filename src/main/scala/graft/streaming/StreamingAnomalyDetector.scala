@@ -34,7 +34,9 @@ case class AnomalyScore(key: String, order: Long, value: Double,
  *    `orderCol` WITHIN each micro-batch; cross-batch disorder scores
  *    against whatever state had accumulated (the honest streaming
  *    semantics — reorder-sensitive pipelines should watermark + sort
- *    upstream).
+ *    upstream). For an UNBOUNDED key space set `stateTtlMs`: keys idle
+ *    past the TTL (event time, against the watermark) are evicted and
+ *    start cold if they reappear; the default keeps state forever.
  *
  * `orderCol` must be numeric or timestamp (timestamps score by
  * microsecond epoch); the key is compared as a string.
@@ -66,20 +68,49 @@ class StreamingAnomalyDetector extends Transformer[StreamingAnomalyDetector]
   def getMinCount: Int = get(minCount)
   def setMinCount(v: Int): StreamingAnomalyDetector = set(minCount, v)
 
+  final val stateTtlMs: Param[Long] = param[Long](
+    "stateTtlMs", "Event-time TTL for idle per-key Welford state; <= 0 keeps state " +
+      "forever (parity default). Streaming only: an UNBOUNDED key space (user ids on " +
+      "a years-long stream) grows the state store forever without it. orderCol is the " +
+      "event-time clock — epoch milliseconds when numeric.", 0L)
+  def getStateTtlMs: Long = get(stateTtlMs)
+  def setStateTtlMs(v: Long): StreamingAnomalyDetector = set(stateTtlMs, v)
+
+  final val watermarkDelay: Param[String] = param[String](
+    "watermarkDelay", "Watermark delay (Spark interval string) installed on the " +
+      "event-time clock when stateTtlMs > 0; doubles as the lateness tolerance.",
+    "0 seconds")
+  def getWatermarkDelay: String = get(watermarkDelay)
+  def setWatermarkDelay(v: String): StreamingAnomalyDetector = set(watermarkDelay, v)
+
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
     val df = inputs.head
-    val orderExpr = df.schema(getOrderCol).dataType match {
+    val isTimestamp = df.schema(getOrderCol).dataType match {
       case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(getOrderCol).cast("timestamp"))
-      case _ => col(getOrderCol).cast("long")
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
     }
+    val orderExpr =
+      if (isTimestamp) unix_micros(col(getOrderCol).cast("timestamp"))
+      else col(getOrderCol).cast("long")
+    val ttl = getStateTtlMs
+    val useTtl = df.isStreaming && ttl > 0
+    // TTL clock in epoch ms: timestamps convert exactly; numeric order
+    // values are epoch ms by convention (document at the call site)
+    val tsExpr =
+      if (!useTtl) lit(null).cast("timestamp")
+      else if (isTimestamp) col(getOrderCol).cast("timestamp")
+      else timestamp_millis(col(getOrderCol).cast("long"))
     val slim = df.select(
       col(getKeyCol).cast("string").as("key"),
       orderExpr.as("order"),
-      col(getInputCol).cast("double").as("value"))
-    if (df.isStreaming) Array(streamingPath(slim)) else Array(batchPath(slim))
+      col(getInputCol).cast("double").as("value"),
+      tsExpr.as("__sad_ts"))
+    if (df.isStreaming) {
+      val withWm = if (useTtl) slim.withWatermark("__sad_ts", getWatermarkDelay) else slim
+      Array(streamingPath(withWm, ttl))
+    } else Array(batchPath(slim.drop("__sad_ts")))
   }
 
   /** Expanding-frame window plan: scalable batch scoring. */
@@ -98,31 +129,51 @@ class StreamingAnomalyDetector extends Transformer[StreamingAnomalyDetector]
       .select("key", "order", "value", "n_before", "z", "anomaly")
   }
 
-  /** Welford-state plan: O(1) state per key, update output mode. */
-  private def streamingPath(slim: DataFrame): DataFrame = {
+  /** Welford-state plan: O(1) state per key, update output mode. With
+    * `stateTtlMs > 0` the state carries the key's max event-time ms and
+    * expires once the watermark passes last-seen + TTL (the
+    * [[StreamingDeduplicator]] eviction pattern); an expired key that
+    * reappears simply starts cold again. */
+  private def streamingPath(slim: DataFrame, ttl: Long): DataFrame = {
     val spark = slim.sparkSession
     import spark.implicits._
     val thr = getThreshold
     val minN = getMinCount
-    slim.as[(String, Long, Double)]
+    val timeoutConf =
+      if (ttl > 0) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    slim.as[(String, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double, Double), AnomalyScore](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (key: String, events: Iterator[(String, Long, Double)],
-            state: GroupState[(Long, Double, Double)]) =>
-          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
-          val out = events.toArray.sortBy(e => (e._2, e._3)).map { case (_, ord, x) =>
-            val sd = if (n > 1) math.sqrt(m2 / (n - 1)) else 0.0
-            val z = if (n >= minN && sd > 0) Some(math.abs(x - mean) / sd) else None
-            // Welford update AFTER scoring — the event never sees itself
-            n += 1
-            val d = x - mean
-            mean += d / n
-            m2 += d * (x - mean)
-            AnomalyScore(key, ord, x, n - 1, z, z.exists(_ > thr))
+      .flatMapGroupsWithState[(Long, Double, Double, Long), AnomalyScore](
+        OutputMode.Update(), timeoutConf) {
+        (key: String, events: Iterator[(String, Long, Double, java.sql.Timestamp)],
+            state: GroupState[(Long, Double, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: forget the key, emit nothing
+            Iterator.empty
+          } else {
+            var (n, mean, m2, maxMs) =
+              state.getOption.getOrElse((0L, 0.0, 0.0, Long.MinValue))
+            val out = events.toArray.sortBy(e => (e._2, e._3)).map { case (_, ord, x, ts) =>
+              if (ts != null && ts.getTime > maxMs) maxMs = ts.getTime
+              val sd = if (n > 1) math.sqrt(m2 / (n - 1)) else 0.0
+              val z = if (n >= minN && sd > 0) Some(math.abs(x - mean) / sd) else None
+              // Welford update AFTER scoring — the event never sees itself
+              n += 1
+              val d = x - mean
+              mean += d / n
+              m2 += d * (x - mean)
+              AnomalyScore(key, ord, x, n - 1, z, z.exists(_ > thr))
+            }
+            state.update((n, mean, m2, maxMs))
+            if (ttl > 0 && maxMs != Long.MinValue) {
+              // a LATE arrival can put last-seen + TTL behind the current
+              // watermark — Spark rejects past timeout instants, so clamp
+              // to watermark + 1 (expires at the next opportunity)
+              state.setTimeoutTimestamp(
+                math.max(maxMs + ttl, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          state.update((n, mean, m2))
-          out.iterator
       }.toDF()
   }
 }

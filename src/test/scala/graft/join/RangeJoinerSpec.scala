@@ -76,6 +76,43 @@ class RangeJoinerSpec extends SparkSpec {
     assert(e2.getMessage != null)
   }
 
+  test("exactly-once dedup survives |start| beyond 2^52 (integer bin math)") {
+    import spark.implicits._
+    // floor(x / w) via double division rounds at 2^52-scale longs; the
+    // dedup filter must use the same integer floorDiv as the explode
+    // side or a pair is silently dropped / doubled
+    val big = (1L << 53) + 7919L
+    val l = Seq((1L, big, big + 250L, 5L), (2L, -big, -big + 250L, 5L))
+      .toDF("session_id", "start", "end", "user_id")
+    val r = Seq(("cb", big + 100L, big + 400L, 5L), ("cn", -big + 100L, -big + 400L, 5L))
+      .toDF("campaign", "r_start", "r_end", "user_id")
+    val out = joiner.setBinWidthMs(100L).transform(l, r).head
+      .select("session_id", "campaign").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(out.sorted.toSeq == Seq((1L, "cb"), (2L, "cn")), out.mkString(", "))
+  }
+
+  test("null interval bounds drop the row (SQL overlap semantics), others still join") {
+    import spark.implicits._
+    // a null bound can't satisfy the plain overlap predicate under
+    // three-valued logic; the binned plan must agree with that oracle,
+    // not throw from the explode UDF or emit phantom matches
+    val withNull = Seq(
+      (9L, Some(100L), None: Option[Long], 5L),
+      (10L, None: Option[Long], Some(200L), 5L),
+      (1L, Some(100L), Some(200L), 5L))
+      .toDF("session_id", "start", "end", "user_id")
+    val got = joiner.setBinWidthMs(100L).transform(withNull, campaigns).head
+      .select("session_id", "campaign").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = withNull.as("l")
+      .join(campaigns.as("r"), col("l.user_id") === col("r.user_id")
+        && col("l.start") <= col("r.r_end") && col("r.r_start") <= col("l.end"))
+      .select("session_id", "campaign")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want && got === Set((1L, "c1")), got)
+  }
+
   test("column-collision guards") {
     import spark.implicits._
     val clash = sessions.withColumn("campaign", lit("x"))

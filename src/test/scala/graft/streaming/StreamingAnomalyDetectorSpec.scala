@@ -74,11 +74,64 @@ class StreamingAnomalyDetectorSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("z")))
   }
 
+  test("stream: event-time TTL evicts idle per-key state; reappearing key starts cold") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val df = stream.toDF().toDF("k", "t", "v") // t doubles as epoch-ms event time
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val q = det.setMinCount(2).setStateTtlMs(5000L).transform(df).head
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.collect().foreach(r => sink.synchronized {
+          sink += ((r.getString(0), r.getLong(1), r.getLong(3))) // key, order, n_before
+        })
+      }.start()
+    stream.addData(Seq(("a", 1000L, 1.0), ("a", 1100L, 2.0), ("a", 1200L, 3.0)))
+    q.processAllAvailable() // a: n=3; watermark -> 1200; a expires at 6200
+    stream.addData(Seq(("b", 100000L, 1.0)))
+    q.processAllAvailable() // watermark -> 100000, past a's timeout
+    stream.addData(Seq(("b", 101000L, 2.0)))
+    q.processAllAvailable() // this batch fires a's timeout (state removed)
+    stream.addData(Seq(("a", 102000L, 4.0)))
+    q.processAllAvailable() // a reappears AFTER eviction
+    q.stop()
+    val byEvent = sink.synchronized(sink.toVector).map(e => (e._1, e._2) -> e._3).toMap
+    // the TTL contract: a's history was forgotten — the reappearance has
+    // n_before 0, not 3
+    assert(byEvent(("a", 102000L)) == 0L, byEvent)
+    assert(byEvent(("a", 1200L)) == 2L && byEvent(("b", 101000L)) == 1L, byEvent)
+  }
+
+  test("stream without TTL keeps state forever: a very late event still sees its history") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val df = stream.toDF().toDF("k", "t", "v")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val q = det.setMinCount(2).transform(df).head
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.collect().foreach(r => sink.synchronized {
+          sink += ((r.getString(0), r.getLong(1), r.getLong(3)))
+        })
+      }.start()
+    stream.addData(Seq(("a", 1000L, 1.0), ("a", 1100L, 2.0), ("a", 1200L, 3.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(("a", 99999000L, 4.0))) // ages later
+    q.processAllAvailable()
+    q.stop()
+    val byEvent = sink.synchronized(sink.toVector).map(e => (e._1, e._2) -> e._3).toMap
+    assert(byEvent(("a", 99999000L)) == 3L, byEvent)
+  }
+
   test("param save/load round-trip") {
     val dir = tmpDir()
-    det.setThreshold(4.5).setMinCount(20).save(dir)
+    det.setThreshold(4.5).setMinCount(20).setStateTtlMs(7000L)
+      .setWatermarkDelay("10 seconds").save(dir)
     val back = StreamingAnomalyDetector.load(spark, dir)
     assert(back.getThreshold == 4.5 && back.getMinCount == 20 &&
       back.getKeyCol == "k" && back.getOrderCol == "t" && back.getInputCol == "v")
+    assert(back.getStateTtlMs == 7000L && back.getWatermarkDelay == "10 seconds")
   }
 }
