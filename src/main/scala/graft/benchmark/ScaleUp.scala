@@ -767,6 +767,31 @@ object ScaleUp {
       merges
     }
 
+    // BPE at production vocabulary size: train a >= 10k-merge table
+    // (incremental driver trainer: pair->word index + delta counts +
+    // lazy max-heap), then encode the full 500k-doc corpus with the
+    // rank-indexed pair-heap apply — O(|word| log |word|) per word
+    // regardless of merge count, where the naive one-pass-per-merge
+    // apply would walk every word 10,000+ times.
+    stage("bpe_encode_10k") {
+      val t0 = System.nanoTime()
+      val trainer = new graft.text.BpeTrainer()
+        .setInputCol("text").setOutputCol("bpe")
+        .setNumMerges(10000).setMinPairCount(2)
+      val model = trainer.fit(docs)
+      val merges = model.getModelData.head.count()
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val tokens = model.transform(docs).head
+        .agg(sum("bpe_count").as("total_tokens")).head.getLong(0)
+      val encSec = (System.nanoTime() - t1) / 1e9
+      println(s"""{"bpe10k_merges":$merges,""" +
+        s""""bpe10k_fit_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(fitSec))},""" +
+        s""""bpe10k_encode_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(encSec))},""" +
+        s""""bpe10k_total_tokens":$tokens}""")
+      numDocs
+    }
+
     // Swing on a ZIPFIAN catalog — the cap's hot path (two-phase
     // salted rank + bounded pair enumeration) has never executed at
     // scale on the uniform TPC-H-ish tables (max 53 purchasers/item);

@@ -33,10 +33,24 @@ import graft.util.ReadWrite
  * expressions, then a pure per-row projection and ONE final shuffle
  * to the k-row output. No n×k intermediate rows, no UDF — the whole
  * distance panel is zip_with/aggregate Column math inside codegen.
+ * Past `maxLiteralClusters` the panel switches from k unrolled
+ * expressions (codegen size k·d) to one typedLit summary array walked
+ * by a transform() loop — constant codegen size at any k, same plan
+ * shape otherwise.
  */
 class ClusteringEvaluator extends AlgoOperator[ClusteringEvaluator]
     with HasFeaturesCol[ClusteringEvaluator]
     with HasPredictionCol[ClusteringEvaluator] {
+
+  final val maxLiteralClusters: Param[Int] = param[Int](
+    "maxLiteralClusters",
+    "Above this k the distance panel switches from k unrolled literal " +
+      "expressions (fastest at dashboard-sized k, but codegen size grows " +
+      "as k·d) to ONE typedLit array-of-summaries walked by a transform() " +
+      "loop — constant codegen size at any k. Same math, same result.",
+    64, ParamValidators.gtEq(0.0))
+  def getMaxLiteralClusters: Int = get(maxLiteralClusters)
+  def setMaxLiteralClusters(v: Int): ClusteringEvaluator = set(maxLiteralClusters, v)
 
   /** Per-cluster rows: (cluster, n, mean_silhouette). */
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
@@ -77,7 +91,24 @@ class ClusteringEvaluator extends AlgoOperator[ClusteringEvaluator]
       val dot = aggregate(zip_with(col("__f"), yLit, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
       lit(psi) + lit(n.toDouble) * col("__sqn") - lit(2.0) * dot
     }
-    val sumsLit = array(byCluster.map(c => sqDistSum(c._2, c._3, c._4)): _*)
+    // Two plans for the k-distance panel, same math: unrolled literal
+    // expressions (fastest at dashboard k; codegen grows as k·d) vs ONE
+    // typedLit array-of-summaries walked by a transform() loop
+    // (constant codegen size — the k >> 100 path).
+    val sumsLit =
+      if (k <= getMaxLiteralClusters)
+        array(byCluster.map(c => sqDistSum(c._2, c._3, c._4)): _*)
+      else {
+        val ysLit = typedLit(byCluster.map(_._4.toSeq).toSeq)
+        val psiLit = typedLit(byCluster.map(_._3).toSeq)
+        val nDblLit = typedLit(byCluster.map(_._2.toDouble).toSeq)
+        org.apache.spark.sql.functions.transform(ysLit, (y, i) => {
+          val dot = aggregate(zip_with(col("__f"), y, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)
+          element_at(psiLit, i + 1) + element_at(nDblLit, i + 1) * col("__sqn") -
+            lit(2.0) * dot
+        })
+      }
     val countsDbl = array(byCluster.map(c => lit(c._2.toDouble)): _*)
 
     val idx = array_position(idsLit, col("cluster"))

@@ -336,7 +336,129 @@ object BpeTrainer extends StageLoader[BpeTrainer] {
     out
   }
 
+  /** Incremental driver-side BPE: pair counts live in a hash map with
+    * a pair → containing-word-ids index, each merge touches ONLY the
+    * words that contain it (delta count updates), and the argmax comes
+    * from a lazy max-heap (stale entries discarded on pop when their
+    * count no longer matches). Same counts, tie-break (count desc,
+    * codepoint-lex asc), and stop rule as [[fitOnDriverRecount]] —
+    * property-pinned — but O(Σ affected-word lengths + updates·log)
+    * instead of O(numMerges · Σ|word|): 1,000 merges on the 500k-doc
+    * ScaleUp corpus drop from ~165 s to seconds, making 10k+ merge
+    * vocabularies practical. */
   private[text] def fitOnDriver(words: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    val arrays: Array[Array[String]] = words.map(w => splitCodePoints(w._1))
+    val freqs: Array[Long] = words.map(_._2)
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val where = new java.util.HashMap[(String, String), java.util.BitSet]()
+
+    // heap entry = (count-at-push, pair); max count first, then
+    // codepoint-lex ascending — exactly the recount argmax's tie-break
+    val cmp = new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        if (x._1 != y._1) return java.lang.Long.compare(y._1, x._1)
+        val l = codePointCompare(x._2, y._2)
+        if (l != 0) l else codePointCompare(x._3, y._3)
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](cmp)
+
+    def pairsOf(a: Array[String], into: java.util.HashMap[(String, String), java.lang.Long],
+        sign: Long, f: Long): Unit = {
+      var j = 0
+      while (j < a.length - 1) {
+        if (a(j) != a(j + 1)) { // self-pairs are never candidates
+          val k = (a(j), a(j + 1))
+          val prev = into.get(k)
+          into.put(k, (if (prev == null) 0L else prev.longValue()) + sign * f)
+        }
+        j += 1
+      }
+    }
+
+    var wi = 0
+    while (wi < arrays.length) {
+      val a = arrays(wi); val f = freqs(wi)
+      var j = 0
+      while (j < a.length - 1) {
+        if (a(j) != a(j + 1)) {
+          val k = (a(j), a(j + 1))
+          val prev = counts.get(k)
+          counts.put(k, (if (prev == null) 0L else prev.longValue()) + f)
+          where.computeIfAbsent(k, _ => new java.util.BitSet()).set(wi)
+        }
+        j += 1
+      }
+      wi += 1
+    }
+    val it0 = counts.entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      heap.add((e.getValue.longValue(), e.getKey._1, e.getKey._2))
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      // pop to the first LIVE entry: its pushed count must equal the
+      // pair's current count (counts only move via pushes, so the live
+      // maximum is always present in the heap)
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      while (best == null && !heap.isEmpty) {
+        val (c, a, b) = heap.poll()
+        val cur = counts.get((a, b))
+        if (cur != null && cur.longValue() == c && c > 0L) { best = (a, b); bestC = c }
+      }
+      if (best == null || bestC < minPairCount) done = true
+      else {
+        merges += best
+        val mArr = Array(best)
+        val members = where.remove(best)
+        val delta = new java.util.HashMap[(String, String), java.lang.Long]()
+        var w = if (members == null) -1 else members.nextSetBit(0)
+        while (w >= 0) {
+          val before = arrays(w)
+          // the index can hold stale ids (word rewritten since); the
+          // rewrite is a no-op for them and their delta cancels out
+          val after = applyMerges(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(before), mArr).toArray
+          if (!(after.length == before.length)) {
+            delta.clear()
+            pairsOf(before, delta, -1L, freqs(w))
+            pairsOf(after, delta, +1L, freqs(w))
+            arrays(w) = after
+            val dit = delta.entrySet().iterator()
+            while (dit.hasNext) {
+              val e = dit.next()
+              val d = e.getValue.longValue()
+              if (d != 0L) {
+                val k = e.getKey
+                val prev = counts.get(k)
+                val next = (if (prev == null) 0L else prev.longValue()) + d
+                if (next <= 0L) counts.remove(k)
+                else {
+                  counts.put(k, next)
+                  heap.add((next, k._1, k._2))
+                  if (d > 0L) where.computeIfAbsent(k, _ => new java.util.BitSet()).set(w)
+                }
+              }
+            }
+          }
+          w = members.nextSetBit(w + 1)
+        }
+        counts.remove(best) // every adjacency merged; count is now 0
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Reference implementation: full recount + linear argmax per merge,
+    * O(numMerges · Σ|word|). Kept as the differential oracle for
+    * [[fitOnDriver]]'s incremental bookkeeping (property spec pins
+    * equality on random corpora). */
+  private[text] def fitOnDriverRecount(words: Array[(String, Long)], numMerges: Int,
       minPairCount: Long): Seq[(String, String)] = {
     var arrays: Array[Array[String]] = words.map(w => splitCodePoints(w._1))
     val freqs: Array[Long] = words.map(_._2)
@@ -427,10 +549,17 @@ object BpeTrainer extends StageLoader[BpeTrainer] {
 
 /**
  * Applies the learned merge table: each document's tokens are split
- * to characters and rewritten by every merge in rank order. Appends
+ * to characters and encoded with the rank-indexed pair-heap algorithm
+ * (repeatedly merge the LOWEST-RANK adjacent pair — the standard fast
+ * BPE apply, e.g. the tokenizers library): O(|word| log |word|) per
+ * word with O(1) rank lookups, independent of the merge count. The
+ * naive alternative — one full pass per merge — is O(merges · |word|),
+ * which at a production 50k-merge vocabulary is ~50,000 passes over
+ * every word; both produce identical segmentations for a trained
+ * (well-formed) merge table, property-pinned in the spec. Appends
  * `<outputCol>` (flattened subword array) and `<outputCol>_count`.
- * The merge table is O(numMerges) — broadcast, applied per row with
- * a linear scan per merge; no shuffle.
+ * The merge table is O(numMerges) — broadcast as a rank hash map,
+ * applied per row; no shuffle.
  */
 class BpeModel extends Model[BpeModel]
     with HasInputCol[BpeModel] with HasOutputCol[BpeModel] {
@@ -444,29 +573,12 @@ class BpeModel extends Model[BpeModel]
     val merges = modelData.orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val spark = inputs.head.sparkSession
-    val bc = spark.sparkContext.broadcast(merges)
+    val bc = spark.sparkContext.broadcast(BpeModel.rankMap(merges))
     val encode = udf { tokens: Seq[String] =>
       if (tokens == null) null
       else {
-        val ms = bc.value
-        tokens.flatMap { w =>
-          // code-point symbols, not Java split("") — a surrogate pair
-          // must stay one symbol or merges learned on it never match
-          var cur: Array[String] = BpeTrainer.splitCodePoints(w)
-          ms.foreach { case (a, b) =>
-            if (cur.length > 1) {
-              val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
-              var i = 0
-              while (i < cur.length) {
-                if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
-                  out += (a + b); i += 2
-                } else { out += cur(i); i += 1 }
-              }
-              cur = out.toArray
-            }
-          }
-          cur
-        }
+        val ranks = bc.value
+        tokens.flatMap(w => BpeModel.encodeWordHeap(w, ranks))
       }
     }
     val out = inputs.head
@@ -479,5 +591,100 @@ object BpeModel extends StageLoader[BpeModel] {
   def load(spark: SparkSession, path: String): BpeModel = {
     val m = ReadWrite.applyParams(new BpeModel, path)
     m.setModelData(ReadWrite.loadModelData(spark, path))
+  }
+
+  /** (left, right) → rank lookup for the heap encoder; the key is the
+    * two symbols joined on   (cannot appear inside a symbol:
+    * NgramLm.tokens never emits NUL). */
+  private[text] def rankMap(merges: Array[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.put(merges(i)._1 + " " + merges(i)._2, Integer.valueOf(i)); i += 1
+    }
+    m
+  }
+
+  /** Rank-indexed heap encode of one word: doubly-linked symbol slots,
+    * candidate (rank, position) pairs in a min-heap, lowest rank (ties:
+    * leftmost) merged first; each merge enqueues at most the two pairs
+    * it creates. Stale candidates are detected by re-checking the slot
+    * symbols on pop — slots only ever grow, so a match proves the pair
+    * is live. */
+  private[text] def encodeWordHeap(w: String,
+      ranks: java.util.HashMap[String, Integer]): Seq[String] = {
+    val sym = BpeTrainer.splitCodePoints(w)
+    val n = sym.length
+    if (n < 2) return scala.collection.immutable.ArraySeq.unsafeWrapArray(sym)
+    val prev = new Array[Int](n)
+    val next = new Array[Int](n)
+    var i = 0
+    while (i < n) { prev(i) = i - 1; next(i) = if (i == n - 1) -1 else i + 1; i += 1 }
+
+    // candidate = (rank, leftSlot, leftSym, rightSym); min rank first,
+    // then leftmost slot
+    val cmp = new java.util.Comparator[(Int, Int, String, String)] {
+      def compare(x: (Int, Int, String, String), y: (Int, Int, String, String)): Int = {
+        if (x._1 != y._1) Integer.compare(x._1, y._1)
+        else Integer.compare(x._2, y._2)
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Int, Int, String, String)](cmp)
+    def push(l: Int): Unit = {
+      val r = next(l)
+      if (r >= 0) {
+        val rank = ranks.get(sym(l) + " " + sym(r))
+        if (rank != null) heap.add((rank.intValue(), l, sym(l), sym(r)))
+      }
+    }
+    i = 0
+    while (i < n - 1) { push(i); i += 1 }
+
+    var alive = n
+    while (!heap.isEmpty && alive > 1) {
+      val (_, l, a, b) = heap.poll()
+      // live iff the left slot still holds `a` and its CURRENT right
+      // neighbor still holds `b` (slot symbols only grow by merging,
+      // so equality cannot be a coincidence from a later state)
+      if (sym(l) == a) {
+        val r = next(l)
+        if (r >= 0 && sym(r) == b) {
+          sym(l) = a + b
+          val rr = next(r)
+          next(l) = rr
+          if (rr >= 0) prev(rr) = l
+          sym(r) = null
+          alive -= 1
+          if (prev(l) >= 0) push(prev(l))
+          push(l)
+        }
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](alive)
+    var c = 0
+    while (c >= 0) { out += sym(c); c = next(c) }
+    out.toSeq
+  }
+
+  /** Naive apply — one left-to-right pass per merge in rank order;
+    * O(merges · |word|). Kept as the differential oracle for
+    * [[encodeWordHeap]] (equivalence on trained tables is the
+    * property the spec pins). */
+  private[text] def encodeWordSequential(w: String,
+      merges: Array[(String, String)]): Seq[String] = {
+    var cur: Array[String] = BpeTrainer.splitCodePoints(w)
+    merges.foreach { case (a, b) =>
+      if (cur.length > 1) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.toArray
+      }
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur)
   }
 }

@@ -49,6 +49,26 @@ class ClusteringEvaluatorSpec extends SparkSpec {
     assert(math.abs(ours - ref) < 1e-9, s"ours=$ours spark.ml=$ref")
   }
 
+  test("typedLit panel (k > maxLiteralClusters) equals the unrolled literal panel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 40 clusters — past a threshold of 8 the HOF path kicks in; both
+    // plans must agree bit-for-bit with each other and with spark.ml
+    val pts = (0 until 400).map { i =>
+      val c = i % 40
+      (c, Array.fill(6)(c * 2.0 + rnd.nextGaussian()))
+    }
+    val df = pts.toDF("cluster", "f")
+    val unrolled = eval.setMaxLiteralClusters(1000).summary(df).silhouette
+    val hof = eval.setMaxLiteralClusters(8).summary(df).silhouette
+    assert(math.abs(unrolled - hof) < 1e-12, s"unrolled=$unrolled hof=$hof")
+    val ref = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .setMetricName("silhouette").setDistanceMeasure("squaredEuclidean")
+      .evaluate(df.withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("f"))))
+    assert(math.abs(hof - ref) < 1e-9, s"hof=$hof spark.ml=$ref")
+  }
+
   test("single-cluster labeling scores 0; float arrays accepted") {
     import spark.implicits._
     val df = Seq((0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f))).toDF("cluster", "f")

@@ -199,6 +199,55 @@ class BpeSpec extends SparkSpec {
     viaExpr.zip(viaUdf).foreach { case (e, u) => assert(e == u, s"$e vs $u") }
   }
 
+  test("incremental fitOnDriver equals the full-recount reference on random vocabularies") {
+    // the production driver path keeps pair counts incrementally (index
+    // + delta updates + lazy max-heap); the recount-per-merge reference
+    // is the semantic definition — counts, tie-breaks, stop rule
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 0 until 25) {
+      val alphabet = "abcdef".take(2 + rnd.nextInt(5))
+      val nWords = 5 + rnd.nextInt(40)
+      val vocab = (0 until nWords).map { _ =>
+        val w = (0 until (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        (w, 1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val nMerges = 1 + rnd.nextInt(120)
+      val minC = 1L + rnd.nextInt(3)
+      val fast = BpeTrainer.fitOnDriver(vocab, nMerges, minC)
+      val slow = BpeTrainer.fitOnDriverRecount(vocab, nMerges, minC)
+      assert(fast == slow,
+        s"trial $trial diverged (merges=$nMerges minCount=$minC): $fast vs $slow on ${vocab.toSeq}")
+    }
+    // supplementary characters exercise the code-point tie-break
+    val supp = Array(("😀ab", 3L), ("ab😀", 3L), ("😀😁", 2L))
+    assert(BpeTrainer.fitOnDriver(supp, 10, 1L) == BpeTrainer.fitOnDriverRecount(supp, 10, 1L))
+  }
+
+  test("heap encode equals sequential rank-order apply on trained tables") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 15) {
+      val alphabet = "abcde".take(2 + rnd.nextInt(4))
+      val corpusWords = (0 until 30).map { _ =>
+        (0 until (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val vocab = corpusWords.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toArray
+      val merges = BpeTrainer.fitOnDriver(vocab, 1 + rnd.nextInt(60), 1L).toArray
+      val ranks = BpeModel.rankMap(merges)
+      // training words AND unseen words from the same alphabet
+      val unseen = (0 until 30).map { _ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      for (w <- corpusWords ++ unseen :+ "" :+ alphabet.take(1)) {
+        val h = BpeModel.encodeWordHeap(w, ranks)
+        val s = BpeModel.encodeWordSequential(w, merges)
+        assert(h == s, s"trial $trial word '$w': heap $h vs sequential $s (merges ${merges.toSeq})")
+      }
+    }
+    // supplementary characters must stay one symbol through the heap path
+    val table = Array(("😀", "x"))
+    assert(BpeModel.encodeWordHeap("😀x", BpeModel.rankMap(table)) == Seq("😀x"))
+  }
+
   test("BpeModel save/load round-trips merges and params") {
     import spark.implicits._
     val model = new BpeTrainer().setInputCol("text").setOutputCol("bpe")
