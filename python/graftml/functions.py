@@ -51,3 +51,18 @@ def connected_components(edges, src="src", dst="dst", max_iter=50,
     jdf = cc.run(edges._jdf, src, dst, int(max_iter), int(driver_edge_limit),
                  algorithm)
     return DataFrame(jdf, spark)
+
+
+def page_rank(edges, src="src", dst="dst", damping_factor=0.85,
+              num_iter=20, tol=0.0, weight_col=""):
+    """PageRank over an edge-list DataFrame: returns (id, pagerank)
+    with ranks summing to 1 (dangling mass redistributed uniformly).
+    Delegates to graft.graph.PageRank — the share table shuffles once,
+    each iteration moves only the O(V) rank table. weight_col="" means
+    unweighted; tol > 0 adds an early-stop L1 convergence check."""
+    from pyspark.sql import DataFrame
+    spark = edges.sparkSession
+    jdf = spark._jvm.graft.graph.PageRank.run(
+        edges._jdf, src, dst, float(damping_factor), int(num_iter),
+        float(tol), weight_col)
+    return DataFrame(jdf, spark)

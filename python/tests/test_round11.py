@@ -1,0 +1,27 @@
+"""Round-11 features through the Python surface: the page_rank graph
+helper."""
+
+import math
+
+
+def test_page_rank_star(spark):
+    from graftml.functions import page_rank
+    # 1..5 -> 0; 0 is dangling
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], ["src", "dst"])
+    ranks = {r["id"]: r["pagerank"]
+             for r in page_rank(edges, num_iter=30).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)
+    assert ranks[0] > 3 * ranks[1]
+    assert len({round(ranks[i], 12) for i in range(1, 6)}) == 1
+
+
+def test_page_rank_weighted_and_tol(spark):
+    from graftml.functions import page_rank
+    edges = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "dst", "w"])
+    ranks = {r["id"]: r["pagerank"]
+             for r in page_rank(edges, num_iter=200, tol=1e-10,
+                                weight_col="w").collect()}
+    assert ranks[2] > 2 * ranks[3]
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)

@@ -477,6 +477,19 @@ object SparkEntry {
         .select(col("id"), col("component"))
     }),
 
+    // --- PageRank over a deterministic hub graph (srcs = non-%7
+    // event ids, dsts = (id*31) mod 1000 hubs, ~140 dangling hubs):
+    // 3 fixed iterations, dangling mass redistributed — the oracle
+    // replays the power iteration as chained CTEs; ranks rounded at
+    // 1e-10 (abs error across engines is ~1e-18 from sum-order) ---
+    "q_pagerank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") * 31 % 1000).as("dst"))
+      graft.graph.PageRank.run(edges, "src", "dst", dampingFactor = 0.85, numIter = 3)
+        .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
+    }),
+
     // --- Cross-source corpus overlap matrix: the corpus has no
     // natural cross-source exact dups, so a planted "zz_eval" source
     // (every 10th doc re-labeled) provides the nonzero overlap — the
@@ -3329,6 +3342,44 @@ object SparkEntry {
     "q_cc_minlabel" ->
       """SELECT event_id AS id, event_id - event_id % 5 AS component
          FROM events""",
+
+    // the power iteration replayed as chained CTEs: shares = w/out
+    // (single division, mirroring the operator), dangling mass summed
+    // per round, (1.0 - 0.85) spelled as the same double expression
+    "q_pagerank" ->
+      """WITH e0 AS (
+           SELECT event_id AS src, (event_id * 31) % 1000 AS dst
+           FROM events WHERE event_id % 7 <> 0),
+         e AS (SELECT src, dst, COUNT(*) * 1.0 AS w FROM e0 GROUP BY 1, 2),
+         outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / o.outw AS share
+                FROM e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+         r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r0 r JOIN dang USING (id)),
+         c1 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r0 r ON sh.src = r.id GROUP BY 1),
+         r1 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON nodes.id = c1.id),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r1 r JOIN dang USING (id)),
+         c2 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r1 r ON sh.src = r.id GROUP BY 1),
+         r2 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON nodes.id = c2.id),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r2 r JOIN dang USING (id)),
+         c3 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r2 r ON sh.src = r.id GROUP BY 1),
+         r3 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d3
+                LEFT JOIN c3 ON nodes.id = c3.id)
+         SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
 
     // distinct (fingerprint, source) + self-join on the fingerprint;
     // zero-overlap pairs kept via the per-source-count cross pairs

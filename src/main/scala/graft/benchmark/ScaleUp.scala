@@ -434,6 +434,31 @@ object ScaleUp {
     // q_dedup's pipeline at scale, with HashingTF in place of the
     // fitted CountVectorizer — shingle hashing needs no vocabulary
     // pass, which is the choice a 100 TB corpus forces anyway
+    // PageRank at link-graph scale: 10M directed edges over 5M
+    // vertices (plus 1,000 planted hubs at ~1,000× the uniform
+    // in-degree and the dangling tail they create), 10 power
+    // iterations. The edge/share table shuffles ONCE (repartition on
+    // src at build); every iteration then moves only the O(V) rank
+    // table + map-side-combined contributions.
+    stage("pagerank") {
+      val er = spark.range(0, 9000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(5000000L)).as("dst"))
+      val hubs = spark.range(0, 1000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(3)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(4)), lit(1000L)).as("dst"))
+      val t0 = System.nanoTime()
+      val ranks = graft.graph.PageRank.run(er.union(hubs), numIter = 10)
+      val agg = ranks.agg(count(lit(1)).as("n"), sum("pagerank").as("mass"),
+        max("pagerank").as("top")).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      ranks.unpersist(blocking = false)
+      println(s"""{"pr_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""pr_vertices":${agg.getLong(0)},"pr_mass":${agg.getDouble(1)},""" +
+        s""""pr_top":${agg.getDouble(2)},"pr_iters":${graft.graph.PageRank.lastIterations}}""")
+      agg.getLong(0)
+    }
+
     stage("minhash_dedup") {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")

@@ -1,0 +1,127 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed PageRank over an edge list (Brin & Page 1998) — the
+ * link-graph centrality primitive a crawl-curation pipeline ranks
+ * hosts/pages with (Common Crawl publishes exactly this as its
+ * host-level ranking). Sits next to
+ * [[graft.dedup.ConnectedComponents]] as this engine's second graph
+ * operator; the reference has no graph tier at all — beyond-reference
+ * addition.
+ *
+ * Semantics (the standard formulation, dangling mass redistributed
+ * uniformly): with damping d over N vertices,
+ *
+ *   r₀(v) = 1/N
+ *   r_{t+1}(v) = (1−d)/N + d·( Σ_{(u,v)∈E} r_t(u)·w(u,v)/out(u) + D_t/N )
+ *
+ * where out(u) is u's total out-weight (edge COUNT when unweighted —
+ * parallel edges contribute multiply) and D_t = Σ r_t(u) over DANGLING
+ * vertices (no out-edges), so every iteration's ranks sum to 1 — the
+ * probability-distribution invariant that makes ranks comparable
+ * across graphs. Self-loops are legal and kept.
+ *
+ * Scale shape (100 TB link graph): the edge table is aggregated once
+ * to (src, dst, share = w/out) and persisted HASH-PARTITIONED ON src —
+ * every iteration's rank join then reuses that partitioning, so only
+ * the O(V) rank table shuffles per round, never the O(E) edges; the
+ * per-destination contribution sum is map-side combined to O(V) rows.
+ * Dangling mass is one tiny aggregate over the (persisted) dangling-id
+ * anti-join. Lineage is cut with localCheckpoint every few rounds
+ * (the ConnectedComponents lesson: iterative plans must not nest).
+ */
+object PageRank {
+
+  /** Instrumentation only: iterations the last run() took. */
+  @volatile var lastIterations: Int = 0
+
+  private val CheckpointEvery = 4
+
+  /**
+   * @param edges     (src, dst [, weight]) rows; any orderable vertex type.
+   * @param dampingFactor classic 0.85.
+   * @param numIter   fixed iteration count (deterministic replay).
+   * @param tol       when > 0, stop early once Σ|r_{t+1} − r_t| < tol
+   *                  (checked with one extra O(V) aggregate per round).
+   * @param weightCol optional edge-weight column name; "" = unweighted.
+   *                  Weights must be positive (zero/negative raise).
+   * @return (id, pagerank) — one row per vertex appearing in `edges`;
+   *         ranks sum to 1. Returned persisted; callers may unpersist.
+   */
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      dampingFactor: Double = 0.85, numIter: Int = 20, tol: Double = 0.0,
+      weightCol: String = ""): DataFrame = {
+    require(dampingFactor > 0.0 && dampingFactor < 1.0,
+      s"dampingFactor must be in (0, 1), got $dampingFactor")
+    require(numIter > 0, s"numIter must be positive, got $numIter")
+    val d = dampingFactor
+
+    val w =
+      if (weightCol.isEmpty) lit(1.0)
+      else when(col(weightCol).cast("double") <= 0.0 || col(weightCol).isNull,
+          raise_error(concat(lit(s"PageRank: non-positive/null weight in '$weightCol' on edge "),
+            col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
+            .cast("double"))
+        .otherwise(col(weightCol).cast("double"))
+
+    // (src, dst, share) with share = w / out(src); parallel edges keep
+    // their multiplicity through the weight sum. Partitioned on src so
+    // the per-iteration rank join never reshuffles the edge table.
+    val agg = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val outW = agg.groupBy("src").agg(sum("w").as("out"))
+    val shares = agg.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("out")).as("share"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "PageRank on an empty edge list is undefined")
+
+    // dangling ids: appear as a destination but never as a source
+    val dangling = nodes.join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < numIter && !converged) {
+      val danglingMass = ranks.join(dangling, "id")
+        .agg(coalesce(sum("r"), lit(0.0))).head.getDouble(0)
+      val contribs = shares.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("share") * col("r")).as("c"))
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - d) / n) +
+            lit(d) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n)))
+            .as("r"))
+      val mat =
+        if ((iter + 1) % CheckpointEvery == 0) next.localCheckpoint(true)
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
+      if (tol > 0.0) {
+        val delta = mat.join(ranks.withColumnRenamed("r", "r0"), "id")
+          .agg(sum(abs(col("r") - col("r0")))).head.getDouble(0)
+        converged = delta < tol
+      }
+      ranks.unpersist(blocking = false)
+      ranks = mat
+      iter += 1
+    }
+    lastIterations = iter
+    shares.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    ranks.select(col("id"), col("r").as("pagerank"))
+  }
+}
