@@ -66,3 +66,29 @@ def page_rank(edges, src="src", dst="dst", damping_factor=0.85,
         edges._jdf, src, dst, float(damping_factor), int(num_iter),
         float(tol), weight_col)
     return DataFrame(jdf, spark)
+
+
+def zorder_value(df, cols, bits=12, z_col="__z"):
+    """Append a Morton (Z-order) long column: each column min/max
+    bucketized to 2^bits and bit-interleaved. Delegates to
+    graft.sources.ZOrderWriter.withZValue."""
+    from pyspark.sql import DataFrame
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jcols = jvm.PythonUtils.toSeq([str(c) for c in cols])
+    jdf = jvm.graft.sources.ZOrderWriter.withZValue(df._jdf, jcols, int(bits), z_col)
+    return DataFrame(jdf, spark)
+
+
+def zorder_write(df, cols, path, num_files, bits=12, mode="error"):
+    """Write df z-ordered by cols into num_files parquet files, each
+    owning a disjoint Morton-value range — range predicates on ANY of
+    the z-ordered columns then prune row groups via parquet stats."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jcols = jvm.PythonUtils.toSeq([str(c) for c in cols])
+    jmode = jvm.org.apache.spark.sql.SaveMode.valueOf(
+        {"error": "ErrorIfExists", "overwrite": "Overwrite",
+         "append": "Append", "ignore": "Ignore"}[mode])
+    jvm.graft.sources.ZOrderWriter.write(df._jdf, jcols, path, int(num_files),
+                                         int(bits), jmode)

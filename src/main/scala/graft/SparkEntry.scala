@@ -544,6 +544,18 @@ object SparkEntry {
           md5(to_binary(col("c4_text"), lit("utf-8"))).as("c4_md5"))
     }),
 
+    // --- Z-order (Morton) value for multi-dimensional data skipping:
+    // (doc_id, length(text)) bucketized to 8 bits each from their
+    // global min/max and bit-interleaved — the exact per-row z-value
+    // the clustered writer sorts files by; the oracle replays the
+    // bucketize + 16-term interleave bit-for-bit ---
+    "q_zorder" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("tl"))
+      graft.sources.ZOrderWriter.withZValue(docs, Seq("doc_id", "tl"), bits = 8, zCol = "zvalue")
+        .select("doc_id", "zvalue")
+    }),
+
     // --- JSONL corpus ingest round-trip: documents written as JSONL
     // shards, a planted corrupt line, read back through CorpusReader's
     // pinned-schema/corrupt-routing path; every text round-trips
@@ -2406,6 +2418,14 @@ object SparkEntry {
     * CosineLshKnn / CosineDeduplicator) as a SQL VALUES body of
     * (plane-row p, 1-based dim i, weight w) triples; Double.toString
     * round-trips so the literals parse back to identical doubles. */
+  /** SQL for the Morton interleave of two bucket expressions (column 0
+    * bit j at position 2j, column 1 at 2j+1) — mirrors
+    * ZOrderWriter.interleaveBits for the q_zorder oracle. */
+  private def mortonSql(b0: String, b1: String, bits: Int): String =
+    (0 until bits).flatMap(j => Seq(
+      s"((($b0 >> $j) & 1) << ${2 * j})",
+      s"((($b1 >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+
   private def gaussianPlanesValues(numRows: Int, dim: Int, seed: Long): String = {
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(numRows, dim)(rnd.nextGaussian())
@@ -3505,6 +3525,23 @@ object SparkEntry {
                 nsent >= 3 AND not_banned AND nkept >= 1 AS c4_keep,
                 md5(c4) AS c4_md5
          FROM m""",
+
+    // bucketize (same expression shapes: cast-double subtraction,
+    // multiply by 256.0, divide by the max-min double, floor, clamp)
+    // then the 16-term bit interleave
+    "q_zorder" -> {
+      def bucket(v: String, mn: String, mx: String): String =
+        s"COALESCE(LEAST(255, GREATEST(0, CAST(FLOOR((CAST($v AS DOUBLE) - $mn) * 256.0 / ($mx - $mn)) AS BIGINT))), 0)"
+      s"""WITH d AS (SELECT doc_id, length(text) AS tl FROM documents),
+         stats AS (SELECT MIN(CAST(doc_id AS DOUBLE)) AS mn0, MAX(CAST(doc_id AS DOUBLE)) AS mx0,
+                          MIN(CAST(tl AS DOUBLE)) AS mn1, MAX(CAST(tl AS DOUBLE)) AS mx1
+                   FROM d),
+         b AS (SELECT doc_id,
+                      ${bucket("doc_id", "stats.mn0", "stats.mx0")} AS b0,
+                      ${bucket("tl", "stats.mn1", "stats.mx1")} AS b1
+               FROM d CROSS JOIN stats)
+         SELECT doc_id, ${mortonSql("b0", "b1", 8)} AS zvalue FROM b"""
+    },
 
     // identity modulo the JSON round-trip (which must be lossless);
     // the planted corrupt line shows up ONLY in n_corrupt

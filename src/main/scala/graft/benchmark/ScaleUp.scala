@@ -29,6 +29,7 @@ object ScaleUp {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     val maxTaskShuffleRead = new java.util.concurrent.atomic.AtomicLong(0L)
     val peakExecMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inputRead = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -37,6 +38,7 @@ object ScaleUp {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         maxTaskShuffleRead.getAndUpdate(v => math.max(v, sr))
         peakExecMem.getAndUpdate(v => math.max(v, m.peakExecutionMemory))
+        inputRead.addAndGet(m.inputMetrics.bytesRead)
       }
     }
   }
@@ -890,6 +892,88 @@ object ScaleUp {
       fe.transform(te.transform(labeled).head).head
         .agg(sum("te"), sum("fe")).head()
       numDocs
+    }
+
+    // Z-order layout vs 1-D sort at 20M rows: the same 2-dim
+    // rectangle predicate (1% of x × 1% of y) against (a) a layout
+    // sorted by x alone and (b) the Morton-interleaved layout. Parquet
+    // row-group min/max stats prune BOTH dims only under (b) — the
+    // measured read volume is the multi-dimensional data-skipping
+    // story a 100 TB table depends on.
+    stage("zorder_prune") {
+      val n = 20000000L
+      val pts = spark.range(0, n, 1, cpus.toInt).select(
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000000L)) / 1000.0).as("x"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(1000000L)) / 1000.0).as("y"),
+        col("id"))
+      val xDir = s"$base/pts_xsorted.parquet"
+      val zDir = s"$base/pts_zorder.parquet"
+      pts.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xDir)
+      graft.sources.ZOrderWriter.write(pts, Seq("x", "y"), zDir, numFiles = 64,
+        bits = 12, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      // three predicate shapes: the x-sorted layout prunes only the
+      // first; z-order prunes all three (that is its entire point).
+      // Pruning is measured DETERMINISTICALLY from the parquet footers:
+      // row groups whose min/max stats intersect the predicate (what a
+      // stats-aware reader must touch) — task inputMetrics under-report
+      // local parquet reads, so bytes are not trustworthy here.
+      val preds = Seq[(String, Map[String, (Double, Double)])](
+        ("x_only", Map("x" -> (500.0, 510.0))),
+        ("y_only", Map("y" -> (500.0, 510.0))),
+        ("rect", Map("x" -> (500.0, 510.0), "y" -> (500.0, 510.0))))
+      def sparkPred(m: Map[String, (Double, Double)]): org.apache.spark.sql.Column =
+        m.map { case (c, (lo, hi)) => col(c) >= lo && col(c) < hi }.reduce(_ && _)
+
+      // (row groups total, row groups intersecting, rows in them)
+      def rowGroups(dir: String, m: Map[String, (Double, Double)]): (Long, Long, Long) = {
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sparkContext.hadoopConfiguration
+        var total = 0L; var hit = 0L; var rowsHit = 0L
+        new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            reader.getFooter.getBlocks.forEach { b =>
+              total += 1
+              val survives = m.forall { case (cname, (lo, hi)) =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == cname).get
+                val st = cc.getStatistics
+                val mn = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue()
+                val mx = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()
+                mn < hi && mx >= lo
+              }
+              if (survives) { hit += 1; rowsHit += b.getRowCount }
+            }
+          } finally reader.close()
+        }
+        (total, hit, rowsHit)
+      }
+
+      def timed(path: String, p: org.apache.spark.sql.Column): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val c = spark.read.parquet(path).where(p).count()
+        (c, (System.nanoTime() - t0) / 1e9)
+      }
+      var selected = 0L
+      val parts = preds.map { case (name, m) =>
+        val p = sparkPred(m)
+        val (cx, sx) = timed(xDir, p)
+        val (cz, sz) = timed(zDir, p)
+        require(cx == cz, s"layouts disagree on $name: $cx vs $cz")
+        if (name == "rect") selected = cz
+        val (tx, hx, rx) = rowGroups(xDir, m)
+        val (tz, hz, rz) = rowGroups(zDir, m)
+        s""""${name}":{"rows":$cz,""" +
+          s""""xsort_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sx))},""" +
+          s""""xsort_rowgroups":"$hx/$tx","xsort_rows_touched":$rx,""" +
+          s""""zorder_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sz))},""" +
+          s""""zorder_rowgroups":"$hz/$tz","zorder_rows_touched":$rz}"""
+      }
+      println("{" + parts.mkString(",") + "}")
+      selected
     }
 
     // Categorical encoding at the cardinality the encoders exist for:

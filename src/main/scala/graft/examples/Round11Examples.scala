@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
  * Round-11 batch: PageRank link-graph centrality.
  */
 
+/** Z-order a two-column table and show that every output file owns a
+  * small rectangle of the (x, y) key space — the layout that lets
+  * parquet stats prune range predicates on EITHER column. */
+object ZOrderExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("ZOrderExample")
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 50000).map(_ => (rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+    graft.sources.ZOrderWriter.write(df, Seq("x", "y"), dir, numFiles = 8, bits = 10)
+    spark.read.parquet(dir)
+      .withColumn("file", regexp_extract(input_file_name(), "(part-[0-9]+)", 1))
+      .groupBy("file")
+      .agg(round(min("x"), 1).as("x_min"), round(max("x"), 1).as("x_max"),
+        round(min("y"), 1).as("y_min"), round(max("y"), 1).as("y_max"))
+      .orderBy("file").show(false)
+    spark.stop()
+  }
+}
+
 /** Rank a tiny link graph: a hub with backlinks outranks the pages
   * that link to it; dangling pages donate their mass uniformly. */
 object PageRankExample {
