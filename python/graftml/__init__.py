@@ -73,6 +73,7 @@ _STAGES = [
     "graft.feature.FrequencyEncoder", "graft.feature.FrequencyEncoderModel",
     "graft.feature.TargetEncoder", "graft.feature.TargetEncoderModel",
     "graft.feature.LagFeaturizer",
+    "graft.feature.Resampler",
     # classification / regression / clustering
     "graft.classification.Knn", "graft.classification.KnnModel",
     "graft.classification.LinearSVC", "graft.classification.LinearSVCModel",

@@ -25,3 +25,14 @@ def test_page_rank_weighted_and_tol(spark):
                                 weight_col="w").collect()}
     assert ranks[2] > 2 * ranks[3]
     assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)
+
+
+def test_resampler(spark):
+    from graftml import Resampler
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 25, 5.0)], ["k", "t", "v"])
+    rows = (Resampler(spark=spark).setKeyCol("k").setTimeCol("t")
+            .setValueCols(["v"]).setStepMs(10)
+            .transform(df)[0].orderBy("t").collect())
+    got = [(r["t"], r["is_observed"], r["v"]) for r in rows]
+    assert got == [(0, True, 1.0), (10, False, 1.0), (20, True, 5.0)]

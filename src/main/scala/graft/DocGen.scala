@@ -40,7 +40,7 @@ object DocGen {
     "graft.feature.WeightedSampler",
     "graft.feature.EpochMixer",
     "graft.feature.FrequencyEncoder", "graft.feature.TargetEncoder",
-    "graft.feature.LagFeaturizer",
+    "graft.feature.LagFeaturizer", "graft.feature.Resampler",
     "graft.classification.Knn", "graft.classification.LinearSVC",
     "graft.classification.LogisticRegression", "graft.classification.NaiveBayes",
     "graft.regression.LinearRegression",

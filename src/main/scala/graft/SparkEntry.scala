@@ -544,6 +544,19 @@ object SparkEntry {
           md5(to_binary(col("c4_text"), lit("utf-8"))).as("c4_md5"))
     }),
 
+    // --- Per-user time-grid resampling of the event stream: 6h grid
+    // from each user's first to last event, last-in-bucket wins,
+    // unlimited forward-fill; the oracle replays the gaps-and-islands
+    // window + generate_series fill ---
+    "q_resample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      new graft.feature.Resampler()
+        .setKeyCol("user_id").setTimeCol("ts").setValueCols("value")
+        .setStepMs(21600000L)
+        .transform(ev).head
+        .select("user_id", "ts", "is_observed", "value")
+    }),
+
     // --- Z-order (Morton) value for multi-dimensional data skipping:
     // (doc_id, length(text)) bucketized to 8 bits each from their
     // global min/max and bit-interleaved — the exact per-row z-value
@@ -3525,6 +3538,33 @@ object SparkEntry {
                 nsent >= 3 AND not_banned AND nkept >= 1 AS c4_keep,
                 md5(c4) AS c4_md5
          FROM m""",
+
+    // gaps-and-islands replay: last obs per (user, 6h bucket), lag of
+    // (bucket, value) per user, generate_series fills the hole between
+    // consecutive observations; values carried exactly (no arithmetic)
+    "q_resample" ->
+      """WITH obs AS (
+           SELECT user_id AS k, epoch_ms(ts) AS ms, value AS v,
+                  epoch_ms(ts) // 21600000 AS b
+           FROM events),
+         dedup AS (
+           SELECT k, b, ms, v,
+                  ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY ms DESC) AS rn
+           FROM obs),
+         lagged AS (
+           SELECT k, b, v,
+                  LAG(b) OVER (PARTITION BY k ORDER BY b) AS pb,
+                  LAG(v) OVER (PARTITION BY k ORDER BY b) AS pv
+           FROM dedup WHERE rn = 1),
+         gser AS (
+           SELECT k, b, v, pv,
+                  UNNEST(generate_series(COALESCE(pb + 1, b), b)) AS g
+           FROM lagged)
+         SELECT k AS user_id,
+                epoch_ms(g * 21600000) AS ts,
+                g = b AS is_observed,
+                CASE WHEN g = b THEN v ELSE pv END AS value
+         FROM gser""",
 
     // bucketize (same expression shapes: cast-double subtraction,
     // multiply by 256.0, divide by the max-min double, floor, clamp)

@@ -894,6 +894,30 @@ object ScaleUp {
       numDocs
     }
 
+    // Time-grid resampling at scale: 2M observations / 50k sensors
+    // scattered over 30 days, regularized to an hourly grid with
+    // forward-fill (~36M output rows — the explode materializes ONLY
+    // missing steps between consecutive observations, never a dense
+    // calendar join; two shuffles of the slim observation table).
+    stage("resample") {
+      val obs = spark.range(0, 2000000L, 1, cpus.toInt).select(
+        pmod(col("id"), lit(50000L)).cast("string").as("k"),
+        pmod(xxhash64(col("id"), lit(7)), lit(30L * 86400000L)).as("t"),
+        (col("id") % 97).cast("double").as("v"))
+        // Resampler refuses duplicate (k, t); xxhash collisions at 2M
+        // draws over 2.6B slots are real — keep the max-v one
+        .groupBy("k", "t").agg(max("v").as("v"))
+      val out = new graft.feature.Resampler()
+        .setKeyCol("k").setTimeCol("t").setValueCols("v")
+        .setStepMs(3600000L).setMaxGapSteps(2000)
+        .transform(obs).head
+      val agg = out.agg(count(lit(1)).as("n"),
+        sum(when(col("is_observed"), 1L).otherwise(0L)).as("observed")).head
+      println(s"""{"resample_grid_rows":${agg.getLong(0)},""" +
+        s""""resample_observed":${agg.getLong(1)}}""")
+      agg.getLong(0)
+    }
+
     // Z-order layout vs 1-D sort at 20M rows: the same 2-dim
     // rectangle predicate (1% of x × 1% of y) against (a) a layout
     // sorted by x alone and (b) the Morton-interleaved layout. Parquet

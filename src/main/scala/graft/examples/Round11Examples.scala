@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
  * Round-11 batch: PageRank link-graph centrality.
  */
 
+/** Regularize an irregular sensor series onto a 10ms grid: missing
+  * steps are filled from the previous observation, but only within
+  * the staleness horizon. */
+object ResamplerExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("ResamplerExample")
+    import spark.implicits._
+    val obs = Seq(
+      ("s1", 0L, 20.1), ("s1", 12L, 20.4), ("s1", 71L, 22.0),
+      ("s2", 5L, 3.3)).toDF("sensor", "t", "temp")
+    new graft.feature.Resampler()
+      .setKeyCol("sensor").setTimeCol("t").setValueCols("temp")
+      .setStepMs(10L).setMaxFillMs(30L)
+      .transform(obs).head
+      .orderBy("sensor", "t").show(false)
+    spark.stop()
+  }
+}
+
 /** Z-order a two-column table and show that every output file owns a
   * small rectangle of the (x, y) key space — the layout that lets
   * parquet stats prune range predicates on EITHER column. */
