@@ -123,6 +123,7 @@ _STAGES = [
     "graft.text.BpeTrainer", "graft.text.BpeModel",
     "graft.text.ChunkSplitter",
     "graft.text.CorpusOverlap",
+    "graft.text.CollocationScorer",
     "graft.text.DocumentFingerprinter",
     "graft.text.ExactDeduplicator",
     "graft.text.HtmlExtractor",

@@ -36,3 +36,15 @@ def test_resampler(spark):
             .transform(df)[0].orderBy("t").collect())
     got = [(r["t"], r["is_observed"], r["v"]) for r in rows]
     assert got == [(0, True, 1.0), (10, False, 1.0), (20, True, 5.0)]
+
+
+def test_collocation_scorer(spark):
+    from graftml import CollocationScorer
+    docs = spark.createDataFrame(
+        [("new york is big",), ("i love new york",), ("new york here",)],
+        ["text"])
+    rows = (CollocationScorer(spark=spark).setInputCol("text")
+            .setMinCount(1).transform(docs)[0].collect())
+    top = max(rows, key=lambda r: r["llr"])
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    assert top["n12"] == 3

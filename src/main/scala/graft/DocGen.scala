@@ -68,7 +68,7 @@ object DocGen {
     "graft.dedup.SimHasher", "graft.dedup.SpanDeduplicator",
     "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.C4Filter",
     "graft.text.ChunkSplitter",
-    "graft.text.CorpusOverlap",
+    "graft.text.CorpusOverlap", "graft.text.CollocationScorer",
     "graft.text.DocumentFingerprinter", "graft.text.ExactDeduplicator",
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",

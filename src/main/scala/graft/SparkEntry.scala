@@ -544,6 +544,19 @@ object SparkEntry {
           md5(to_binary(col("c4_text"), lit("utf-8"))).as("c4_md5"))
     }),
 
+    // --- Corpus collocations: every adjacent word pair scored by PMI
+    // and Dunning's G² from one bigram groupBy; minCount 5 bounds the
+    // output by integer counts alone (no float-boundary top-k), topK
+    // left above the pair count ---
+    "q_collocations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      new graft.text.CollocationScorer().setInputCol("text")
+        .setMinCount(5L).setTopK(1000000)
+        .transform(docs).head
+        .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+          round(col("pmi"), 6).as("pmi"), round(col("llr"), 6).as("llr"))
+    }),
+
     // --- Per-user time-grid resampling of the event stream: 6h grid
     // from each user's first to last event, last-in-bucket wins,
     // unlimited forward-fill; the oracle replays the gaps-and-islands
@@ -3538,6 +3551,35 @@ object SparkEntry {
                 nsent >= 3 AND not_banned AND nkept >= 1 AS c4_keep,
                 md5(c4) AS c4_md5
          FROM m""",
+
+    // bigram counts + margins from the pair table, PMI in bits, G²
+    // with zero cells contributing 0 — the same expression shapes
+    "q_collocations" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         pairs AS (
+           SELECT w[i] AS w1, w[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+         cnt AS (SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY 1, 2),
+         lm AS (SELECT w1, SUM(n12) AS n1 FROM cnt GROUP BY 1),
+         rm AS (SELECT w2, SUM(n12) AS n2 FROM cnt GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n12) AS DOUBLE) AS nn FROM cnt),
+         j AS (SELECT c.w1, c.w2, c.n12, lm.n1, rm.n2, tot.nn
+               FROM cnt c JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+               WHERE c.n12 >= 5)
+         SELECT w1, w2, n12, n1, n2,
+                ROUND(log2(n12 * nn / (CAST(n1 AS DOUBLE) * n2)), 6) AS pmi,
+                ROUND(2.0 * (
+                  CASE WHEN CAST(n12 AS DOUBLE) > 0
+                    THEN CAST(n12 AS DOUBLE) * ln(CAST(n12 AS DOUBLE) * nn / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) ELSE 0 END +
+                  CASE WHEN CAST(n1 AS DOUBLE) - n12 > 0
+                    THEN (CAST(n1 AS DOUBLE) - n12) * ln((CAST(n1 AS DOUBLE) - n12) * nn / (CAST(n1 AS DOUBLE) * (nn - n2))) ELSE 0 END +
+                  CASE WHEN CAST(n2 AS DOUBLE) - n12 > 0
+                    THEN (CAST(n2 AS DOUBLE) - n12) * ln((CAST(n2 AS DOUBLE) - n12) * nn / ((nn - n1) * CAST(n2 AS DOUBLE))) ELSE 0 END +
+                  CASE WHEN nn - n1 - n2 + n12 > 0
+                    THEN (nn - n1 - n2 + n12) * ln((nn - n1 - n2 + n12) * nn / ((nn - n1) * (nn - n2))) ELSE 0 END), 6) AS llr
+         FROM j""",
 
     // gaps-and-islands replay: last obs per (user, 6h bucket), lag of
     // (bucket, value) per user, generate_series fills the hole between

@@ -894,6 +894,24 @@ object ScaleUp {
       numDocs
     }
 
+    // Collocation extraction over the full 500k-doc corpus: one
+    // bigram groupBy (map-side combined), margins from the pair table,
+    // PMI + G² per surviving pair — the scan-plus-one-shuffle shape a
+    // corpus-statistics pass must keep at 100 TB.
+    stage("collocations") {
+      val out = new graft.text.CollocationScorer()
+        .setInputCol("text").setMinCount(50L).setTopK(10000)
+        .transform(docs).head
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = out.count()
+      val top = out.orderBy(col("llr").desc).limit(1)
+        .select("w1", "w2", "n12").head
+      out.unpersist(blocking = false)
+      println(s"""{"colloc_pairs":$n,"colloc_top":"${top.getString(0)} ${top.getString(1)}",""" +
+        s""""colloc_top_n12":${top.getLong(2)}}""")
+      n
+    }
+
     // Time-grid resampling at scale: 2M observations / 50k sensors
     // scattered over 30 days, regularized to an hourly grid with
     // forward-fill (~36M output rows — the explode materializes ONLY

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
  * Round-11 batch: PageRank link-graph centrality.
  */
 
+/** Find the word pairs that belong together: PMI overweights rare
+  * pairs, Dunning's G² is the corpus-scale ranking to trust. */
+object CollocationExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("CollocationExample")
+    import spark.implicits._
+    val docs = Seq(
+      "machine learning at scale", "machine learning is fun",
+      "deep learning and machine learning", "the machine is fast",
+      "scale the deep stack").toDF("text")
+    new graft.text.CollocationScorer().setInputCol("text")
+      .setMinCount(2L).setTopK(10)
+      .transform(docs).head.show(false)
+    spark.stop()
+  }
+}
+
 /** Regularize an irregular sensor series onto a 10ms grid: missing
   * steps are filled from the previous observation, but only within
   * the staleness horizon. */

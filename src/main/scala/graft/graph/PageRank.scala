@@ -80,9 +80,14 @@ object PageRank {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // nodes and dangling ids persist HASH-PARTITIONED ON id: the
+    // per-iteration contribution join and dangling-mass aggregate then
+    // reuse this partitioning (and the rank table inherits it through
+    // the join), so only the rank→src shuffle moves data each round
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
+      .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "PageRank on an empty edge list is undefined")
