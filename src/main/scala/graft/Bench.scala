@@ -77,9 +77,12 @@ object Bench {
     * floor: beneath it the inversion is scheduler jitter on a query
     * cheaper than the noise, not JVM degradation. */
   private[graft] val SuspectNoiseFloorSec = 0.5
-  /** Extra warm samples taken when a sub-second query still shows
-    * warm > cold after the standard retry. */
-  private val ExtraWarmRunsSubSecond = 3
+  /** Extra warm samples taken when a query still shows warm > cold
+    * after the standard retry (originally sub-second only; round-11
+    * extended to every scale after q_polynomial published a 3%
+    * inversion at 1.6 s — a real inversion survives 3 more samples, a
+    * scheduler hiccup doesn't). */
+  private val ExtraWarmRuns = 3
 
   /** Is a (cold, warm) row suspect? warm > cold is impossible for a
     * healthy JVM (warm is a min over later runs of the same work) —
@@ -88,11 +91,15 @@ object Bench {
     warm > cold && warm > SuspectNoiseFloorSec
 
   /** Does this (query, warm) row need the automatic solo re-run?
-    * Only rows that ran in a SHARED child qualify — a solo child IS
-    * the re-run — and only when a prior exists to compare against. */
+    * Any row above the factor qualifies when a prior exists — shared
+    * children suffer cross-query contamination, and a SOLO child can
+    * itself be a one-off slow JVM instance (round-11:
+    * q_online_kmeans_versioned published 7.9 s from one solo child
+    * against a 3.1-3.9 s four-run band; the min of two fresh-JVM runs
+    * is still an honest number, a single unlucky JVM is not). */
   private[graft] def needsSoloReverify(warm: Double, prior: Option[Double],
       ranSolo: Boolean): Boolean =
-    !ranSolo && prior.exists(p => p > 0.0 && warm > p * SoloReverifyFactor)
+    prior.exists(p => p > 0.0 && warm > p * SoloReverifyFactor)
 
   def main(args: Array[String]): Unit = args match {
     case Array("--child", sfDir, outPath, names) =>
@@ -166,6 +173,11 @@ object Bench {
   }
 
   private def parent(only: Option[Set[String]]): Unit = {
+    // box idleness EVIDENCE: the end-of-run loadavg (recorded below)
+    // inevitably measures the bench's own 32-thread work, so the
+    // pre-run sample is the one that can certify an idle box
+    val loadavgStart = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
@@ -208,6 +220,21 @@ object Bench {
         }
       }
     }
+    // a row STILL suspect (warm > cold above the noise floor, which a
+    // healthy JVM cannot produce) gets one isolated re-run before
+    // publishing: a CLEAN solo measurement replaces the contaminated
+    // row wholesale (never mixed-and-matched across runs); if the solo
+    // run is inverted too, the better row publishes, flag standing.
+    timings.toSeq.foreach { case (n, (c, w)) =>
+      if (isSuspect(c, w)) {
+        runChild(sfDir, Seq(n)) match {
+          case Some(Seq((`n`, c2, w2))) =>
+            if (!reverified.contains(n)) reverified += n
+            if (!isSuspect(c2, w2) || w2 < w) timings(n) = (c2, w2)
+          case _ => ()
+        }
+      }
+    }
     // restore name order so output diffs cleanly across rounds
     val ordered = names.flatMap(n => timings.get(n).map(n -> _))
     timings.clear(); ordered.foreach { case (n, t) => timings(n) = t }
@@ -245,7 +272,7 @@ object Bench {
     val loadavg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val envJson =
-      s"""{"child_heap_mb":$benchHeapMb,"gc":"$benchGc","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg":${fmt(loadavg)}}"""
+      s"""{"child_heap_mb":$benchHeapMb,"gc":"$benchGc","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg_start":${fmt(loadavgStart)},"loadavg":${fmt(loadavg)}}"""
     val reverifiedJson = reverified.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
       s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"warm_runs_per_query":$WarmRuns,"env":$envJson,"queries":$detailJson,"sf":"$sfDir","failed":$failedJson,"suspect":$suspectJson,"solo_reverified":$reverifiedJson}"""
@@ -354,11 +381,11 @@ object Bench {
         // storm); one retry usually resolves it — if not, the parent
         // publishes the row as suspect
         if (warm > cold) warm = math.min(warm, once())
-        // sub-second queries: a single scheduler hiccup outweighs the
-        // query itself, so take a deeper sample before letting the
-        // inversion stand (round-9 q_ngram lesson)
-        if (warm > cold && cold < 1.0)
-          warm = math.min(warm, (1 to ExtraWarmRunsSubSecond).map(_ => once()).min)
+        // a single scheduler hiccup outweighs run-to-run signal, so
+        // take a deeper sample before letting the inversion stand
+        // (round-9 q_ngram lesson; round-11: any scale)
+        if (warm > cold)
+          warm = math.min(warm, (1 to ExtraWarmRuns).map(_ => once()).min)
         writer.println(s"$name\t$cold\t$warm")
       } catch {
         case e: Throwable =>

@@ -51,7 +51,9 @@ class BenchScheduleSpec extends AnyFunSuite {
     assert(!Bench.needsSoloReverify(warm = 1.4, prior = Some(1.0), ranSolo = false))
     assert(!Bench.needsSoloReverify(warm = 0.9, prior = Some(1.0), ranSolo = false))
     // already ran in its own child: the solo number IS the verdict
-    assert(!Bench.needsSoloReverify(warm = 5.0, prior = Some(1.0), ranSolo = true))
+    // round-11: a solo row above the factor re-runs too — one solo
+    // child can itself be an unlucky JVM instance
+    assert(Bench.needsSoloReverify(warm = 5.0, prior = Some(1.0), ranSolo = true))
     // no prior (new query) or degenerate zero prior → nothing to compare
     assert(!Bench.needsSoloReverify(warm = 5.0, prior = None, ranSolo = false))
     assert(!Bench.needsSoloReverify(warm = 5.0, prior = Some(0.0), ranSolo = false))
