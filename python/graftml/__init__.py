@@ -94,6 +94,7 @@ _STAGES = [
     "graft.evaluation.ClusteringEvaluator",
     "graft.evaluation.CalibrationEvaluator",
     "graft.stats.CorrelationMatrix",
+    "graft.stats.SkewReport",
     "graft.recommendation.Swing",
     # streaming
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",

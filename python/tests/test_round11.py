@@ -48,3 +48,13 @@ def test_collocation_scorer(spark):
     top = max(rows, key=lambda r: r["llr"])
     assert (top["w1"], top["w2"]) == ("new", "york")
     assert top["n12"] == 3
+
+
+def test_skew_report(spark):
+    from graftml import SkewReport
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",), (None,)], ["k"])
+    rows = (SkewReport(spark=spark).setKeyCols(["k"]).setTopK(2)
+            .transform(df)[0].orderBy("rank").collect())
+    assert rows[0]["key"] == "hot" and rows[0]["n"] == 6
+    assert abs(rows[0]["share"] - 6.0 / 8) < 1e-12

@@ -49,6 +49,7 @@ object DocGen {
     "graft.stats.ChiSqTest", "graft.stats.ANOVATest", "graft.stats.FValueTest",
     "graft.stats.DriftDetector", "graft.stats.DataValidator",
     "graft.stats.ColumnProfiler", "graft.stats.CorrelationMatrix",
+    "graft.stats.SkewReport",
     "graft.evaluation.BinaryClassificationEvaluator",
     "graft.evaluation.MulticlassEvaluator",
     "graft.evaluation.ClusteringEvaluator",

@@ -544,6 +544,17 @@ object SparkEntry {
           md5(to_binary(col("c4_text"), lit("utf-8"))).as("c4_md5"))
     }),
 
+    // --- Join-skew diagnosis: exact top-10 heavy keys per column over
+    // the event stream (user_id and event_type), counts + row share +
+    // rank; ONE pass + per-column TakeOrdered ---
+    "q_skew_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      new graft.stats.SkewReport().setKeyCols("user_id", "event_type").setTopK(10)
+        .transform(ev).head
+        .select(col("column"), col("key"), col("n"),
+          round(col("share"), 6).as("share"), col("rank"))
+    }),
+
     // --- Corpus collocations: every adjacent word pair scored by PMI
     // and Dunning's G² from one bigram groupBy; minCount 5 bounds the
     // output by integer counts alone (no float-boundary top-k), topK
@@ -3551,6 +3562,29 @@ object SparkEntry {
                 nsent >= 3 AND not_banned AND nkept >= 1 AS c4_keep,
                 md5(c4) AS c4_md5
          FROM m""",
+
+    // per column: exact value counts, top-10 by (n desc, key asc as
+    // STRING), rank + share; nulls under the <null> sentinel
+    "q_skew_report" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events),
+         u AS (
+           SELECT 'user_id' AS "column",
+                  COALESCE(CAST(user_id AS VARCHAR), '<null>') AS key,
+                  COUNT(*) AS n
+           FROM events GROUP BY 2
+           ORDER BY n DESC, key ASC LIMIT 10),
+         e AS (
+           SELECT 'event_type' AS "column",
+                  COALESCE(CAST(event_type AS VARCHAR), '<null>') AS key,
+                  COUNT(*) AS n
+           FROM events GROUP BY 2
+           ORDER BY n DESC, key ASC LIMIT 10),
+         all_rows AS (SELECT * FROM u UNION ALL SELECT * FROM e)
+         SELECT "column", key, n,
+                ROUND(n / t.total, 6) AS share,
+                CAST(ROW_NUMBER() OVER (PARTITION BY "column"
+                  ORDER BY n DESC, key ASC) AS INT) AS rank
+         FROM all_rows CROSS JOIN t""",
 
     // bigram counts + margins from the pair table, PMI in bits, G²
     // with zero cells contributing 0 — the same expression shapes

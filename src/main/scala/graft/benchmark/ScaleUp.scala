@@ -894,6 +894,26 @@ object ScaleUp {
       numDocs
     }
 
+    // Heavy-key skew report at 20M rows / 1M-key column with a
+    // planted 25% hot key: one pass + map-side-combined groupBy +
+    // per-column TakeOrdered — never a per-column window sort (which
+    // would drag the 1M distinct values into one task).
+    stage("skew_report") {
+      val n = 20000000L
+      val ev = spark.range(0, n, 1, cpus.toInt).select(
+        when(col("id") % 4 === 0, lit(42L))
+          .otherwise(pmod(xxhash64(col("id")), lit(1000000L))).as("user"),
+        concat(lit("type_"), pmod(col("id"), lit(10L))).as("etype"))
+      val report = new graft.stats.SkewReport()
+        .setKeyCols("user", "etype").setTopK(10)
+        .transform(ev).head.collect()
+      val hot = report.find(r => r.getString(0) == "user" && r.getInt(4) == 1).get
+      println(s"""{"skew_rows":${report.length},"skew_hot_key":"${hot.getString(1)}",""" +
+        s""""skew_hot_share":${hot.getDouble(3)}}""")
+      require(hot.getString(1) == "42", s"expected the planted hot key, got $hot")
+      n
+    }
+
     // Collocation extraction over the full 500k-doc corpus: one
     // bigram groupBy (map-side combined), margins from the pair table,
     // PMI + G² per surviving pair — the scan-plus-one-shuffle shape a

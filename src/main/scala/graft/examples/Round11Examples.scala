@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
  * Round-11 batch: PageRank link-graph centrality.
  */
 
+/** Diagnose join skew before it burns a cluster-day: the planted hot
+  * key surfaces at rank 1 with its exact row share. */
+object SkewReportExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("SkewReportExample")
+    import spark.implicits._
+    val events = (1 to 1000).map(i =>
+      (if (i % 3 == 0) 0L else i.toLong, s"type_${i % 4}"))
+      .toDF("user_id", "event_type")
+    new graft.stats.SkewReport()
+      .setKeyCols("user_id", "event_type").setTopK(3)
+      .transform(events).head.orderBy("column", "rank").show(false)
+    spark.stop()
+  }
+}
+
 /** Find the word pairs that belong together: PMI overweights rare
   * pairs, Dunning's G² is the corpus-scale ranking to trust. */
 object CollocationExample {
