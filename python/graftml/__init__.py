@@ -149,6 +149,7 @@ _STAGES = [
     "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder",
+    "graft.multimodal.ImageDHasher",
     "graft.multimodal.VideoDecoder",
     "graft.join.AsOfJoiner",
     "graft.join.IntervalJoiner",

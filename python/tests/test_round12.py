@@ -1,0 +1,44 @@
+"""Round-12 stages: perceptual image dedup (dHash + banded Hamming join)."""
+
+
+def _img(spark, group, brightness=0, flip=False, fmt="png"):
+    b = spark._jvm.graft.multimodal.ImageDHasher.syntheticCellImage(
+        group, brightness, flip, fmt)
+    return bytes(b)
+
+
+def test_image_dhash_invariances(spark):
+    from graftml import ImageDHasher
+    rows = [
+        (0, _img(spark, 1)),
+        (1, _img(spark, 1, brightness=40)),   # recolor: invariant
+        (2, _img(spark, 1, fmt="bmp")),       # lossless re-encode: invariant
+        (3, _img(spark, 1, flip=True)),       # one-cell flip: Hamming 1
+        (4, _img(spark, 2)),                  # different group: far
+        (5, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "img"])
+    hasher = ImageDHasher(spark=spark).setInputCol("img").setOutputCol("dhash")
+    hashed = hasher.transform(df)[0]
+    fp = {r["id"]: r["dhash"] for r in hashed.collect()}
+    assert fp[0] == fp[1] == fp[2]
+    assert bin(fp[0] ^ fp[3]).count("1") == 1
+    assert bin(fp[0] ^ fp[4]).count("1") > 8
+    assert fp[5] is None
+
+
+def test_image_dhash_similarity_join(spark):
+    from graftml import ImageDHasher
+    from pyspark.sql import DataFrame as PyDF
+    rows = [(g * 4 + v,
+             _img(spark, g, brightness=40 if v == 1 else 0,
+                  flip=(v == 3), fmt="bmp" if v == 2 else "png"))
+            for g in range(3) for v in range(4)]
+    df = spark.createDataFrame(rows, ["id", "img"])
+    hasher = ImageDHasher(spark=spark).setInputCol("img").setOutputCol("dhash")
+    hashed = hasher.transform(df)[0]
+    pairs = PyDF(hasher._jobj.similarityJoin(hashed._jdf, "id", 3, 4), spark)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(g * 4 + a, g * 4 + b)
+                for g in range(3) for a in range(4) for b in range(a + 1, 4)}
+    assert got == expected

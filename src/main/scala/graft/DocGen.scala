@@ -85,7 +85,8 @@ object DocGen {
     "graft.ann.ScalarQuantizer",
     "graft.multimodal.AudioDecoder", "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
-    "graft.multimodal.ImageDecoder", "graft.multimodal.VideoDecoder",
+    "graft.multimodal.ImageDecoder", "graft.multimodal.ImageDHasher",
+    "graft.multimodal.VideoDecoder",
     "graft.join.AsOfJoiner", "graft.join.IntervalJoiner", "graft.join.RangeJoiner",
     "graft.join.FuzzyJoiner", "graft.join.Scd2Builder")
 

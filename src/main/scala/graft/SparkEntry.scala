@@ -1370,6 +1370,47 @@ object SparkEntry {
         col("vmeta.n_tracks").as("n_tracks"))
     }),
 
+    // --- Perceptual image dedup: 4 planted variants per group (base,
+    // recolor +40 — dHash-invariant by construction, lossless BMP
+    // re-encode — identical pixels, one-cell flip — exactly Hamming 1),
+    // REAL PNG/BMP bytes hashed back through the full ImageIO decode;
+    // banded Hamming join (HammingJoin, the SimHash machinery) finds
+    // every variant; canonical = min doc_id among direct neighbors.
+    // The oracle replays the planted structure in closed form. ---
+    "q_image_dedup" -> ((s, dir) => {
+      val mkImg = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.ImageDHasher.syntheticCellImage(g)
+          case 1 => graft.multimodal.ImageDHasher.syntheticCellImage(g, brightness = 40)
+          case 2 => graft.multimodal.ImageDHasher.syntheticCellImage(g, format = "bmp")
+          case _ => graft.multimodal.ImageDHasher.syntheticCellImage(g, flip = true)
+        }
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", mkImg(col("doc_id")))
+      val hasher = new graft.multimodal.ImageDHasher()
+        .setInputCol("img").setOutputCol("dhash")
+      val hashed = hasher.transform(docs).head
+        .select("doc_id", "dhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = hasher.similarityJoin(hashed, "doc_id", maxHamming = 3, numBands = 4)
+      val neigh = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+        .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
+      val clustered = hashed.join(neigh, Seq("doc_id"), "left")
+        .groupBy("doc_id").agg(min("nb").as("mn"))
+        .select(col("doc_id"),
+          least(coalesce(col("mn"), col("doc_id")), col("doc_id")).as("cluster_id"))
+      val rep = hashed.select(col("doc_id").as("cluster_id"), col("dhash").as("rep_hash"))
+      val out = clustered.join(hashed, "doc_id").join(rep, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") < col("doc_id")).as("is_duplicate"),
+          bit_count(col("dhash").bitwiseXOR(col("rep_hash"))).as("rep_hamming"))
+      val rows = out.collect()
+      hashed.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     // --- Swing item-recall (packed top-k parsed back into rows) ---
     "q_swing" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -3596,8 +3637,8 @@ object SparkEntry {
            SELECT w[i] AS w1, w[i+1] AS w2
            FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
          cnt AS (SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY 1, 2),
-         lm AS (SELECT w1, SUM(n12) AS n1 FROM cnt GROUP BY 1),
-         rm AS (SELECT w2, SUM(n12) AS n2 FROM cnt GROUP BY 1),
+         lm AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM cnt GROUP BY 1),
+         rm AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM cnt GROUP BY 1),
          tot AS (SELECT CAST(SUM(n12) AS DOUBLE) AS nn FROM cnt),
          j AS (SELECT c.w1, c.w2, c.n12, lm.n1, rm.n2, tot.nn
                FROM cnt c JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
@@ -4351,6 +4392,19 @@ object SparkEntry {
                 CAST(600 + (doc_id % 240) * 30 AS BIGINT) AS duration,
                 ROUND((600 + (doc_id % 240) * 30) / 600.0, 6) AS video_sec,
                 CAST(1 + doc_id % 3 AS INT) AS n_tracks
+         FROM documents""",
+
+    // closed-form replay of the planted image-variant structure:
+    // groups of 4 consecutive doc_ids share a base image; variants 1/2
+    // (recolor, lossless re-encode) hash identically to the base,
+    // variant 3 (one-cell flip) sits at exactly Hamming 1 — so the
+    // cluster is the group's min id, and distinct groups are ~32 bits
+    // apart (never within the maxHamming=3 cut)
+    "q_image_dedup" ->
+      """SELECT doc_id,
+                (doc_id // 4) * 4 AS cluster_id,
+                doc_id % 4 <> 0 AS is_duplicate,
+                CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INT) AS rep_hamming
          FROM documents""",
 
     "q_quantize" ->

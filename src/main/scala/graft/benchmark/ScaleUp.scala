@@ -956,6 +956,42 @@ object ScaleUp {
       agg.getLong(0)
     }
 
+    // Perceptual image dedup at 500k images (125k groups × 4 planted
+    // variants: base / recolor / lossless re-encode / 1-bit flip).
+    // REAL PNG+BMP bytes are encoded AND fully decoded per row
+    // (executor-local, bytes never cross a shuffle); candidates come
+    // from the banded Hamming join — pair count must equal exactly
+    // groups × C(4,2), proving recall 1.0 on planted dups AND zero
+    // cross-group false positives at once.
+    stage("image_dedup") {
+      val nImg = 500000L
+      val mkImg = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.ImageDHasher.syntheticCellImage(g)
+          case 1 => graft.multimodal.ImageDHasher.syntheticCellImage(g, brightness = 40)
+          case 2 => graft.multimodal.ImageDHasher.syntheticCellImage(g, format = "bmp")
+          case _ => graft.multimodal.ImageDHasher.syntheticCellImage(g, flip = true)
+        }
+      }
+      val imgs = spark.range(0, nImg, 1, cpus.toInt)
+        .select(col("id"), mkImg(col("id")).as("img"))
+      val hasher = new graft.multimodal.ImageDHasher()
+        .setInputCol("img").setOutputCol("dhash")
+      // hash once, keep only (id, dhash): the banded join reads its
+      // input twice (a/b sides) and must not re-encode 500k PNGs
+      val hashed = hasher.transform(imgs).head.select("id", "dhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = hasher.similarityJoin(hashed, "id", maxHamming = 3, numBands = 4)
+      val n = pairs.count()
+      hashed.unpersist(blocking = false)
+      val expected = (nImg / 4) * 6
+      println(s"""{"image_pairs":$n,"image_pairs_expected":$expected,""" +
+        s""""image_recall":${if (n == expected) 1.0 else n.toDouble / expected}}""")
+      require(n == expected, s"planted-dup recall broke: $n != $expected")
+      n
+    }
+
     // Z-order layout vs 1-D sort at 20M rows: the same 2-dim
     // rectangle predicate (1% of x × 1% of y) against (a) a layout
     // sorted by x alone and (b) the Morton-interleaved layout. Parquet

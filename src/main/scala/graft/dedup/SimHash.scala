@@ -64,33 +64,30 @@ object SimHash {
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
 
-/** Appends a 64-bit SimHash fingerprint of a token-array column. */
-class SimHasher extends Transformer[SimHasher]
-    with HasInputCol[SimHasher] with HasOutputCol[SimHasher] {
+/**
+ * Banded Hamming equi-join over any 64-bit fingerprint column — the
+ * candidate-pair machinery shared by [[SimHasher]] (text) and
+ * [[graft.multimodal.ImageDHasher]] (images). numBands × (64/numBands)
+ * bit chunks; by pigeonhole any pair with Hamming distance < numBands
+ * matches exactly in at least one band, so recall is 1.0 below the
+ * band count with no all-pairs comparison anywhere.
+ */
+object HammingJoin {
 
-  override def transform(inputs: DataFrame*): Array[DataFrame] = {
-    require(inputs.size == 1)
-    val fp = udf { tokens: Seq[String] =>
-      if (tokens == null) null else java.lang.Long.valueOf(SimHash.fingerprint(tokens))
-    }
-    Array(inputs.head.withColumn(getOutputCol, fp(col(getInputCol))))
-  }
-
-  /**
-   * All id pairs (a < b) whose fingerprints are within `maxHamming`
-   * bits. `df` must already carry the fingerprint column (outputCol).
-   * Guaranteed full recall while maxHamming < numBands.
-   */
-  def similarityJoin(df: DataFrame, idCol: String, maxHamming: Int,
-      numBands: Int = 4): DataFrame = {
+  /** All id pairs (a < b) with bit_count(fp_a XOR fp_b) <= maxHamming.
+    * Output: (id_a, id_b, hamming). */
+  def pairs(df: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, numBands: Int): DataFrame = {
     require(maxHamming < numBands,
       s"banding with $numBands bands only guarantees recall for Hamming distance < $numBands")
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64 so the bands cover every bit, got $numBands")
     val bits = 64 / numBands
     val bands = (0 until numBands).map { b =>
-      struct(lit(b).as("band"), shiftrightunsigned(col(getOutputCol), b * bits)
+      struct(lit(b).as("band"), shiftrightunsigned(col(fpCol), b * bits)
         .bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
     }
-    val exploded = df.select(col(idCol).as("id"), col(getOutputCol).as("fp"),
+    val exploded = df.select(col(idCol).as("id"), col(fpCol).as("fp"),
         explode(array(bands: _*)).as("bc"))
       .select(col("id"), col("fp"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     val a = exploded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("chunk"))
@@ -109,6 +106,28 @@ class SimHasher extends Transformer[SimHasher]
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+}
+
+/** Appends a 64-bit SimHash fingerprint of a token-array column. */
+class SimHasher extends Transformer[SimHasher]
+    with HasInputCol[SimHasher] with HasOutputCol[SimHasher] {
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val fp = udf { tokens: Seq[String] =>
+      if (tokens == null) null else java.lang.Long.valueOf(SimHash.fingerprint(tokens))
+    }
+    Array(inputs.head.withColumn(getOutputCol, fp(col(getInputCol))))
+  }
+
+  /**
+   * All id pairs (a < b) whose fingerprints are within `maxHamming`
+   * bits. `df` must already carry the fingerprint column (outputCol).
+   * Guaranteed full recall while maxHamming < numBands.
+   */
+  def similarityJoin(df: DataFrame, idCol: String, maxHamming: Int,
+      numBands: Int = 4): DataFrame =
+    HammingJoin.pairs(df, idCol, getOutputCol, maxHamming, numBands)
 }
 object SimHasher extends StageLoader[SimHasher] {
   def load(spark: SparkSession, path: String): SimHasher =

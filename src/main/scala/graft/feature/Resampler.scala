@@ -107,10 +107,13 @@ class Resampler extends Transformer[Resampler] {
         call_function("div", col("__rs_ms") - pmod(col("__rs_ms"), lit(step)), lit(step)))
 
     // last observation per (key, bucket); duplicate (key, ts) refused
-    // in the SAME window pass. The guard is folded into __rs_ms (a
-    // column every downstream expression reads) so column pruning
-    // cannot eliminate the raise_error: the surviving rn=1 row sees
-    // its duplicate via lead() over the same ordering.
+    // in the SAME window pass. The guard is folded into __rs_rn (the
+    // column the rn=1 filter reads) so column pruning cannot eliminate
+    // the raise_error. Reachability for duplicates BELOW the bucket
+    // top additionally relies on the CASE wrapper around row_number()
+    // blocking Spark's InferWindowGroupLimit top-1 rewrite (which would
+    // prune rank>1 rows before their guard evaluates) — pinned by a
+    // spec case with a duplicate pair that is not its bucket's max.
     val wDedup = Window.partitionBy("__rs_key", "__rs_b").orderBy(col("__rs_ms").desc)
     val lastInBucket = slim
       .withColumn("__rs_rn",

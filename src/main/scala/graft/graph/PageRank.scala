@@ -98,11 +98,25 @@ object PageRank {
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The per-round dangling-mass aggregate is folded FORWARD: each
+    // iteration computes the NEXT round's mass from the fresh rank
+    // table, which doubles as the action that materializes its cache
+    // BEFORE the previous ranks are unpersisted. Without it, a lazily
+    // persisted `mat` whose parent was already unpersisted recomputes
+    // the whole chain back to the last localCheckpoint on its first
+    // real use (~2.5x redundant compute per non-checkpoint round).
+    // LEFT join (not inner): with zero dangling vertices an inner join
+    // against the empty side lets AQE's empty-relation propagation skip
+    // the rank scan entirely — which would also skip the cache
+    // materialization this aggregate is load-bearing for.
+    def danglingMassOf(r: DataFrame): Double =
+      r.join(dangling.withColumn("__dang", lit(1)), Seq("id"), "left")
+        .agg(coalesce(sum(when(col("__dang").isNotNull, col("r"))
+          .otherwise(lit(0.0))), lit(0.0))).head.getDouble(0)
+    var danglingMass = danglingMassOf(ranks)
     var iter = 0
     var converged = false
     while (iter < numIter && !converged) {
-      val danglingMass = ranks.join(dangling, "id")
-        .agg(coalesce(sum("r"), lit(0.0))).head.getDouble(0)
       val contribs = shares.join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share") * col("r")).as("c"))
@@ -114,6 +128,9 @@ object PageRank {
       val mat =
         if ((iter + 1) % CheckpointEvery == 0) next.localCheckpoint(true)
         else next.persist(StorageLevel.MEMORY_AND_DISK)
+      // materializes mat (full scan through the join) AND is next
+      // round's input — one aggregate, two jobs done
+      val nextMass = danglingMassOf(mat)
       if (tol > 0.0) {
         val delta = mat.join(ranks.withColumnRenamed("r", "r0"), "id")
           .agg(sum(abs(col("r") - col("r0")))).head.getDouble(0)
@@ -121,6 +138,7 @@ object PageRank {
       }
       ranks.unpersist(blocking = false)
       ranks = mat
+      danglingMass = nextMass
       iter += 1
     }
     lastIterations = iter

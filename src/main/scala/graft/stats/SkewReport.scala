@@ -21,8 +21,9 @@ import graft.util.ReadWrite
  * TakeOrdered (`orderBy.limit` — per-partition heaps) over the shared
  * aggregated table, NEVER a per-column window sort, which would drag
  * a high-cardinality column's entire distinct set into one task. The
- * total for `share` is the input row count (each column contributes
- * exactly one value per row), not a second aggregation.
+ * total for `share` is derived from the persisted counts table (sum
+ * of n over any one column = input rows, since each column contributes
+ * exactly one value per row) — the input is scanned exactly once.
  *
  * Nulls are real skew (often THE skew) and are counted under the
  * sentinel `<null>`; values are compared as strings with ties broken
@@ -48,7 +49,6 @@ class SkewReport extends AlgoOperator[SkewReport] {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"SkewReport: no such column(s): ${missing.mkString(", ")}")
 
-    val total = df.count()
     val valueArr = array(cols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
     val nameArr = array(cols.map(lit): _*)
     val counts = df
@@ -56,6 +56,14 @@ class SkewReport extends AlgoOperator[SkewReport] {
       .withColumn("column", element_at(nameArr, col("__sr_i") + 1))
       .groupBy("column", "key").agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // total row count derived from the already-persisted counts table
+    // (each column contributes exactly one value per row, so summing n
+    // over any single column = input rows) — NOT a second scan of df;
+    // this aggregate also materializes the counts cache for the
+    // per-column TakeOrdereds below
+    val total = counts.where(col("column") === cols.head)
+      .agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
 
     val k = getTopK
     val perCol = cols.map { c =>

@@ -82,6 +82,16 @@ class ResamplerSpec extends SparkSpec {
     val e1 = intercept[Exception] { rs.transform(dup).head.collect() }
     assert(causes(e1).exists(_.contains("duplicate")), causes(e1).mkString(" | "))
 
+    // duplicate pair BELOW its bucket's max (bucket 0-9 holds ts 9,5,5;
+    // the survivor is ts=9): pins the assumption that the window
+    // projection evaluates for ALL rows — if a future optimizer change
+    // (InferWindowGroupLimit top-1 rewrite) prunes rank>1 rows before
+    // their guard evaluates, the raise_error is silently skipped and
+    // this intercept fails instead
+    val dupLow = Seq(("a", 9L, 3.0), ("a", 5L, 1.0), ("a", 5L, 2.0)).toDF("k", "t", "v")
+    val e1b = intercept[Exception] { rs.transform(dupLow).head.collect() }
+    assert(causes(e1b).exists(_.contains("duplicate")), causes(e1b).mkString(" | "))
+
     val wide = Seq(("a", 0L, 1.0), ("a", 1000000000L, 2.0)).toDF("k", "t", "v")
     val e2 = intercept[Exception] {
       rs.setMaxGapSteps(1000).transform(wide).head.collect()

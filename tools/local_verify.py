@@ -80,6 +80,21 @@ def main():
             results[name] = (f"ARRAY-COLUMNS: {arr_cols} would break the driver "
                              "harness sort - reshape to scalar rows (posexplode)")
             continue
+        # Dtype parity: the driver hashes EXACT values, so DuckDB HUGEINT
+        # (pandas float64, e.g. SUM(BIGINT) -> 921.0) against Spark int64
+        # (921) is a driver hash FAIL even though check_dtype=False + rtol
+        # below would pass it (the r11 q_collocations red). Fail any column
+        # where one side is integer-kind and the other float-kind.
+        shared = set(spark_df.columns) & set(duck_df.columns)
+        dtype_bad = []
+        for c in sorted(shared):
+            sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+            if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+                dtype_bad.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
+        if dtype_bad:
+            results[name] = ("DTYPE-MISMATCH (driver exact-hash would fail; "
+                             "CAST the oracle column): " + "; ".join(dtype_bad))
+            continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA-MISMATCH: spark={list(a.columns)} duck={list(b.columns)}"
