@@ -146,6 +146,7 @@ _STAGES = [
     "graft.ann.ProductQuantizer", "graft.ann.ProductQuantizerModel",
     "graft.ann.ScalarQuantizer", "graft.ann.ScalarQuantizerModel",
     "graft.multimodal.AudioDecoder",
+    "graft.multimodal.AudioDHasher",
     "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder",

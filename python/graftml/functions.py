@@ -68,22 +68,26 @@ def page_rank(edges, src="src", dst="dst", damping_factor=0.85,
     return DataFrame(jdf, spark)
 
 
-def zorder_value(df, cols, bits=12, z_col="__z"):
-    """Append a Morton (Z-order) long column: each column min/max
-    bucketized to 2^bits and bit-interleaved. Delegates to
+def zorder_value(df, cols, bits=12, z_col="__z", strategy="linear"):
+    """Append a Morton (Z-order) long column: each column bucketized to
+    2^bits ("linear" = equi-width min/max; "quantile" = equi-depth via
+    approxQuantile — skew-proof) and bit-interleaved. Delegates to
     graft.sources.ZOrderWriter.withZValue."""
     from pyspark.sql import DataFrame
     spark = df.sparkSession
     jvm = spark._jvm
     jcols = jvm.PythonUtils.toSeq([str(c) for c in cols])
-    jdf = jvm.graft.sources.ZOrderWriter.withZValue(df._jdf, jcols, int(bits), z_col)
+    jdf = jvm.graft.sources.ZOrderWriter.withZValue(
+        df._jdf, jcols, int(bits), z_col, strategy)
     return DataFrame(jdf, spark)
 
 
-def zorder_write(df, cols, path, num_files, bits=12, mode="error"):
+def zorder_write(df, cols, path, num_files, bits=12, mode="error",
+                 strategy="linear"):
     """Write df z-ordered by cols into num_files parquet files, each
     owning a disjoint Morton-value range — range predicates on ANY of
-    the z-ordered columns then prune row groups via parquet stats."""
+    the z-ordered columns then prune row groups via parquet stats.
+    strategy="quantile" keeps the pruning power on skewed columns."""
     spark = df.sparkSession
     jvm = spark._jvm
     jcols = jvm.PythonUtils.toSeq([str(c) for c in cols])
@@ -91,4 +95,4 @@ def zorder_write(df, cols, path, num_files, bits=12, mode="error"):
         {"error": "ErrorIfExists", "overwrite": "Overwrite",
          "append": "Append", "ignore": "Ignore"}[mode])
     jvm.graft.sources.ZOrderWriter.write(df._jdf, jcols, path, int(num_files),
-                                         int(bits), jmode)
+                                         int(bits), jmode, strategy)

@@ -27,6 +27,31 @@ def test_image_dhash_invariances(spark):
     assert fp[5] is None
 
 
+def _wav(spark, group, gain=1, stretch=1, flip=False):
+    b = spark._jvm.graft.multimodal.AudioDHasher.syntheticWindowWav(
+        group, gain, stretch, flip)
+    return bytes(b)
+
+
+def test_audio_dhash_invariances(spark):
+    from graftml import AudioDHasher
+    rows = [
+        (0, _wav(spark, 1)),
+        (1, _wav(spark, 1, gain=2)),       # gain: invariant
+        (2, _wav(spark, 1, stretch=2)),    # time-stretch: invariant
+        (3, _wav(spark, 1, flip=True)),    # one-window flip: Hamming 1
+        (4, _wav(spark, 2)),               # different group: far
+        (5, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "wav"])
+    hasher = AudioDHasher(spark=spark).setInputCol("wav").setOutputCol("ahash")
+    fp = {r["id"]: r["ahash"] for r in hasher.transform(df)[0].collect()}
+    assert fp[0] == fp[1] == fp[2]
+    assert bin(fp[0] ^ fp[3]).count("1") == 1
+    assert bin(fp[0] ^ fp[4]).count("1") > 8
+    assert fp[5] is None
+
+
 def test_image_dhash_similarity_join(spark):
     from graftml import ImageDHasher
     from pyspark.sql import DataFrame as PyDF

@@ -271,11 +271,26 @@ object Bench {
     // GC, box load at publish time (round-6 lesson — see benchHeapMb)
     val loadavg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+    // self-gating publish (round-12): a run whose PRE-run 1-min load
+    // already exceeded the threshold started on a loaded box, so its
+    // per-row deltas are ambient noise, not plan movement — stamp the
+    // artifact "contaminated" so it self-identifies instead of needing
+    // forensic reconstruction every round (BENCH_r11 shipped with
+    // loadavg_start 6.94 and every flagged mover was load noise).
+    // Stamp, don't refuse: an aborted publish would zero the round's
+    // bench artifact entirely, which is strictly worse than a labeled
+    // one. Threshold overridable for smaller boxes.
+    val maxLoadavg = sys.env.get("SPARK_GRAFT_MAX_LOADAVG")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    val contaminated = loadavgStart >= 0.0 && loadavgStart > maxLoadavg
+    if (contaminated)
+      System.err.println(s"[bench] WARNING: loadavg_start ${fmt(loadavgStart)} > " +
+        s"$maxLoadavg — box was not idle at launch; artifact stamped contaminated")
     val envJson =
-      s"""{"child_heap_mb":$benchHeapMb,"gc":"$benchGc","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg_start":${fmt(loadavgStart)},"loadavg":${fmt(loadavg)}}"""
+      s"""{"child_heap_mb":$benchHeapMb,"gc":"$benchGc","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg_start":${fmt(loadavgStart)},"loadavg":${fmt(loadavg)},"max_loadavg_gate":$maxLoadavg}"""
     val reverifiedJson = reverified.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"warm_runs_per_query":$WarmRuns,"env":$envJson,"queries":$detailJson,"sf":"$sfDir","failed":$failedJson,"suspect":$suspectJson,"solo_reverified":$reverifiedJson}"""
+      s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"warm_runs_per_query":$WarmRuns,"contaminated":$contaminated,"env":$envJson,"queries":$detailJson,"sf":"$sfDir","failed":$failedJson,"suspect":$suspectJson,"solo_reverified":$reverifiedJson}"""
     // a partial run (explicit query names) must not clobber the full
     // run's artifact — the round-6 judge did exactly that by accident
     val outFile = if (only.isEmpty) "bench_out.json" else "bench_out_partial.json"

@@ -83,7 +83,8 @@ object DocGen {
     "graft.ann.BruteForceCosineKnn", "graft.ann.CosineLshKnn",
     "graft.ann.IvfCosineKnn", "graft.ann.IvfIndexer", "graft.ann.ProductQuantizer",
     "graft.ann.ScalarQuantizer",
-    "graft.multimodal.AudioDecoder", "graft.multimodal.BinaryDecodeStub",
+    "graft.multimodal.AudioDecoder", "graft.multimodal.AudioDHasher",
+    "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder", "graft.multimodal.ImageDHasher",
     "graft.multimodal.VideoDecoder",

@@ -1411,6 +1411,45 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // --- Perceptual audio dedup: 4 planted variants per group (base,
+    // gain x2 — envelope-hash-invariant by construction, time-stretch
+    // x2 — windows are duration fractions, one-window flip — exactly
+    // Hamming 1), REAL RIFF/WAVE PCM bytes hashed through the full
+    // chunk walk; same banded Hamming join as images/text. ---
+    "q_audio_dedup" -> ((s, dir) => {
+      val mkWav = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.AudioDHasher.syntheticWindowWav(g)
+          case 1 => graft.multimodal.AudioDHasher.syntheticWindowWav(g, gain = 2)
+          case 2 => graft.multimodal.AudioDHasher.syntheticWindowWav(g, stretch = 2)
+          case _ => graft.multimodal.AudioDHasher.syntheticWindowWav(g, flip = true)
+        }
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("wav", mkWav(col("doc_id")))
+      val hasher = new graft.multimodal.AudioDHasher()
+        .setInputCol("wav").setOutputCol("ahash")
+      val hashed = hasher.transform(docs).head
+        .select("doc_id", "ahash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = hasher.similarityJoin(hashed, "doc_id", maxHamming = 3, numBands = 4)
+      val neigh = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+        .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
+      val clustered = hashed.join(neigh, Seq("doc_id"), "left")
+        .groupBy("doc_id").agg(min("nb").as("mn"))
+        .select(col("doc_id"),
+          least(coalesce(col("mn"), col("doc_id")), col("doc_id")).as("cluster_id"))
+      val rep = hashed.select(col("doc_id").as("cluster_id"), col("ahash").as("rep_hash"))
+      val out = clustered.join(hashed, "doc_id").join(rep, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") < col("doc_id")).as("is_duplicate"),
+          bit_count(col("ahash").bitwiseXOR(col("rep_hash"))).as("rep_hamming"))
+      val rows = out.collect()
+      hashed.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     // --- Swing item-recall (packed top-k parsed back into rows) ---
     "q_swing" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -4401,6 +4440,17 @@ object SparkEntry {
     // cluster is the group's min id, and distinct groups are ~32 bits
     // apart (never within the maxHamming=3 cut)
     "q_image_dedup" ->
+      """SELECT doc_id,
+                (doc_id // 4) * 4 AS cluster_id,
+                doc_id % 4 <> 0 AS is_duplicate,
+                CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INT) AS rep_hamming
+         FROM documents""",
+
+    // closed-form replay of the planted audio-variant structure
+    // (gain/stretch variants hash identically to the base, the
+    // one-window flip sits at exactly Hamming 1 — mirror of
+    // q_image_dedup's construction)
+    "q_audio_dedup" ->
       """SELECT doc_id,
                 (doc_id // 4) * 4 AS cluster_id,
                 doc_id % 4 <> 0 AS is_duplicate,

@@ -461,6 +461,32 @@ object ScaleUp {
       agg.getLong(0)
     }
 
+    // tol-stopped PageRank on the same 10M-edge graph: the early-stop
+    // path adds one O(V) |delta| aggregate per round and must (a) stop
+    // strictly before numIter and (b) keep the rank-mass invariant —
+    // the generous iteration budget exists so the stop is tol's doing.
+    stage("pagerank_tol") {
+      val er = spark.range(0, 9000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(5000000L)).as("dst"))
+      val hubs = spark.range(0, 1000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(3)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(4)), lit(1000L)).as("dst"))
+      val t0 = System.nanoTime()
+      val ranks = graft.graph.PageRank.run(er.union(hubs), numIter = 50, tol = 1e-4)
+      val agg = ranks.agg(count(lit(1)).as("n"), sum("pagerank").as("mass")).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      ranks.unpersist(blocking = false)
+      val iters = graft.graph.PageRank.lastIterations
+      println(s"""{"prtol_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""prtol_vertices":${agg.getLong(0)},"prtol_mass":${agg.getDouble(1)},""" +
+        s""""prtol_iters":$iters}""")
+      require(iters < 50, s"tol=1e-4 never converged inside the 50-iteration budget")
+      require(math.abs(agg.getDouble(1) - 1.0) < 1e-6,
+        s"rank mass invariant broke under early stop: ${agg.getDouble(1)}")
+      agg.getLong(0)
+    }
+
     stage("minhash_dedup") {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
@@ -819,6 +845,31 @@ object ScaleUp {
       numDocs
     }
 
+    // BPE at REAL production vocab (50k merges — GPT-2's table is
+    // 50,257): pins the constant where the rank-heap's merge-count
+    // independence actually matters — the naive apply would walk every
+    // word 50k times; the heap apply is the same O(|word| log |word|)
+    // it was at 1k merges, so encode time should track bpe_encode_10k,
+    // not 5x it.
+    stage("bpe_encode_50k") {
+      val t0 = System.nanoTime()
+      val trainer = new graft.text.BpeTrainer()
+        .setInputCol("text").setOutputCol("bpe")
+        .setNumMerges(50000).setMinPairCount(2)
+      val model = trainer.fit(docs)
+      val merges = model.getModelData.head.count()
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val tokens = model.transform(docs).head
+        .agg(sum("bpe_count").as("total_tokens")).head.getLong(0)
+      val encSec = (System.nanoTime() - t1) / 1e9
+      println(s"""{"bpe50k_merges":$merges,""" +
+        s""""bpe50k_fit_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(fitSec))},""" +
+        s""""bpe50k_encode_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(encSec))},""" +
+        s""""bpe50k_total_tokens":$tokens}""")
+      numDocs
+    }
+
     // Swing on a ZIPFIAN catalog — the cap's hot path (two-phase
     // salted rank + bounded pair enumeration) has never executed at
     // scale on the uniform TPC-H-ish tables (max 53 purchasers/item);
@@ -992,12 +1043,79 @@ object ScaleUp {
       n
     }
 
+    // Perceptual audio dedup at 500k WAVs (125k groups × 4 planted
+    // variants: base / gain ×2 / time-stretch ×2 / 1-window flip).
+    // REAL RIFF PCM bytes built AND envelope-hashed per row
+    // (executor-local); banded Hamming join — pair count must equal
+    // exactly groups × C(4,2): recall 1.0 + zero false positives.
+    stage("audio_dedup") {
+      val nWav = 500000L
+      val mkWav = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.AudioDHasher.syntheticWindowWav(g)
+          case 1 => graft.multimodal.AudioDHasher.syntheticWindowWav(g, gain = 2)
+          case 2 => graft.multimodal.AudioDHasher.syntheticWindowWav(g, stretch = 2)
+          case _ => graft.multimodal.AudioDHasher.syntheticWindowWav(g, flip = true)
+        }
+      }
+      val wavs = spark.range(0, nWav, 1, cpus.toInt)
+        .select(col("id"), mkWav(col("id")).as("wav"))
+      val hasher = new graft.multimodal.AudioDHasher()
+        .setInputCol("wav").setOutputCol("ahash")
+      val hashed = hasher.transform(wavs).head.select("id", "ahash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = hasher.similarityJoin(hashed, "id", maxHamming = 3, numBands = 4)
+      val n = pairs.count()
+      hashed.unpersist(blocking = false)
+      val expected = (nWav / 4) * 6
+      println(s"""{"audio_pairs":$n,"audio_pairs_expected":$expected,""" +
+        s""""audio_recall":${if (n == expected) 1.0 else n.toDouble / expected}}""")
+      require(n == expected, s"planted-dup recall broke: $n != $expected")
+      n
+    }
+
     // Z-order layout vs 1-D sort at 20M rows: the same 2-dim
     // rectangle predicate (1% of x × 1% of y) against (a) a layout
     // sorted by x alone and (b) the Morton-interleaved layout. Parquet
     // row-group min/max stats prune BOTH dims only under (b) — the
     // measured read volume is the multi-dimensional data-skipping
     // story a 100 TB table depends on.
+    // Shared by zorder_prune + zorder_skew. Pruning is measured
+    // DETERMINISTICALLY from the parquet footers: row groups whose
+    // min/max stats intersect the predicate (what a stats-aware reader
+    // must touch) — task inputMetrics under-report local parquet
+    // reads, so bytes are not trustworthy here.
+    def sparkPred(m: Map[String, (Double, Double)]): org.apache.spark.sql.Column =
+      m.map { case (c, (lo, hi)) => col(c) >= lo && col(c) < hi }.reduce(_ && _)
+
+    // (row groups total, row groups intersecting, rows in them)
+    def rowGroups(dir: String, m: Map[String, (Double, Double)]): (Long, Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      var total = 0L; var hit = 0L; var rowsHit = 0L
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.forEach { b =>
+            total += 1
+            val survives = m.forall { case (cname, (lo, hi)) =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == cname).get
+              val st = cc.getStatistics
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue()
+              val mx = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()
+              mn < hi && mx >= lo
+            }
+            if (survives) { hit += 1; rowsHit += b.getRowCount }
+          }
+        } finally reader.close()
+      }
+      (total, hit, rowsHit)
+    }
+
     stage("zorder_prune") {
       val n = 20000000L
       val pts = spark.range(0, n, 1, cpus.toInt).select(
@@ -1012,43 +1130,10 @@ object ScaleUp {
         bits = 12, mode = org.apache.spark.sql.SaveMode.Overwrite)
       // three predicate shapes: the x-sorted layout prunes only the
       // first; z-order prunes all three (that is its entire point).
-      // Pruning is measured DETERMINISTICALLY from the parquet footers:
-      // row groups whose min/max stats intersect the predicate (what a
-      // stats-aware reader must touch) — task inputMetrics under-report
-      // local parquet reads, so bytes are not trustworthy here.
       val preds = Seq[(String, Map[String, (Double, Double)])](
         ("x_only", Map("x" -> (500.0, 510.0))),
         ("y_only", Map("y" -> (500.0, 510.0))),
         ("rect", Map("x" -> (500.0, 510.0), "y" -> (500.0, 510.0))))
-      def sparkPred(m: Map[String, (Double, Double)]): org.apache.spark.sql.Column =
-        m.map { case (c, (lo, hi)) => col(c) >= lo && col(c) < hi }.reduce(_ && _)
-
-      // (row groups total, row groups intersecting, rows in them)
-      def rowGroups(dir: String, m: Map[String, (Double, Double)]): (Long, Long, Long) = {
-        import scala.jdk.CollectionConverters._
-        val conf = spark.sparkContext.hadoopConfiguration
-        var total = 0L; var hit = 0L; var rowsHit = 0L
-        new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            reader.getFooter.getBlocks.forEach { b =>
-              total += 1
-              val survives = m.forall { case (cname, (lo, hi)) =>
-                val cc = b.getColumns.asScala
-                  .find(_.getPath.toDotString == cname).get
-                val st = cc.getStatistics
-                val mn = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue()
-                val mx = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()
-                mn < hi && mx >= lo
-              }
-              if (survives) { hit += 1; rowsHit += b.getRowCount }
-            }
-          } finally reader.close()
-        }
-        (total, hit, rowsHit)
-      }
 
       def timed(path: String, p: org.apache.spark.sql.Column): (Long, Double) = {
         val t0 = System.nanoTime()
@@ -1069,6 +1154,47 @@ object ScaleUp {
           s""""xsort_rowgroups":"$hx/$tx","xsort_rows_touched":$rx,""" +
           s""""zorder_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sz))},""" +
           s""""zorder_rowgroups":"$hz/$tz","zorder_rows_touched":$rz}"""
+      }
+      println("{" + parts.mkString(",") + "}")
+      selected
+    }
+
+    // Quantile (equi-depth) z-order vs linear on a SKEWED key: x is
+    // log-uniform over [1, e^30) — with equi-width bucketing ~72% of
+    // rows collapse into x-bucket 0 (bucket width e^30/4096 ≈ 2.6e9 ≫
+    // the dense region), so a dense-region predicate must touch every
+    // row group holding bucket-0 rows; quantile boundaries give every
+    // bucket ~equal mass, so the same predicate touches ~its selectivity
+    // share of row groups. Footer-verified like zorder_prune.
+    stage("zorder_skew") {
+      val n = 20000000L
+      val pts = spark.range(0, n, 1, cpus.toInt).select(
+        exp(pmod(xxhash64(col("id"), lit(1)), lit(1000000L)) / 1000000.0 * 30.0).as("x"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(1000000L)) / 1000.0).as("y"),
+        col("id"))
+      val linDir = s"$base/skew_linear.parquet"
+      val qntDir = s"$base/skew_quantile.parquet"
+      graft.sources.ZOrderWriter.write(pts, Seq("x", "y"), linDir, numFiles = 64,
+        bits = 12, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.ZOrderWriter.write(pts, Seq("x", "y"), qntDir, numFiles = 64,
+        bits = 12, mode = org.apache.spark.sql.SaveMode.Overwrite,
+        strategy = "quantile")
+      // x in [1, 20): the dense ~10% of rows, all inside linear bucket 0
+      val preds = Seq[(String, Map[String, (Double, Double)])](
+        ("x_dense", Map("x" -> (1.0, 20.0))),
+        ("rect", Map("x" -> (1.0, 20.0), "y" -> (500.0, 510.0))))
+      var selected = 0L
+      val parts = preds.map { case (name, m) =>
+        val p = sparkPred(m)
+        val cl = spark.read.parquet(linDir).where(p).count()
+        val cq = spark.read.parquet(qntDir).where(p).count()
+        require(cl == cq, s"layouts disagree on $name: $cl vs $cq")
+        if (name == "x_dense") selected = cq
+        val (tl, hl, rl) = rowGroups(linDir, m)
+        val (tq, hq, rq) = rowGroups(qntDir, m)
+        s""""${name}":{"rows":$cq,""" +
+          s""""linear_rowgroups":"$hl/$tl","linear_rows_touched":$rl,""" +
+          s""""quantile_rowgroups":"$hq/$tq","quantile_rows_touched":$rq}"""
       }
       println("{" + parts.mkString(",") + "}")
       selected

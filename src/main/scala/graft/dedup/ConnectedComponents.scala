@@ -105,7 +105,16 @@ object ConnectedComponents {
       val mat =
         if ((iter + 1) % 5 == 0) next.localCheckpoint(true)
         else next.persist(StorageLevel.MEMORY_AND_DISK)
-      converged = mat.where(col("changed")).isEmpty
+      // FULL-SCAN changed count, not where(changed).isEmpty: isEmpty
+      // short-circuits after the first changed row, leaving most of
+      // the lazily persisted mat's partitions uncached when the old
+      // labels unpersist below — every later round would then recompute
+      // the chain back to the last localCheckpoint (the PageRank r11
+      // ADVICE bug, same class). The aggregate is O(V) — the price the
+      // convergence check pays anyway — and doubles as the action that
+      // fills the cache while its parent is still alive.
+      val changed = mat.agg(sum(when(col("changed"), 1L).otherwise(0L))).head
+      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
       labels.unpersist()
       labels = mat.select("id", "component")
       iter += 1

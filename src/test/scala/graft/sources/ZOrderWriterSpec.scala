@@ -64,6 +64,59 @@ class ZOrderWriterSpec extends SparkSpec {
     assert(avgX < 700 && avgY < 700, s"avgX=$avgX avgY=$avgY")
   }
 
+  test("quantileBucketize: exact counting search vs a reference count, monotone, nulls to 0") {
+    import spark.implicits._
+    // boundaries with a duplicate run (heavy hitter) and irregular gaps
+    val bits = 4
+    val bnd = Array(1.0, 2.0, 5.0, 5.0, 5.0, 5.0, 8.0, 13.0,
+      21.0, 34.0, 55.0, 55.0, 89.0, 144.0, 233.0)
+    val vals: Seq[Option[Double]] =
+      Seq(Some(-10.0), Some(1.0), Some(4.9), Some(5.0), Some(6.0), Some(55.0),
+        Some(100.0), Some(1e9), None) ++ (0 until 300).map(i => Some(i * 1.7 - 20))
+    val df = vals.toDF("v")
+    val got = df.select(col("v"),
+      ZOrderWriter.quantileBucketize(col("v"), bnd, bits).as("b")).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]), r.getLong(1)))
+    got.foreach { case (ov, b) =>
+      ov match {
+        case None => assert(b == 0L)
+        case Some(v) =>
+          // reference: count of boundaries <= v, capped at 2^bits-1 —
+          // the two-level search may land anywhere inside a duplicate
+          // run, so compare against the run's [first, last] bracket
+          val lo = bnd.count(_ < v)
+          val hi = math.min(15L, bnd.count(_ <= v).toLong)
+          assert(b >= lo && b <= hi, s"v=$v bucket=$b not in [$lo,$hi]")
+      }
+    }
+    // monotone in v
+    val sorted = got.collect { case (Some(v), b) => (v, b) }.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((v1, b1), (v2, b2)) =>
+      assert(b1 <= b2, s"monotonicity broke: f($v1)=$b1 > f($v2)=$b2")
+    }
+  }
+
+  test("strategy=quantile equalizes bucket mass on a Zipf column (linear collapses)") {
+    import spark.implicits._
+    // log-uniform over [1, e^10): heavily right-skewed
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 40000).map(_ => math.exp(rnd.nextDouble() * 10)).toDF("x")
+    val lin = ZOrderWriter.withZValue(df, Seq("x"), bits = 6)
+      .groupBy("__z").count().collect()
+    val qnt = ZOrderWriter.withZValue(df, Seq("x"), bits = 6, strategy = "quantile")
+      .groupBy("__z").count().collect()
+    val linMax = lin.map(_.getLong(1)).max
+    val qntMax = qnt.map(_.getLong(1)).max
+    // linear: ~everything below e^10/64 -> one giant bucket (>60% of
+    // rows); quantile: 64 buckets of ~625 rows each
+    assert(linMax > 20000, s"skew fixture broke: linear max bucket $linMax")
+    assert(qntMax < 2500, s"quantile failed to equalize: max bucket $qntMax")
+    assert(qnt.length > 48, s"quantile used only ${qnt.length} buckets")
+    intercept[IllegalArgumentException] {
+      ZOrderWriter.withZValue(df, Seq("x"), 6, strategy = "nope")
+    }
+  }
+
   test("guards: too many bits, reserved column, all-null column") {
     import spark.implicits._
     val df = Seq((1.0, 2.0)).toDF("x", "y")
