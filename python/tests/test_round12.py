@@ -1,4 +1,11 @@
-"""Round-12 stages: perceptual image dedup (dHash + banded Hamming join)."""
+"""Round-12 stages: perceptual image/audio dedup (dHash + banded Hamming join)."""
+
+
+def _ham(a, b):
+    # 64-bit popcount: JVM longs arrive SIGNED, and bin() of a negative
+    # XOR shows the magnitude, not the two's-complement bit pattern —
+    # mask to unsigned 64-bit first or bit-63 differences miscount
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
 def _img(spark, group, brightness=0, flip=False, fmt="png"):
@@ -22,8 +29,8 @@ def test_image_dhash_invariances(spark):
     hashed = hasher.transform(df)[0]
     fp = {r["id"]: r["dhash"] for r in hashed.collect()}
     assert fp[0] == fp[1] == fp[2]
-    assert bin(fp[0] ^ fp[3]).count("1") == 1
-    assert bin(fp[0] ^ fp[4]).count("1") > 8
+    assert _ham(fp[0], fp[3]) == 1
+    assert _ham(fp[0], fp[4]) > 8
     assert fp[5] is None
 
 
@@ -47,8 +54,8 @@ def test_audio_dhash_invariances(spark):
     hasher = AudioDHasher(spark=spark).setInputCol("wav").setOutputCol("ahash")
     fp = {r["id"]: r["ahash"] for r in hasher.transform(df)[0].collect()}
     assert fp[0] == fp[1] == fp[2]
-    assert bin(fp[0] ^ fp[3]).count("1") == 1
-    assert bin(fp[0] ^ fp[4]).count("1") > 8
+    assert _ham(fp[0], fp[3]) == 1
+    assert _ham(fp[0], fp[4]) > 8
     assert fp[5] is None
 
 

@@ -1389,23 +1389,12 @@ object SparkEntry {
       }
       val docs = t(s, dir, "documents").select(col("doc_id"))
         .withColumn("img", mkImg(col("doc_id")))
-      val hasher = new graft.multimodal.ImageDHasher()
+      val hashed = new graft.multimodal.ImageDHasher()
         .setInputCol("img").setOutputCol("dhash")
-      val hashed = hasher.transform(docs).head
-        .select("doc_id", "dhash")
+        .transform(docs).head.select("doc_id", "dhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = hasher.similarityJoin(hashed, "doc_id", maxHamming = 3, numBands = 4)
-      val neigh = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
-        .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
-      val clustered = hashed.join(neigh, Seq("doc_id"), "left")
-        .groupBy("doc_id").agg(min("nb").as("mn"))
-        .select(col("doc_id"),
-          least(coalesce(col("mn"), col("doc_id")), col("doc_id")).as("cluster_id"))
-      val rep = hashed.select(col("doc_id").as("cluster_id"), col("dhash").as("rep_hash"))
-      val out = clustered.join(hashed, "doc_id").join(rep, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"),
-          (col("cluster_id") < col("doc_id")).as("is_duplicate"),
-          bit_count(col("dhash").bitwiseXOR(col("rep_hash"))).as("rep_hamming"))
+      val out = graft.dedup.HammingJoin.clusterWithRep(
+        hashed, "doc_id", "dhash", maxHamming = 3, numBands = 4)
       val rows = out.collect()
       hashed.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
@@ -1428,23 +1417,12 @@ object SparkEntry {
       }
       val docs = t(s, dir, "documents").select(col("doc_id"))
         .withColumn("wav", mkWav(col("doc_id")))
-      val hasher = new graft.multimodal.AudioDHasher()
+      val hashed = new graft.multimodal.AudioDHasher()
         .setInputCol("wav").setOutputCol("ahash")
-      val hashed = hasher.transform(docs).head
-        .select("doc_id", "ahash")
+        .transform(docs).head.select("doc_id", "ahash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = hasher.similarityJoin(hashed, "doc_id", maxHamming = 3, numBands = 4)
-      val neigh = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
-        .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
-      val clustered = hashed.join(neigh, Seq("doc_id"), "left")
-        .groupBy("doc_id").agg(min("nb").as("mn"))
-        .select(col("doc_id"),
-          least(coalesce(col("mn"), col("doc_id")), col("doc_id")).as("cluster_id"))
-      val rep = hashed.select(col("doc_id").as("cluster_id"), col("ahash").as("rep_hash"))
-      val out = clustered.join(hashed, "doc_id").join(rep, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"),
-          (col("cluster_id") < col("doc_id")).as("is_duplicate"),
-          bit_count(col("ahash").bitwiseXOR(col("rep_hash"))).as("rep_hamming"))
+      val out = graft.dedup.HammingJoin.clusterWithRep(
+        hashed, "doc_id", "ahash", maxHamming = 3, numBands = 4)
       val rows = out.collect()
       hashed.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)

@@ -1007,16 +1007,36 @@ object ScaleUp {
       agg.getLong(0)
     }
 
-    // Perceptual image dedup at 500k images (125k groups × 4 planted
-    // variants: base / recolor / lossless re-encode / 1-bit flip).
-    // REAL PNG+BMP bytes are encoded AND fully decoded per row
-    // (executor-local, bytes never cross a shuffle); candidates come
-    // from the banded Hamming join — pair count must equal exactly
-    // groups × C(4,2), proving recall 1.0 on planted dups AND zero
-    // cross-group false positives at once.
-    stage("image_dedup") {
-      val nImg = 500000L
-      val mkImg = udf { id: Long =>
+    // Perceptual dedup at 500k payloads (125k groups × 4 planted
+    // variants, per modality). REAL container bytes are built AND
+    // fully decoded per row (executor-local, bytes never cross a
+    // shuffle); candidates come from the banded Hamming join — pair
+    // count must equal exactly groups × C(4,2), proving recall 1.0 on
+    // planted dups AND zero cross-group false positives at once.
+    def perceptualDedupStage(name: String, key: String,
+        mkPayload: org.apache.spark.sql.expressions.UserDefinedFunction,
+        hash: DataFrame => DataFrame): Unit = stage(name) {
+      val nPay = 500000L
+      val payloads = spark.range(0, nPay, 1, cpus.toInt)
+        .select(col("id"), mkPayload(col("id")).as("payload"))
+      // hash once, keep only (id, fp): the banded join reads its
+      // input twice (a/b sides) and must not re-encode 500k payloads
+      val hashed = hash(payloads).select("id", "fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.dedup.HammingJoin.pairs(
+        hashed.where(col("fp").isNotNull), "id", "fp", maxHamming = 3, numBands = 4)
+      val n = pairs.count()
+      hashed.unpersist(blocking = false)
+      val expected = (nPay / 4) * 6
+      println(s"""{"${key}_pairs":$n,"${key}_pairs_expected":$expected,""" +
+        s""""${key}_recall":${if (n == expected) 1.0 else n.toDouble / expected}}""")
+      require(n == expected, s"planted-dup recall broke: $n != $expected")
+      n
+    }
+
+    // images: base / recolor +40 / lossless BMP re-encode / 1-bit flip
+    perceptualDedupStage("image_dedup", "image",
+      udf { id: Long =>
         val g = id / 4
         (id % 4) match {
           case 0 => graft.multimodal.ImageDHasher.syntheticCellImage(g)
@@ -1024,33 +1044,13 @@ object ScaleUp {
           case 2 => graft.multimodal.ImageDHasher.syntheticCellImage(g, format = "bmp")
           case _ => graft.multimodal.ImageDHasher.syntheticCellImage(g, flip = true)
         }
-      }
-      val imgs = spark.range(0, nImg, 1, cpus.toInt)
-        .select(col("id"), mkImg(col("id")).as("img"))
-      val hasher = new graft.multimodal.ImageDHasher()
-        .setInputCol("img").setOutputCol("dhash")
-      // hash once, keep only (id, dhash): the banded join reads its
-      // input twice (a/b sides) and must not re-encode 500k PNGs
-      val hashed = hasher.transform(imgs).head.select("id", "dhash")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = hasher.similarityJoin(hashed, "id", maxHamming = 3, numBands = 4)
-      val n = pairs.count()
-      hashed.unpersist(blocking = false)
-      val expected = (nImg / 4) * 6
-      println(s"""{"image_pairs":$n,"image_pairs_expected":$expected,""" +
-        s""""image_recall":${if (n == expected) 1.0 else n.toDouble / expected}}""")
-      require(n == expected, s"planted-dup recall broke: $n != $expected")
-      n
-    }
+      },
+      df => new graft.multimodal.ImageDHasher()
+        .setInputCol("payload").setOutputCol("fp").transform(df).head)
 
-    // Perceptual audio dedup at 500k WAVs (125k groups × 4 planted
-    // variants: base / gain ×2 / time-stretch ×2 / 1-window flip).
-    // REAL RIFF PCM bytes built AND envelope-hashed per row
-    // (executor-local); banded Hamming join — pair count must equal
-    // exactly groups × C(4,2): recall 1.0 + zero false positives.
-    stage("audio_dedup") {
-      val nWav = 500000L
-      val mkWav = udf { id: Long =>
+    // audio: base / gain ×2 / time-stretch ×2 / 1-window flip
+    perceptualDedupStage("audio_dedup", "audio",
+      udf { id: Long =>
         val g = id / 4
         (id % 4) match {
           case 0 => graft.multimodal.AudioDHasher.syntheticWindowWav(g)
@@ -1058,22 +1058,9 @@ object ScaleUp {
           case 2 => graft.multimodal.AudioDHasher.syntheticWindowWav(g, stretch = 2)
           case _ => graft.multimodal.AudioDHasher.syntheticWindowWav(g, flip = true)
         }
-      }
-      val wavs = spark.range(0, nWav, 1, cpus.toInt)
-        .select(col("id"), mkWav(col("id")).as("wav"))
-      val hasher = new graft.multimodal.AudioDHasher()
-        .setInputCol("wav").setOutputCol("ahash")
-      val hashed = hasher.transform(wavs).head.select("id", "ahash")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = hasher.similarityJoin(hashed, "id", maxHamming = 3, numBands = 4)
-      val n = pairs.count()
-      hashed.unpersist(blocking = false)
-      val expected = (nWav / 4) * 6
-      println(s"""{"audio_pairs":$n,"audio_pairs_expected":$expected,""" +
-        s""""audio_recall":${if (n == expected) 1.0 else n.toDouble / expected}}""")
-      require(n == expected, s"planted-dup recall broke: $n != $expected")
-      n
-    }
+      },
+      df => new graft.multimodal.AudioDHasher()
+        .setInputCol("payload").setOutputCol("fp").transform(df).head)
 
     // Z-order layout vs 1-D sort at 20M rows: the same 2-dim
     // rectangle predicate (1% of x × 1% of y) against (a) a layout

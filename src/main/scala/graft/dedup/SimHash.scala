@@ -106,6 +106,32 @@ object HammingJoin {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Per-id near-duplicate cluster report over a fingerprint column —
+    * the shape every perceptual-dedup query shares (text SimHash,
+    * image dHash, audio envelope): `cluster_id` = min id among the
+    * id's direct Hamming neighbors and itself, `is_duplicate` = the id
+    * is not its cluster's min, `rep_hamming` = exact bit distance to
+    * the cluster representative. Rows with a NULL fingerprint
+    * (undecodable payloads) cluster alone with null rep_hamming.
+    * The fingerprint column is read three times — persist `df` first
+    * when it is expensive to recompute. */
+  def clusterWithRep(df: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, numBands: Int): DataFrame = {
+    val p = pairs(df.where(col(fpCol).isNotNull), idCol, fpCol, maxHamming, numBands)
+    val neigh = p.select(col("id_a").as(idCol), col("id_b").as("__nb"))
+      .union(p.select(col("id_b").as(idCol), col("id_a").as("__nb")))
+    val slim = df.select(col(idCol), col(fpCol))
+    val clustered = slim.join(neigh, Seq(idCol), "left")
+      .groupBy(idCol).agg(min("__nb").as("__mn"))
+      .select(col(idCol),
+        least(coalesce(col("__mn"), col(idCol)), col(idCol)).as("cluster_id"))
+    val rep = slim.select(col(idCol).as("cluster_id"), col(fpCol).as("__rep_fp"))
+    clustered.join(slim, Seq(idCol)).join(rep, "cluster_id")
+      .select(col(idCol), col("cluster_id"),
+        (col("cluster_id") < col(idCol)).as("is_duplicate"),
+        bit_count(col(fpCol).bitwiseXOR(col("__rep_fp"))).as("rep_hamming"))
+  }
 }
 
 /** Appends a 64-bit SimHash fingerprint of a token-array column. */

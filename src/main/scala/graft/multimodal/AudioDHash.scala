@@ -34,29 +34,19 @@ import graft.util.ReadWrite
 object AudioDHash {
 
   /** 64-bit envelope hash of 16-bit PCM WAV bytes. None for null,
-    * non-WAV, non-16-bit, or sample-less payloads. The RIFF walk keeps
-    * Long offsets and always advances (the parseWav hostile-bytes
-    * lesson — `Multimodal.scala:186`). */
+    * non-WAV, non-16-bit, or sample-less payloads. The container parse
+    * is [[AudioDecoder.walkWav]] — the ONE shared hostile-bytes RIFF
+    * walk (Long offsets, always advancing), so its untrusted-input
+    * hardening cannot drift between the decoder and this hash. */
   def energyHash64(payload: Array[Byte]): Option[Long] = try {
-    if (payload == null || payload.length < 44) return None
-    val b = payload
-    def le16(o: Long): Int = (b(o.toInt) & 0xff) | ((b(o.toInt + 1) & 0xff) << 8)
-    def le32(o: Long): Long = (b(o.toInt) & 0xffL) | ((b(o.toInt + 1) & 0xffL) << 8) |
-      ((b(o.toInt + 2) & 0xffL) << 16) | ((b(o.toInt + 3) & 0xffL) << 24)
-    def tag(o: Long): String = new String(b, o.toInt, 4, "US-ASCII")
-    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12L
-    var channels = -1; var bits = -1
-    var dataOff = -1L; var dataSize = -1L
-    while (off + 8 <= b.length) {
-      val id = tag(off); val sz = le32(off + 4)
-      if (id == "fmt " && off + 24 <= b.length) {
-        channels = le16(off + 10); bits = le16(off + 22)
-      } else if (id == "data") { dataOff = off + 8; dataSize = sz }
-      off += 8L + sz + (sz & 1L)
+    val chunks = AudioDecoder.walkWav(payload) match {
+      case Some(c) if c.bits == 16 && c.dataOff >= 0 => c
+      case _ => return None
     }
-    if (channels <= 0 || bits != 16 || dataOff < 0) return None
-    val avail = math.min(dataSize, b.length - dataOff)
+    val b = payload
+    val channels = chunks.channels
+    val dataOff = chunks.dataOff
+    val avail = math.min(chunks.dataSize, b.length - dataOff)
     val frames = avail / (2L * channels)
     if (frames <= 0) return None
     // mean |mono-mixed amplitude| per window; 65 windows -> 64
@@ -165,17 +155,6 @@ object AudioDHasher extends StageLoader[AudioDHasher] {
       }
       w += 1
     }
-    val dataSize = n * 2
-    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-      .put("WAVE".getBytes("US-ASCII"))
-    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1.toShort).putShort(1.toShort)
-      .putInt(8000).putInt(8000 * 2)
-      .putShort(2.toShort).putShort(16.toShort)
-    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
-    samples.foreach(buf.putShort)
-    buf.array()
+    AudioDecoder.wavBytes(8000, 1, samples)
   }
 }

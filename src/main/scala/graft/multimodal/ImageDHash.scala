@@ -182,7 +182,16 @@ object ImageDHasher extends StageLoader[ImageDHasher] {
       cy += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, baos)
+    // explicit MemoryCacheImageOutputStream: ImageIO.write(…,
+    // OutputStream) defaults to a FileCache stream — one temp file
+    // created+deleted on executor disk PER IMAGE in the 500k-row
+    // bench paths (the same lesson dhashBytes documents on the read
+    // side). The boolean return is load-bearing: an unsupported
+    // format yields `false` + empty bytes, not an exception.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try require(javax.imageio.ImageIO.write(img, format, ios),
+      s"no ImageIO writer for format '$format'")
+    finally ios.close()
     baos.toByteArray
   }
 }

@@ -105,7 +105,12 @@ object ImageDecoder extends StageLoader[ImageDecoder] {
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    // MemoryCacheImageOutputStream: the OutputStream overload defaults
+    // to a FileCache stream — a temp file per image on executor disk
+    // in the per-row bench paths (same lesson as the read side)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try require(javax.imageio.ImageIO.write(img, "png", ios), "no PNG writer")
+    finally ios.close()
     baos.toByteArray
   }
 }
@@ -177,13 +182,20 @@ object AudioDecoder extends StageLoader[AudioDecoder] {
   def load(spark: SparkSession, path: String): AudioDecoder =
     ReadWrite.applyParams(new AudioDecoder, path)
 
-  /** RIFF/WAVE header walk; null/garbage → None. The chunk size is a
-    * raw UNSIGNED 32-bit field from untrusted bytes, so the walk keeps
-    * both the offset and the size as Long (a crafted size like
-    * 0xFFFFFFF8 truncated to Int would advance the offset by 0 — an
-    * executor task hung forever on one bad payload) and any read past
-    * the buffer ends the walk instead of throwing. */
-  private[multimodal] def parseWav(b: Array[Byte]): Option[WavMeta] = try {
+  /** Raw RIFF/WAVE chunk-walk result: everything the header declares,
+    * plus where the sample data starts ([[graft.multimodal.AudioDHash]]
+    * needs the PCM bytes, [[AudioDecoder]] only the metadata). */
+  private[multimodal] final case class WavChunks(channels: Int, rate: Long,
+      bits: Int, blockAlign: Int, dataOff: Long, dataSize: Long)
+
+  /** RIFF/WAVE header walk; null/garbage → None. THE single shared
+    * untrusted-bytes walk (parseWav and AudioDHash both ride it): the
+    * chunk size is a raw UNSIGNED 32-bit field, so the walk keeps both
+    * the offset and the size as Long (a crafted size like 0xFFFFFFF8
+    * truncated to Int would advance the offset by 0 — an executor task
+    * hung forever on one bad payload) and any read past the buffer
+    * ends the walk instead of throwing. */
+  private[multimodal] def walkWav(b: Array[Byte]): Option[WavChunks] = try {
     if (b == null || b.length < 44) return None
     def le16(o: Long): Int = (b(o.toInt) & 0xff) | ((b(o.toInt + 1) & 0xff) << 8)
     def le32(o: Long): Long = (b(o.toInt) & 0xffL) | ((b(o.toInt + 1) & 0xffL) << 8) |
@@ -192,26 +204,33 @@ object AudioDecoder extends StageLoader[AudioDecoder] {
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12L
     var channels = -1; var rate = 0L; var bits = -1
-    var blockAlign = -1; var dataSize = -1L
+    var blockAlign = -1; var dataOff = -1L; var dataSize = -1L
     while (off + 8 <= b.length) {
       val id = tag(off); val sz = le32(off + 4) // unsigned: 0 <= sz < 2^32
       if (id == "fmt " && off + 24 <= b.length) {
         channels = le16(off + 10); rate = le32(off + 12)
         blockAlign = le16(off + 20); bits = le16(off + 22)
-      } else if (id == "data") dataSize = sz
+      } else if (id == "data") { dataOff = off + 8; dataSize = sz }
       off += 8L + sz + (sz & 1L) // RIFF chunks are word-aligned; always advances >= 8
     }
-    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataSize < 0) None
-    else Some(WavMeta(channels, rate.toInt, bits, dataSize / blockAlign,
-      dataSize.toDouble / (rate * blockAlign)))
+    if (channels <= 0 || dataSize < 0) None
+    else Some(WavChunks(channels, rate, bits, blockAlign, dataOff, dataSize))
   } catch { case _: RuntimeException => None }
 
-  /** Deterministic 16-bit PCM WAV payload for tests/benchmarks:
-    * samples derive from (index, seed). */
-  def syntheticWav(sampleRate: Int, numSamples: Int, channels: Int,
-      seed: Long): Array[Byte] = {
+  private[multimodal] def parseWav(b: Array[Byte]): Option[WavMeta] =
+    walkWav(b).flatMap { w =>
+      if (w.rate <= 0 || w.blockAlign <= 0) None
+      else Some(WavMeta(w.channels, w.rate.toInt, w.bits, w.dataSize / w.blockAlign,
+        w.dataSize.toDouble / (w.rate * w.blockAlign)))
+    }
+
+  /** 44-byte-header 16-bit PCM WAV around the given interleaved
+    * samples — the single header builder syntheticWav and
+    * [[AudioDHasher.syntheticWindowWav]] share. */
+  private[multimodal] def wavBytes(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
     val blockAlign = channels * 2
-    val dataSize = numSamples * blockAlign
+    val dataSize = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
@@ -224,12 +243,21 @@ object AudioDecoder extends StageLoader[AudioDecoder] {
       .putShort(blockAlign.toShort)
       .putShort(16.toShort)                      // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Deterministic 16-bit PCM WAV payload for tests/benchmarks:
+    * samples derive from (index, seed). */
+  def syntheticWav(sampleRate: Int, numSamples: Int, channels: Int,
+      seed: Long): Array[Byte] = {
+    val samples = new Array[Short](numSamples * channels)
     var i = 0
-    while (i < numSamples * channels) {
-      buf.putShort(((seed + i * 2654435761L) & 0xffff).toShort)
+    while (i < samples.length) {
+      samples(i) = ((seed + i * 2654435761L) & 0xffff).toShort
       i += 1
     }
-    buf.array()
+    wavBytes(sampleRate, channels, samples)
   }
 }
 

@@ -29,9 +29,20 @@ class AudioDHashSpec extends SparkSpec {
   }
 
   test("stereo mono-mix, hostile/undecodable payloads, real synthetic WAV") {
-    // stereo with identical channels hashes like mono (mix/2 == mono)
+    // stereo with duplicated channels hashes EXACTLY like mono
+    // (mix = 2a, /channels = a): exercises the channel-interleave walk
     val mono = mk(3L)
     val monoHash = AudioDHash.energyHash64(mono).get
+    val monoChunks = AudioDecoder.walkWav(mono).get
+    val monoSamples = {
+      val n = (monoChunks.dataSize / 2).toInt
+      val bb = java.nio.ByteBuffer.wrap(mono, monoChunks.dataOff.toInt, n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(n)(bb.getShort())
+    }
+    val stereo = AudioDecoder.wavBytes(8000, 2,
+      monoSamples.flatMap(s => Array(s, s)))
+    assert(AudioDHash.energyHash64(stereo).get == monoHash)
     // AudioDecoder's generic synthetic WAV decodes to SOME hash
     val generic = AudioDecoder.syntheticWav(8000, 4000, 2, seed = 9L)
     assert(AudioDHash.energyHash64(generic).isDefined)
