@@ -96,3 +96,27 @@ def zorder_write(df, cols, path, num_files, bits=12, mode="error",
          "append": "Append", "ignore": "Ignore"}[mode])
     jvm.graft.sources.ZOrderWriter.write(df._jdf, jcols, path, int(num_files),
                                          int(bits), jmode, strategy)
+
+
+def hamming_pairs(df, id_col, fp_col, max_hamming, num_bands=4):
+    """All id pairs (a < b) whose 64-bit fingerprints are within
+    max_hamming bits — the banded Hamming join shared by SimHasher,
+    ImageDHasher and AudioDHasher (full recall while
+    max_hamming < num_bands; no all-pairs comparison)."""
+    from pyspark.sql import DataFrame
+    spark = df.sparkSession
+    jdf = spark._jvm.graft.dedup.HammingJoin.pairs(
+        df._jdf, id_col, fp_col, int(max_hamming), int(num_bands))
+    return DataFrame(jdf, spark)
+
+
+def hamming_cluster(df, id_col, fp_col, max_hamming, num_bands=4):
+    """Per-id near-duplicate cluster report over a 64-bit fingerprint
+    column: (id, cluster_id = min id among direct Hamming neighbors,
+    is_duplicate, rep_hamming = exact distance to the cluster
+    representative). Null fingerprints cluster alone."""
+    from pyspark.sql import DataFrame
+    spark = df.sparkSession
+    jdf = spark._jvm.graft.dedup.HammingJoin.clusterWithRep(
+        df._jdf, id_col, fp_col, int(max_hamming), int(num_bands))
+    return DataFrame(jdf, spark)

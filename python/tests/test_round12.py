@@ -59,6 +59,23 @@ def test_audio_dhash_invariances(spark):
     assert fp[5] is None
 
 
+def test_hamming_cluster_function(spark):
+    from graftml import ImageDHasher
+    from graftml.functions import hamming_cluster, hamming_pairs
+    rows = [(g * 4 + v,
+             _img(spark, g, brightness=40 if v == 1 else 0,
+                  flip=(v == 3), fmt="bmp" if v == 2 else "png"))
+            for g in range(2) for v in range(4)]
+    df = spark.createDataFrame(rows, ["id", "img"])
+    hashed = (ImageDHasher(spark=spark).setInputCol("img")
+              .setOutputCol("fp").transform(df)[0])
+    assert hamming_pairs(hashed, "id", "fp", 3).count() == 12
+    got = {r["id"]: (r["cluster_id"], r["is_duplicate"], r["rep_hamming"])
+           for r in hamming_cluster(hashed, "id", "fp", 3).collect()}
+    for i in range(8):
+        assert got[i] == ((i // 4) * 4, i % 4 != 0, 1 if i % 4 == 3 else 0), got[i]
+
+
 def test_image_dhash_similarity_join(spark):
     from graftml import ImageDHasher
     from pyspark.sql import DataFrame as PyDF
