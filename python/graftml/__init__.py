@@ -125,6 +125,7 @@ _STAGES = [
     "graft.text.ChunkSplitter",
     "graft.text.CorpusOverlap",
     "graft.text.CollocationScorer",
+    "graft.text.KeywordExtractor",
     "graft.text.DocumentFingerprinter",
     "graft.text.ExactDeduplicator",
     "graft.text.HtmlExtractor",

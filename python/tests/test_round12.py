@@ -59,6 +59,20 @@ def test_audio_dhash_invariances(spark):
     assert fp[5] is None
 
 
+def test_keyword_extractor(spark):
+    from graftml import KeywordExtractor
+    docs = spark.createDataFrame(
+        [("spark runs fast",), ("spark runs jobs",), ("fast spark",)], ["text"])
+    rows = (KeywordExtractor(spark=spark).setInputCol("text")
+            .setNumIter(10).setTopK(2).transform(docs)[0].collect())
+    assert len(rows) == 2
+    # weighted degrees: runs=4 (spark x2, fast, jobs), spark=3 — the
+    # hub words win over fast(2)/jobs(1)
+    assert rows[0]["word"] == "runs"
+    assert {r["word"] for r in rows} == {"runs", "spark"}
+    assert rows[0]["rank"] >= rows[1]["rank"]
+
+
 def test_hamming_cluster_function(spark):
     from graftml import ImageDHasher
     from graftml.functions import hamming_cluster, hamming_pairs

@@ -70,6 +70,7 @@ object DocGen {
     "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.C4Filter",
     "graft.text.ChunkSplitter",
     "graft.text.CorpusOverlap", "graft.text.CollocationScorer",
+    "graft.text.KeywordExtractor",
     "graft.text.DocumentFingerprinter", "graft.text.ExactDeduplicator",
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",

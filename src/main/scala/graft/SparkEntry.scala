@@ -490,6 +490,18 @@ object SparkEntry {
         .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
     }),
 
+    // --- TextRank keywords over the corpus word-co-occurrence graph:
+    // 3 fixed PageRank iterations on the symmetrized adjacent-pair
+    // list; the oracle rebuilds the same graph from the text and
+    // replays the power iteration as chained CTEs (the q_pagerank
+    // pattern — a symmetric graph has no dangling mass, and rounding
+    // at 1e-10 absorbs sum-order ulps) ---
+    "q_keywords" -> ((s, dir) => {
+      new graft.text.KeywordExtractor().setInputCol("text").setNumIter(3)
+        .transform(t(s, dir, "documents")).head
+        .select(col("word"), round(col("rank"), 10).as("rank"))
+    }),
+
     // --- Cross-source corpus overlap matrix: the corpus has no
     // natural cross-source exact dups, so a planted "zz_eval" source
     // (every 10th doc re-labeled) provides the nonzero overlap — the
@@ -3495,6 +3507,51 @@ object SparkEntry {
                 FROM nodes CROSS JOIN nn CROSS JOIN d3
                 LEFT JOIN c3 ON nodes.id = c3.id)
          SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
+
+    // the word graph rebuilt from text (toks/pairs mirror
+    // q_collocations), symmetrized, then the q_pagerank CTE chain
+    // verbatim — shares = w/out single division, dangling CTEs kept
+    // for shape parity (dang is empty on a symmetric graph)
+    "q_keywords" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         pairs AS (
+           SELECT w[i] AS w1, w[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+         e0 AS (SELECT w1 AS src, w2 AS dst FROM pairs
+                UNION ALL
+                SELECT w2 AS src, w1 AS dst FROM pairs),
+         e AS (SELECT src, dst, COUNT(*) * 1.0 AS w FROM e0 GROUP BY 1, 2),
+         outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / o.outw AS share
+                FROM e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+         r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r0 r JOIN dang USING (id)),
+         c1 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r0 r ON sh.src = r.id GROUP BY 1),
+         r1 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON nodes.id = c1.id),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r1 r JOIN dang USING (id)),
+         c2 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r1 r ON sh.src = r.id GROUP BY 1),
+         r2 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON nodes.id = c2.id),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r2 r JOIN dang USING (id)),
+         c3 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r2 r ON sh.src = r.id GROUP BY 1),
+         r3 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d3
+                LEFT JOIN c3 ON nodes.id = c3.id)
+         SELECT id AS word, ROUND(r, 10) AS rank FROM r3""",
 
     // distinct (fingerprint, source) + self-join on the fingerprint;
     // zero-overlap pairs kept via the per-source-count cross pairs

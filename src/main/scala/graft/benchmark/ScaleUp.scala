@@ -870,6 +870,21 @@ object ScaleUp {
       numDocs
     }
 
+    // TextRank keywords over the full 500k-doc corpus: ONE corpus
+    // explode into ~24M adjacent pairs (×2 for symmetry), then the
+    // audited PageRank cost model — share table shuffles once, each
+    // of the 10 iterations moves only the O(vocab) rank table.
+    stage("keywords") {
+      val out = new graft.text.KeywordExtractor()
+        .setInputCol("text").setNumIter(10).setTopK(25)
+        .transform(docs).head
+      val top = out.orderBy(col("rank").desc).limit(3).collect()
+        .map(r => s"${r.getString(0)}:${"%.5f".formatLocal(java.util.Locale.ROOT, r.getDouble(1))}")
+      println(s"""{"kw_top":"${top.mkString(" ")}","kw_rows":${out.count()},""" +
+        s""""kw_iters":${graft.graph.PageRank.lastIterations}}""")
+      out.count()
+    }
+
     // Swing on a ZIPFIAN catalog — the cap's hot path (two-phase
     // salted rank + bounded pair enumeration) has never executed at
     // scale on the uniform TPC-H-ish tables (max 53 purchasers/item);
