@@ -54,17 +54,21 @@ def connected_components(edges, src="src", dst="dst", max_iter=50,
 
 
 def page_rank(edges, src="src", dst="dst", damping_factor=0.85,
-              num_iter=20, tol=0.0, weight_col=""):
-    """PageRank over an edge-list DataFrame: returns (id, pagerank)
+              num_iter=20, tol=0.0, weight_col="", id_out="id",
+              rank_out="pagerank"):
+    """PageRank over an edge-list DataFrame: returns (id_out, rank_out)
     with ranks summing to 1 (dangling mass redistributed uniformly).
     Delegates to graft.graph.PageRank — the share table shuffles once,
     each iteration moves only the O(V) rank table. weight_col="" means
-    unweighted; tol > 0 adds an early-stop L1 convergence check."""
+    unweighted; tol > 0 adds an early-stop L1 convergence check. The
+    result DataFrame is itself persisted (internal caches released);
+    call result.unpersist() once consumed — rename via id_out/rank_out,
+    not .select, so the unpersist stays effective."""
     from pyspark.sql import DataFrame
     spark = edges.sparkSession
     jdf = spark._jvm.graft.graph.PageRank.run(
         edges._jdf, src, dst, float(damping_factor), int(num_iter),
-        float(tol), weight_col)
+        float(tol), weight_col, id_out, rank_out)
     return DataFrame(jdf, spark)
 
 
@@ -112,11 +116,30 @@ def hamming_pairs(df, id_col, fp_col, max_hamming, num_bands=4):
 
 def hamming_cluster(df, id_col, fp_col, max_hamming, num_bands=4):
     """Per-id near-duplicate cluster report over a 64-bit fingerprint
-    column: (id, cluster_id = min id among direct Hamming neighbors,
+    column: (id, cluster_id = min id among DIRECT Hamming neighbors,
     is_duplicate, rep_hamming = exact distance to the cluster
-    representative). Null fingerprints cluster alone."""
+    representative). Null fingerprints cluster alone.
+
+    SINGLE-HOP, not a transitive clustering: exact when duplicate
+    groups are cliques (every variant within max_hamming of every
+    other), but on a Hamming chain a-b-c with a and c farther apart
+    than max_hamming, c's cluster_id is b while b's is a — the ids do
+    not partition the data. Use hamming_cluster_components for chains."""
     from pyspark.sql import DataFrame
     spark = df.sparkSession
     jdf = spark._jvm.graft.dedup.HammingJoin.clusterWithRep(
+        df._jdf, id_col, fp_col, int(max_hamming), int(num_bands))
+    return DataFrame(jdf, spark)
+
+
+def hamming_cluster_components(df, id_col, fp_col, max_hamming, num_bands=4):
+    """Transitive-closure variant of hamming_cluster: near-dup pairs
+    feed connected components, so chain-shaped groups collapse to one
+    canonical cluster_id = the component's min id. Same output shape;
+    rep_hamming may exceed max_hamming on a chain (it measures how far
+    the closure reached)."""
+    from pyspark.sql import DataFrame
+    spark = df.sparkSession
+    jdf = spark._jvm.graft.dedup.HammingJoin.clusterComponents(
         df._jdf, id_col, fp_col, int(max_hamming), int(num_bands))
     return DataFrame(jdf, spark)

@@ -1388,7 +1388,11 @@ object SparkEntry {
     // REAL PNG/BMP bytes hashed back through the full ImageIO decode;
     // banded Hamming join (HammingJoin, the SimHash machinery) finds
     // every variant; canonical = min doc_id among direct neighbors.
-    // The oracle replays the planted structure in closed form. ---
+    // The oracle replays the planted structure in closed form.
+    // clusterWithRep reads the fingerprint three times, so the slim
+    // (id, fp) projection is localCheckpoint'ed — ImageIO decodes run
+    // once and the O(rows) report never materializes on the driver
+    // (the RDD releases with the DataFrame via the ContextCleaner). ---
     "q_image_dedup" -> ((s, dir) => {
       val mkImg = udf { id: Long =>
         val g = id / 4
@@ -1404,12 +1408,38 @@ object SparkEntry {
       val hashed = new graft.multimodal.ImageDHasher()
         .setInputCol("img").setOutputCol("dhash")
         .transform(docs).head.select("doc_id", "dhash")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = graft.dedup.HammingJoin.clusterWithRep(
+        .localCheckpoint(true)
+      graft.dedup.HammingJoin.clusterWithRep(
         hashed, "doc_id", "dhash", maxHamming = 3, numBands = 4)
-      val rows = out.collect()
-      hashed.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    // --- Perceptual image dedup under a planted Hamming CHAIN — the
+    // transitive-closure path (HammingJoin.clusterComponents →
+    // ConnectedComponents). Groups of 4: flipMask 0 → 0b111 → 0b111111
+    // (consecutive distance exactly 3 = maxHamming; endpoints 6 bits
+    // apart — direct-neighbor clustering would split the group) plus a
+    // recolor clique member on the chain end (Hamming 0 from variant
+    // 2). One component per group, canonical = the group min;
+    // rep_hamming measures the closure's reach: 0, 3, 6, 6. ---
+    "q_image_dedup_chain" -> ((s, dir) => {
+      val mkImg = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.ImageDHasher.syntheticCellImage(g)
+          case 1 => graft.multimodal.ImageDHasher.syntheticCellImage(g, flipMask = 0x07)
+          case 2 => graft.multimodal.ImageDHasher.syntheticCellImage(g, flipMask = 0x3f)
+          case _ => graft.multimodal.ImageDHasher.syntheticCellImage(g, flipMask = 0x3f,
+            brightness = 40)
+        }
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", mkImg(col("doc_id")))
+      val hashed = new graft.multimodal.ImageDHasher()
+        .setInputCol("img").setOutputCol("dhash")
+        .transform(docs).head.select("doc_id", "dhash")
+        .localCheckpoint(true)
+      graft.dedup.HammingJoin.clusterComponents(
+        hashed, "doc_id", "dhash", maxHamming = 3, numBands = 4)
     }),
 
     // --- Perceptual audio dedup: 4 planted variants per group (base,
@@ -1432,12 +1462,9 @@ object SparkEntry {
       val hashed = new graft.multimodal.AudioDHasher()
         .setInputCol("wav").setOutputCol("ahash")
         .transform(docs).head.select("doc_id", "ahash")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = graft.dedup.HammingJoin.clusterWithRep(
+        .localCheckpoint(true)
+      graft.dedup.HammingJoin.clusterWithRep(
         hashed, "doc_id", "ahash", maxHamming = 3, numBands = 4)
-      val rows = out.collect()
-      hashed.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // --- Swing item-recall (packed top-k parsed back into rows) ---
@@ -4479,6 +4506,21 @@ object SparkEntry {
                 (doc_id // 4) * 4 AS cluster_id,
                 doc_id % 4 <> 0 AS is_duplicate,
                 CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INT) AS rep_hamming
+         FROM documents""",
+
+    // closed-form replay of the planted Hamming-CHAIN structure:
+    // variants 0/1/2 sit at flipMask popcount 0/3/6 from the base
+    // (consecutive links exactly at maxHamming = 3, endpoints 6 > 3
+    // apart), variant 3 is a recolor of variant 2 (distance 0 from it,
+    // 6 from the base) — only transitive closure collapses the group
+    // to one cluster rooted at the base id
+    "q_image_dedup_chain" ->
+      """SELECT doc_id,
+                (doc_id // 4) * 4 AS cluster_id,
+                doc_id % 4 <> 0 AS is_duplicate,
+                CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                          WHEN doc_id % 4 = 1 THEN 3
+                          ELSE 6 END AS INT) AS rep_hamming
          FROM documents""",
 
     // closed-form replay of the planted audio-variant structure

@@ -110,12 +110,20 @@ object HammingJoin {
   /** Per-id near-duplicate cluster report over a fingerprint column —
     * the shape every perceptual-dedup query shares (text SimHash,
     * image dHash, audio envelope): `cluster_id` = min id among the
-    * id's direct Hamming neighbors and itself, `is_duplicate` = the id
+    * id's DIRECT Hamming neighbors and itself, `is_duplicate` = the id
     * is not its cluster's min, `rep_hamming` = exact bit distance to
     * the cluster representative. Rows with a NULL fingerprint
     * (undecodable payloads) cluster alone with null rep_hamming.
     * The fingerprint column is read three times — persist `df` first
-    * when it is expensive to recompute. */
+    * when it is expensive to recompute.
+    *
+    * SINGLE-HOP semantics, deliberately: exact for clique-shaped
+    * duplicate groups (every variant within maxHamming of every
+    * other — the usual re-encode/recolor/regain case), one cheap
+    * aggregate, no iteration. On a Hamming CHAIN a–b–c (a, c further
+    * apart than maxHamming) the ids stop being canonical: c points at
+    * b while b points at a, so cluster_id does not partition the data.
+    * Use [[clusterComponents]] when chains are possible. */
   def clusterWithRep(df: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int, numBands: Int): DataFrame = {
     val p = pairs(df.where(col(fpCol).isNotNull), idCol, fpCol, maxHamming, numBands)
@@ -128,6 +136,35 @@ object HammingJoin {
         least(coalesce(col("__mn"), col(idCol)), col(idCol)).as("cluster_id"))
     val rep = slim.select(col(idCol).as("cluster_id"), col(fpCol).as("__rep_fp"))
     clustered.join(slim, Seq(idCol)).join(rep, "cluster_id")
+      .select(col(idCol), col("cluster_id"),
+        (col("cluster_id") < col(idCol)).as("is_duplicate"),
+        bit_count(col(fpCol).bitwiseXOR(col("__rep_fp"))).as("rep_hamming"))
+  }
+
+  /** Transitive-closure variant of [[clusterWithRep]]: the near-dup
+    * pair list feeds [[ConnectedComponents.run]] (the same closure
+    * primitive EntityResolver and the MinHash/Cosine deduplicators
+    * ride), so chain-shaped groups — variants linked through
+    * intermediates with endpoints BEYOND maxHamming — still collapse
+    * to one canonical `cluster_id` = the component's min id. Same
+    * output shape and null handling as clusterWithRep; `rep_hamming`
+    * is the exact distance to the component representative and MAY
+    * exceed maxHamming on a chain (that is the point — it measures how
+    * far the closure reached). Scale shape: the pair list an LSH/banded
+    * join emits is near-dup-density-sized, not corpus², and CC runs
+    * driver union-find under [[ConnectedComponents.DriverEdgeLimit]]
+    * edges, star contraction (O(log n) rounds) above it. */
+  def clusterComponents(df: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, numBands: Int): DataFrame = {
+    val p = pairs(df.where(col(fpCol).isNotNull), idCol, fpCol, maxHamming, numBands)
+    val comp = ConnectedComponents.run(p, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val slim = df.select(col(idCol), col(fpCol))
+    val clustered = slim.join(comp, Seq(idCol), "left")
+      .select(col(idCol), col(fpCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val rep = slim.select(col(idCol).as("cluster_id"), col(fpCol).as("__rep_fp"))
+    clustered.join(rep, "cluster_id")
       .select(col(idCol), col("cluster_id"),
         (col("cluster_id") < col(idCol)).as("is_duplicate"),
         bit_count(col(fpCol).bitwiseXOR(col("__rep_fp"))).as("rep_hamming"))

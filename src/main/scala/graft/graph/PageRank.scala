@@ -49,12 +49,29 @@ object PageRank {
    *                  (checked with one extra O(V) aggregate per round).
    * @param weightCol optional edge-weight column name; "" = unweighted.
    *                  Weights must be positive (zero/negative raise).
-   * @return (id, pagerank) — one row per vertex appearing in `edges`;
-   *         ranks sum to 1. Returned persisted; callers may unpersist.
+   * @param idOut     output vertex-id column name (callers that would
+   *                  otherwise rename via a `.select` projection should
+   *                  pass the final name here instead — see @return).
+   * @param rankOut   output rank column name.
+   * @return (idOut, rankOut) — one row per vertex appearing in
+   *         `edges`; ranks sum to 1. Every internal cache except the
+   *         final rank table is released before returning. The result
+   *         is a same-order pure-rename projection of that table, which
+   *         sameResult-matches its cache entry — so `result.unpersist()`
+   *         genuinely releases it (and `result.storageLevel` reports
+   *         it). When the final iteration landed on a localCheckpoint
+   *         round (numIter ≡ 0 mod 4) there is no cache-manager entry
+   *         at all: the data sits in a checkpoint RDD freed by the
+   *         ContextCleaner once the DataFrame is unreachable, and
+   *         unpersist is a harmless no-op. Either way nothing leaks
+   *         per run. Callers must NOT re-project with different column
+   *         ORDER before unpersisting (a reordered projection does not
+   *         sameResult-match; rename through idOut/rankOut instead).
    */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       dampingFactor: Double = 0.85, numIter: Int = 20, tol: Double = 0.0,
-      weightCol: String = ""): DataFrame = {
+      weightCol: String = "", idOut: String = "id",
+      rankOut: String = "pagerank"): DataFrame = {
     require(dampingFactor > 0.0 && dampingFactor < 1.0,
       s"dampingFactor must be in (0, 1), got $dampingFactor")
     require(numIter > 0, s"numIter must be positive, got $numIter")
@@ -145,6 +162,16 @@ object PageRank {
     shares.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     dangling.unpersist(blocking = false)
-    ranks.select(col("id"), col("r").as("pagerank"))
+    // SAME-ORDER pure-rename projection, deliberately: canonicalization
+    // collapses such a Project, so the returned plan sameResult-matches
+    // the final rank table's cache entry — result.storageLevel reports
+    // it and result.unpersist() genuinely releases it (probed on Spark
+    // 4.1.2: a REORDERED projection does NOT collapse and its unpersist
+    // silently leaks the cache, which is why the rename happens here,
+    // through idOut/rankOut, and not at call sites). Persisting this
+    // projection instead would be worse than useless: the persist
+    // no-ops against the sameResult-matching entry and an internal
+    // unpersist would then drop the caller's data out from under it.
+    ranks.select(col("id").as(idOut), col("r").as(rankOut))
   }
 }

@@ -138,25 +138,36 @@ object ImageDHasher extends StageLoader[ImageDHasher] {
 
   /**
    * Deterministic dedup-test image: an 18×16 raster of 2×2 blocks
-   * aligned with dHash's 9×8 grid, every block a flat gray whose value
-   * derives from (group, cx, cy) — so distinct groups get independent
-   * gradient-sign patterns (expected Hamming ≈ 32 apart) while the
-   * planted variants move provably few bits:
+   * aligned with dHash's 9×8 grid. Columns 0 and 1 are FIXED per row
+   * (cell(0,cy) = 10, cell(1,cy) = 100), every other block a flat gray
+   * whose value derives from (group, cx, cy) — so distinct groups get
+   * independent gradient-sign patterns over the 7×8 free comparisons
+   * (expected Hamming ≈ 28 apart) while the planted variants move
+   * provably few bits:
    *
    *   - brightness += c (c ≤ 60): all cells shift equally, every
    *     gradient sign is preserved → Hamming 0 (recolor variant);
    *   - format "bmp"/"png": both lossless → identical pixels →
    *     Hamming 0 (re-encode variant);
-   *   - flip = true: cell(0,0) jumps 10 → 190 against cell(1,0)'s
-   *     fixed 100, inverting exactly the one comparison that cell
-   *     participates in → Hamming exactly 1.
+   *   - flipMask bit cy (or the legacy flip = true, an alias for
+   *     bit 0): cell(0,cy) jumps 10 → 190 against cell(1,cy)'s fixed
+   *     100. Cell(0,cy) participates in exactly ONE comparison — fp
+   *     bit cy·8 — so Hamming(base, masked) = popcount(flipMask),
+   *     each mask bit independent. Eight independent single-bit knobs
+   *     make Hamming CHAINS constructible in closed form (variants at
+   *     pairwise mask-distance ≤ maxHamming whose endpoints are
+   *     farther apart — the transitive-closure dedup fixture).
    *
    * Cell values live in [10, 190] so brightness ≤ 60 never clamps.
    */
   def syntheticCellImage(group: Long, brightness: Int = 0,
-      flip: Boolean = false, format: String = "png"): Array[Byte] = {
+      flip: Boolean = false, format: String = "png",
+      flipMask: Int = 0): Array[Byte] = {
     require(brightness >= 0 && brightness <= 60,
       s"brightness must be in [0, 60] (no channel clamping), got $brightness")
+    require(flipMask >= 0 && flipMask <= 0xff,
+      s"flipMask must fit the 8 flippable rows (bits 0-7), got $flipMask")
+    val mask = flipMask | (if (flip) 1 else 0)
     val img = new java.awt.image.BufferedImage(
       18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var cy = 0
@@ -164,8 +175,8 @@ object ImageDHasher extends StageLoader[ImageDHasher] {
       var cx = 0
       while (cx < 9) {
         val base =
-          if (cx == 0 && cy == 0) { if (flip) 190 else 10 }
-          else if (cx == 1 && cy == 0) 100
+          if (cx == 0) { if (((mask >> cy) & 1) != 0) 190 else 10 }
+          else if (cx == 1) 100
           else {
             // splitmix-style mix of (group, cx, cy) -> [10, 189]
             var z = group * 0x9E3779B97F4A7C15L + cx * 0xC2B2AE3D27D4EB4FL +

@@ -594,13 +594,13 @@ object BpeModel extends StageLoader[BpeModel] {
   }
 
   /** (left, right) → rank lookup for the heap encoder; the key is the
-    * two symbols joined on   (cannot appear inside a symbol:
+    * two symbols joined on U+0000 (cannot appear inside a symbol:
     * NgramLm.tokens never emits NUL). */
   private[text] def rankMap(merges: Array[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     var i = 0
     while (i < merges.length) {
-      m.put(merges(i)._1 + " " + merges(i)._2, Integer.valueOf(i)); i += 1
+      m.put(merges(i)._1 + "\u0000" + merges(i)._2, Integer.valueOf(i)); i += 1
     }
     m
   }
@@ -633,7 +633,7 @@ object BpeModel extends StageLoader[BpeModel] {
     def push(l: Int): Unit = {
       val r = next(l)
       if (r >= 0) {
-        val rank = ranks.get(sym(l) + " " + sym(r))
+        val rank = ranks.get(sym(l) + "\u0000" + sym(r))
         if (rank != null) heap.add((rank.intValue(), l, sym(l), sym(r)))
       }
     }

@@ -67,7 +67,9 @@ class KeywordExtractor extends AlgoOperator[KeywordExtractor]
 
   /** @return (word, rank) — ranks sum to 1 over the corpus vocabulary
     *         (every word that co-occurs with any other, self-pairs
-    *         included). Returned persisted by PageRank when topK = 0;
+    *         included). A topK = 0 result is the PageRank output
+    *         itself — persisted directly (NOT a projection over it, so
+    *         `result.unpersist()` really frees the O(vocab) cache);
     *         a topK > 0 result is materialized and dashboard-sized. */
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
@@ -76,9 +78,12 @@ class KeywordExtractor extends AlgoOperator[KeywordExtractor]
       .select(explode(NgramLm.bigrams(NgramLm.tokens(col(getInputCol)))).as("p"))
     val edges = pairs.select(col("p.w1").as("src"), col("p.w2").as("dst"))
       .union(pairs.select(col("p.w2").as("src"), col("p.w1").as("dst")))
+    // Output names go INTO PageRank.run: a rename projection here
+    // would make both this operator's and its callers' unpersist a
+    // non-cascading no-op against PageRank's persisted plan.
     val ranks = graft.graph.PageRank.run(edges, "src", "dst",
-      getDampingFactor, getNumIter, getTol)
-      .select(col("id").as("word"), col("pagerank").as("rank"))
+      getDampingFactor, getNumIter, getTol,
+      idOut = "word", rankOut = "rank")
     val k = getTopK
     if (k == 0) Array(ranks)
     else {

@@ -82,6 +82,28 @@ class PageRankSpec extends SparkSpec {
       s"tol did not stop early: ${PageRank.lastIterations}")
   }
 
+  test("caller unpersist releases the rank cache; nothing else leaks per run") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    spark.sharedState.cacheManager.clearCache()
+    // numIter = 5: the final round is a persist round -> the result's
+    // same-order rename projection sameResult-matches the cache entry
+    val out = PageRank.run(edges, numIter = 5, idOut = "vertex", rankOut = "score")
+    assert(out.columns.toSeq == Seq("vertex", "score"))
+    assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the returned rename projection must see the final rank cache")
+    out.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "internal caches must all be released by run() + caller unpersist " +
+        "(the r12 ADVICE leak class)")
+    // numIter = 4: the final round localCheckpoints instead -> no cache
+    // manager entry exists at all, even before the caller unpersists
+    val out4 = PageRank.run(edges, numIter = 4)
+    assert(out4.count() == 4)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a checkpoint-final run must leave no cache-manager entries behind")
+  }
+
   test("guards: bad damping, empty graph, non-positive weight") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

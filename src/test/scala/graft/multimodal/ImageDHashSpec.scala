@@ -31,6 +31,34 @@ class ImageDHashSpec extends SparkSpec {
     assert((base ^ flipped) == 1L)
   }
 
+  test("flipMask moves exactly popcount(mask) bits, at bits cy*8") {
+    val base = DHash.dhashBytes(mk(11L)).get
+    // flip == flipMask bit 0
+    assert(DHash.dhashBytes(mk(11L, flip = true)).get ==
+      DHash.dhashBytes(ImageDHasher.syntheticCellImage(11L, flipMask = 1)).get)
+    for (mask <- Seq(0x01, 0x07, 0x3f, 0xff)) {
+      val m = DHash.dhashBytes(ImageDHasher.syntheticCellImage(11L, flipMask = mask)).get
+      val diff = base ^ m
+      assert(java.lang.Long.bitCount(diff) == Integer.bitCount(mask))
+      // mask bit cy flips fp bit cy*8 (cell (0,cy)'s single comparison)
+      val expected = (0 until 8).filter(cy => ((mask >> cy) & 1) != 0)
+        .map(cy => 1L << (cy * 8)).foldLeft(0L)(_ | _)
+      assert(diff == expected, s"mask $mask moved bits ${diff.toBinaryString}")
+    }
+    // the chain fixture: consecutive links at 3, endpoints at 6
+    val v1 = DHash.dhashBytes(ImageDHasher.syntheticCellImage(11L, flipMask = 0x07)).get
+    val v2 = DHash.dhashBytes(ImageDHasher.syntheticCellImage(11L, flipMask = 0x3f)).get
+    assert(SimHash.hammingDistance(base, v1) == 3)
+    assert(SimHash.hammingDistance(v1, v2) == 3)
+    assert(SimHash.hammingDistance(base, v2) == 6)
+    // recolor of a masked variant stays Hamming 0 from it
+    assert(DHash.dhashBytes(ImageDHasher.syntheticCellImage(11L, flipMask = 0x3f,
+      brightness = 40)).get == v2)
+    intercept[IllegalArgumentException] {
+      ImageDHasher.syntheticCellImage(11L, flipMask = 256)
+    }
+  }
+
   test("JPEG re-encode stays within a small Hamming distance") {
     // a smooth 90x80 gradient survives lossy round-trip with most
     // gradient signs intact; pins dHash's raison d'etre (byte hashes
