@@ -172,12 +172,41 @@ object Bench {
     solo.map(Seq(_)) ++ groups.toSeq
   }
 
+  /** 1-min load gate above which a run counts as started-on-a-loaded-
+    * box; overridable for smaller boxes (SPARK_GRAFT_MAX_LOADAVG). */
+  private def maxLoadavgGate: Double = sys.env.get("SPARK_GRAFT_MAX_LOADAVG")
+    .flatMap(_.toDoubleOption).getOrElse(2.0)
+
   private def parent(only: Option[Set[String]]): Unit = {
     // box idleness EVIDENCE: the end-of-run loadavg (recorded below)
     // inevitably measures the bench's own 32-thread work, so the
     // pre-run sample is the one that can certify an idle box
-    val loadavgStart = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
+    def loadavgNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // idle-wait (round-13): a loaded box at launch previously only
+    // STAMPED the artifact contaminated (the r12 driver run shipped
+    // that way — its loadavg was its own just-finished compile check
+    // decaying). Now the parent WAITS, bounded, for the 1-min load to
+    // fall under the gate before sampling loadavg_start, so an
+    // unattended per-round run starts clean instead of merely
+    // self-identifying as dirty. SPARK_GRAFT_IDLE_WAIT_SEC=0 restores
+    // stamp-only behavior; if the box never idles inside the budget
+    // the run proceeds and the contaminated stamp still applies.
+    val idleWaitSec = sys.env.get("SPARK_GRAFT_IDLE_WAIT_SEC")
+      .flatMap(_.toIntOption).getOrElse(600)
+    val waitDeadline = System.nanoTime() + idleWaitSec * 1000000000L
+    var idleWaited = 0L
+    var loadavgStart = loadavgNow
+    while (loadavgStart >= 0.0 && loadavgStart > maxLoadavgGate &&
+        System.nanoTime() < waitDeadline) {
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] loadavg %.2f > gate %.2f — waiting for idle box (%ds of %ds budget used)",
+        Double.box(loadavgStart), Double.box(maxLoadavgGate),
+        Long.box(idleWaited), Int.box(idleWaitSec)))
+      Thread.sleep(15000)
+      idleWaited += 15
+      loadavgStart = loadavgNow
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
@@ -279,15 +308,15 @@ object Bench {
     // loadavg_start 6.94 and every flagged mover was load noise).
     // Stamp, don't refuse: an aborted publish would zero the round's
     // bench artifact entirely, which is strictly worse than a labeled
-    // one. Threshold overridable for smaller boxes.
-    val maxLoadavg = sys.env.get("SPARK_GRAFT_MAX_LOADAVG")
-      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    // one. (The bounded idle-wait above makes the stamp rare; it still
+    // fires when the box never idled inside the wait budget.)
+    val maxLoadavg = maxLoadavgGate
     val contaminated = loadavgStart >= 0.0 && loadavgStart > maxLoadavg
     if (contaminated)
       System.err.println(s"[bench] WARNING: loadavg_start ${fmt(loadavgStart)} > " +
         s"$maxLoadavg — box was not idle at launch; artifact stamped contaminated")
     val envJson =
-      s"""{"child_heap_mb":$benchHeapMb,"gc":"$benchGc","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg_start":${fmt(loadavgStart)},"loadavg":${fmt(loadavg)},"max_loadavg_gate":$maxLoadavg}"""
+      s"""{"child_heap_mb":$benchHeapMb,"gc":"$benchGc","cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","loadavg_start":${fmt(loadavgStart)},"loadavg":${fmt(loadavg)},"max_loadavg_gate":$maxLoadavg,"idle_waited_sec":$idleWaited}"""
     val reverifiedJson = reverified.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
       s"""{"metric":"total_warm","value":${fmt(warmTotal)},"unit":"sec","cold_total":${fmt(coldTotal)},"core_r1_total":${fmt(coreTotal)},"num_queries":${timings.size},"warm_runs_per_query":$WarmRuns,"contaminated":$contaminated,"env":$envJson,"queries":$detailJson,"sf":"$sfDir","failed":$failedJson,"suspect":$suspectJson,"solo_reverified":$reverifiedJson}"""
