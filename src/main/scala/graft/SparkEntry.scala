@@ -502,6 +502,30 @@ object SparkEntry {
         .select(col("word"), round(col("rank"), 10).as("rank"))
     }),
 
+    // --- Stopword-composed TextRank: real corpora are stopword-
+    // dominated and KeywordExtractor deliberately delegates filtering
+    // upstream — this query PROVES the composition (StopWordsRemover →
+    // re-joined text → KeywordExtractor). The split mirrors
+    // NgramLm.tokens exactly, so removal changes adjacency the way the
+    // operator sees it (dropping a stopword welds its neighbors into a
+    // new co-occurrence pair). 'a'/'the' are the corpus's only
+    // stopwords (the q_stopwords finding); caseSensitive pins the
+    // oracle's exact IN-list semantics ---
+    "q_keywords_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", when(length(trim(col("text"))) === 0,
+            array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+")))
+      val filtered = new graft.feature.StopWordsRemover()
+        .setInputCols("toks").setOutputCols("kept")
+        .setStopWords(Array("a", "the")).setCaseSensitive(true)
+        .transform(docs).head
+        .withColumn("kept_text", concat_ws(" ", col("kept")))
+      new graft.text.KeywordExtractor().setInputCol("kept_text").setNumIter(3)
+        .transform(filtered).head
+        .select(col("word"), round(col("rank"), 10).as("rank"))
+    }),
+
     // --- Cross-source corpus overlap matrix: the corpus has no
     // natural cross-source exact dups, so a planted "zz_eval" source
     // (every 10th doc re-labeled) provides the nonzero overlap — the
@@ -3542,6 +3566,52 @@ object SparkEntry {
     "q_keywords" ->
       """WITH toks AS (
            SELECT regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         pairs AS (
+           SELECT w[i] AS w1, w[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+         e0 AS (SELECT w1 AS src, w2 AS dst FROM pairs
+                UNION ALL
+                SELECT w2 AS src, w1 AS dst FROM pairs),
+         e AS (SELECT src, dst, COUNT(*) * 1.0 AS w FROM e0 GROUP BY 1, 2),
+         outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / o.outw AS share
+                FROM e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+         r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r0 r JOIN dang USING (id)),
+         c1 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r0 r ON sh.src = r.id GROUP BY 1),
+         r1 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON nodes.id = c1.id),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r1 r JOIN dang USING (id)),
+         c2 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r1 r ON sh.src = r.id GROUP BY 1),
+         r2 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON nodes.id = c2.id),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r2 r JOIN dang USING (id)),
+         c3 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r2 r ON sh.src = r.id GROUP BY 1),
+         r3 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d3
+                LEFT JOIN c3 ON nodes.id = c3.id)
+         SELECT id AS word, ROUND(r, 10) AS rank FROM r3""",
+
+    // q_keywords with the stopword filter applied at the token list —
+    // removal happens BEFORE pairing, so dropping a stopword welds its
+    // neighbors into a new adjacent pair, exactly like the Spark side's
+    // StopWordsRemover → concat_ws → KeywordExtractor composition
+    "q_keywords_filtered" ->
+      """WITH toks AS (
+           SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> t NOT IN ('a', 'the')) AS w
            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
          pairs AS (
            SELECT w[i] AS w1, w[i+1] AS w2
