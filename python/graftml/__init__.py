@@ -111,6 +111,7 @@ _STAGES = [
     "graft.dedup.CosineIndexer", "graft.dedup.CosineIndexModel",
     "graft.dedup.Decontaminator",
     "graft.dedup.EntityResolver",
+    "graft.dedup.HammingIndexer", "graft.dedup.HammingIndexModel",
     "graft.dedup.MinHashDeduplicator",
     "graft.dedup.MinHashIndexer", "graft.dedup.MinHashIndexModel",
     "graft.dedup.NgramJaccardJoin",
@@ -153,6 +154,7 @@ _STAGES = [
     "graft.multimodal.ImageDecoder",
     "graft.multimodal.ImageDHasher",
     "graft.multimodal.VideoDecoder",
+    "graft.multimodal.VideoDHasher",
     "graft.join.AsOfJoiner",
     "graft.join.IntervalJoiner",
     "graft.join.RangeJoiner",

@@ -8,9 +8,10 @@ def _ham(a, b):
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def _img(spark, group, brightness=0, flip=False, fmt="png"):
+def _img(spark, group, brightness=0, flip=False, fmt="png", flip_mask=0):
+    # 5th arg = flipMask (round 13); py4j resolves by exact arity
     b = spark._jvm.graft.multimodal.ImageDHasher.syntheticCellImage(
-        group, brightness, flip, fmt)
+        group, brightness, flip, fmt, flip_mask)
     return bytes(b)
 
 

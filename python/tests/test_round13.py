@@ -1,0 +1,84 @@
+"""Round-13 stages: video perceptual dedup, transitive Hamming
+clustering, incremental perceptual index, PageRank output naming."""
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _vid(spark, group, num_frames=5, brightness=0, stretch=1, flip_mask=0,
+         fmt="png"):
+    b = spark._jvm.graft.multimodal.VideoDHasher.syntheticCellVideo(
+        group, num_frames, brightness, stretch, flip_mask, fmt)
+    return bytes(b)
+
+
+def test_video_dhash_invariances_and_join(spark):
+    from graftml import VideoDHasher
+    rows = [
+        (0, _vid(spark, 1)),
+        (1, _vid(spark, 1, brightness=40)),   # re-grade: invariant
+        (2, _vid(spark, 1, stretch=2)),       # frame-stretch: invariant
+        (3, _vid(spark, 1, flip_mask=1)),     # 1-bit flip per frame
+        (4, _vid(spark, 2)),                  # different clip: far
+        (5, b"not a video"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "video"])
+    hasher = VideoDHasher(spark=spark).setInputCol("video").setOutputCol("sig")
+    hashed = hasher.transform(df)[0]
+    sig = {r["id"]: r["sig"] for r in hashed.collect()}
+    assert sig[0] == sig[1] == sig[2]
+    assert _ham(sig[0]["fp_first"], sig[3]["fp_first"]) == 1
+    assert _ham(sig[0]["fp_mid"], sig[3]["fp_mid"]) == 1
+    assert _ham(sig[0]["fp_last"], sig[3]["fp_last"]) == 1
+    assert _ham(sig[0]["fp_first"], sig[4]["fp_first"]) > 8
+    assert sig[5] is None
+    # similarityJoin delegates through the wrapper's __getattr__
+    pairs = sorted((r[0], r[1], r[2])
+                   for r in hasher.similarityJoin(hashed, "id", 3, 4).collect())
+    assert pairs == [(0, 1, 0), (0, 2, 0), (0, 3, 1), (1, 2, 0),
+                     (1, 3, 1), (2, 3, 1)]
+
+
+def test_hamming_cluster_components_closes_chains(spark):
+    from graftml.functions import hamming_cluster, hamming_cluster_components
+    rows = [(0, 0x00), (1, 0x07), (2, 0x3F), (3, 0x3F), (9, 0xAAAA5555)]
+    df = spark.createDataFrame(rows, ["id", "fp"])
+    # single-hop: the chain end points at its direct neighbor, not the root
+    direct = {r["id"]: r["cluster_id"]
+              for r in hamming_cluster(df, "id", "fp", 3).collect()}
+    assert direct[1] == 0 and direct[2] == 1
+    # transitive closure: one canonical id for the whole chain
+    closed = {r["id"]: (r["cluster_id"], r["is_duplicate"], r["rep_hamming"])
+              for r in hamming_cluster_components(df, "id", "fp", 3).collect()}
+    assert closed[0] == (0, False, 0)
+    assert closed[1] == (0, True, 3)
+    assert closed[2] == (0, True, 6)   # rep distance measures the closure's reach
+    assert closed[3] == (0, True, 6)
+    assert closed[9] == (9, False, 0)
+
+
+def test_hamming_indexer_incremental(spark):
+    from graftml import HammingIndexer
+    corpus = spark.createDataFrame([(0, 0x00), (2, 0xFF00FF00)], ["id", "fp"])
+    indexer = (HammingIndexer(spark=spark)
+               .setMaxHamming(3).setNumBands(4))
+    model = indexer.fit(corpus)
+    batch1 = spark.createDataFrame([(10, 0x0F0F0F0F)], ["id", "fp"])  # novel
+    out1 = {r["id"]: r["is_duplicate"] for r in model.transform(batch1)[0].collect()}
+    assert out1 == {10: False}
+    grown = model.addToIndex(batch1)  # re-wraps as HammingIndexModel
+    batch2 = spark.createDataFrame(
+        [(20, 0x0F0F0F0E), (21, 0x01)], ["id", "fp"])  # 1 bit from 10, 1 bit from 0
+    out2 = {r["id"]: r["matched_id"] for r in grown.transform(batch2)[0].collect()}
+    assert out2 == {20: 10, 21: 0}
+
+
+def test_page_rank_output_naming(spark):
+    from graftml.functions import page_rank
+    edges = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], ["src", "dst"])
+    out = page_rank(edges, num_iter=5, id_out="vertex", rank_out="score")
+    assert out.columns == ["vertex", "score"]
+    ranks = {r["vertex"]: r["score"] for r in out.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    out.unpersist()

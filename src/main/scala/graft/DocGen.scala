@@ -63,7 +63,7 @@ object DocGen {
     "graft.dedup.BloomDecontaminator",
     "graft.dedup.CosineDeduplicator", "graft.dedup.CosineIndexer",
     "graft.dedup.Decontaminator",
-    "graft.dedup.EntityResolver",
+    "graft.dedup.EntityResolver", "graft.dedup.HammingIndexer",
     "graft.dedup.MinHashDeduplicator", "graft.dedup.MinHashIndexer",
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher", "graft.dedup.SpanDeduplicator",
@@ -88,7 +88,7 @@ object DocGen {
     "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder", "graft.multimodal.ImageDHasher",
-    "graft.multimodal.VideoDecoder",
+    "graft.multimodal.VideoDecoder", "graft.multimodal.VideoDHasher",
     "graft.join.AsOfJoiner", "graft.join.IntervalJoiner", "graft.join.RangeJoiner",
     "graft.join.FuzzyJoiner", "graft.join.Scd2Builder")
 

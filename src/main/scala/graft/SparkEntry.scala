@@ -1491,6 +1491,66 @@ object SparkEntry {
         hashed, "doc_id", "ahash", maxHamming = 3, numBands = 4)
     }),
 
+    // --- Perceptual video dedup: 4 planted variants per group (base,
+    // re-grade +40 — per-frame dHash-invariant, frame-stretch ×2 —
+    // position-fraction slot sampling invariant, 1-bit flip on every
+    // frame — exactly Hamming 1 per slot), REAL RIFF/AVI containers
+    // with 5 PNG frames each, walked + sampled + decoded through the
+    // full container/ImageIO path; candidates banded on the first
+    // slot, exact 3-slot filter inline. Same closed-form oracle shape
+    // as images/audio. ---
+    "q_video_dedup" -> ((s, dir) => {
+      val mkVid = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.VideoDHasher.syntheticCellVideo(g)
+          case 1 => graft.multimodal.VideoDHasher.syntheticCellVideo(g, brightness = 40)
+          case 2 => graft.multimodal.VideoDHasher.syntheticCellVideo(g, stretch = 2)
+          case _ => graft.multimodal.VideoDHasher.syntheticCellVideo(g, flipMask = 1)
+        }
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("video", mkVid(col("doc_id")))
+      val hasher = new graft.multimodal.VideoDHasher()
+        .setInputCol("video").setOutputCol("sig")
+      val hashed = hasher.transform(docs).head.select("doc_id", "sig")
+        .localCheckpoint(true)
+      hasher.clusterWithRep(hashed, "doc_id", maxHamming = 3, numBands = 4)
+    }),
+
+    // --- Incremental perceptual dedup against a persisted fingerprint
+    // index (HammingIndexer — the MinHashIndexer workflow for
+    // perceptual hashes): index the ≡0 base images, flag batch 1 (≡1,
+    // all NOVEL bases → no matches), GROW the index with it
+    // (addToIndex), then flag batch 2 — its ≡2 rows are recolors of
+    // batch-1 images (match proves the increment: those ids exist
+    // nowhere in the original index), its ≡3 rows recolors of indexed
+    // bases. Closed-form oracle on the planted structure. ---
+    "q_incremental_image_dedup" -> ((s, dir) => {
+      val mkImg = udf { id: Long =>
+        (id % 4) match {
+          case 0 | 1 => graft.multimodal.ImageDHasher.syntheticCellImage(id)
+          case 2 => graft.multimodal.ImageDHasher.syntheticCellImage(id - 1, brightness = 40)
+          case _ => graft.multimodal.ImageDHasher.syntheticCellImage(id - 3, brightness = 40)
+        }
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", mkImg(col("doc_id")))
+      val hashed = new graft.multimodal.ImageDHasher()
+        .setInputCol("img").setOutputCol("fp")
+        .transform(docs).head.select("doc_id", "fp")
+        .localCheckpoint(true)
+      val indexer = new graft.dedup.HammingIndexer()
+        .setIdCol("doc_id").setFpCol("fp").setMaxHamming(3).setNumBands(4)
+      val model = indexer.fit(hashed.where(col("doc_id") % 4 === 0))
+      val batch1 = hashed.where(col("doc_id") % 4 === 1)
+      val out1 = model.transform(batch1).head
+      val grown = model.addToIndex(batch1)
+      val out2 = grown.transform(hashed.where(col("doc_id") % 4 >= 2)).head
+      out1.unionByName(out2)
+        .select(col("doc_id"), col("matched_id"), col("is_duplicate"))
+    }),
+
     // --- Swing item-recall (packed top-k parsed back into rows) ---
     "q_swing" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -4598,6 +4658,28 @@ object SparkEntry {
     // one-window flip sits at exactly Hamming 1 — mirror of
     // q_image_dedup's construction)
     "q_audio_dedup" ->
+      """SELECT doc_id,
+                (doc_id // 4) * 4 AS cluster_id,
+                doc_id % 4 <> 0 AS is_duplicate,
+                CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INT) AS rep_hamming
+         FROM documents""",
+
+    // closed-form replay of the planted incremental structure: ≡1 rows
+    // are novel at flag time (matched null), ≡2 rows match the batch-1
+    // image one id below (only reachable through addToIndex), ≡3 rows
+    // match the originally indexed base three ids below
+    "q_incremental_image_dedup" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 2 THEN doc_id - 1
+                     WHEN doc_id % 4 = 3 THEN doc_id - 3 END AS matched_id,
+                doc_id % 4 >= 2 AS is_duplicate
+         FROM documents WHERE doc_id % 4 <> 0""",
+
+    // closed-form replay of the planted video-variant structure
+    // (re-grade/stretch variants hash identically to the base on every
+    // slot, the every-frame flip sits at exactly max-slot Hamming 1 —
+    // mirror of q_image_dedup's construction)
+    "q_video_dedup" ->
       """SELECT doc_id,
                 (doc_id // 4) * 4 AS cluster_id,
                 doc_id % 4 <> 0 AS is_duplicate,

@@ -1077,6 +1077,112 @@ object ScaleUp {
       df => new graft.multimodal.AudioDHasher()
         .setInputCol("payload").setOutputCol("fp").transform(df).head)
 
+    // video: base / re-grade +40 / frame-stretch ×2 / 1-bit flip on
+    // every frame — REAL RIFF/AVI containers (5 PNG frames each; the
+    // stretch variant carries 10), full container walk + 3 sampled
+    // ImageIO frame decodes per video, banded join on the first slot
+    // with the exact 3-slot filter inline. 200k videos = 1.2M frame
+    // encodes on the build side and 600k sampled decodes on the hash
+    // side; payload bytes never cross a shuffle.
+    stage("video_dedup") {
+      val nVid = 200000L
+      val payloads = spark.range(0, nVid, 1, cpus.toInt)
+        .select(col("id"), udf { id: Long =>
+          val g = id / 4
+          (id % 4) match {
+            case 0 => graft.multimodal.VideoDHasher.syntheticCellVideo(g)
+            case 1 => graft.multimodal.VideoDHasher.syntheticCellVideo(g, brightness = 40)
+            case 2 => graft.multimodal.VideoDHasher.syntheticCellVideo(g, stretch = 2)
+            case _ => graft.multimodal.VideoDHasher.syntheticCellVideo(g, flipMask = 1)
+          }
+        }.apply(col("id")).as("payload"))
+      val hasher = new graft.multimodal.VideoDHasher()
+        .setInputCol("payload").setOutputCol("sig")
+      // hash once, keep only (id, sig): the banded join reads its input
+      // twice (a/b sides) and must not re-decode 200k containers
+      val hashed = hasher.transform(payloads).head.select("id", "sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = hasher.similarityJoin(hashed, "id", maxHamming = 3, numBands = 4)
+      val n = pairs.count()
+      hashed.unpersist(blocking = false)
+      val expected = (nVid / 4) * 6
+      println(s"""{"video_pairs":$n,"video_pairs_expected":$expected,""" +
+        s""""video_recall":${if (n == expected) 1.0 else n.toDouble / expected}}""")
+      require(n == expected, s"planted-dup recall broke: $n != $expected")
+      n
+    }
+
+    // Streaming perceptual dedup at scale (round-13): HammingIndexer's
+    // micro-batch growth path through a file-stream replay of planted
+    // image fingerprints, with a KILL/RESTART mid-run — the model goes
+    // through a real save/load round-trip across the restart and the
+    // checkpoint must resume the source without reprocessing (batch
+    // ids tracked, replayed puts idempotent; replaying addToIndex can
+    // only duplicate index rows, which cannot change a flag). 100k
+    // indexed bases, 100k streamed recolor variants — every streamed
+    // row must flag against ITS base (matched_id = id − 1): recall AND
+    // match-identity checked, not just a count.
+    stage("streaming_hamming") {
+      val nImg = 200000L
+      val mkFp = udf { id: Long =>
+        val g = id / 2
+        val img =
+          if (id % 2 == 0) graft.multimodal.ImageDHasher.syntheticCellImage(g)
+          else graft.multimodal.ImageDHasher.syntheticCellImage(g, brightness = 40)
+        graft.multimodal.DHash.dhashBytes(img).get
+      }
+      val fps = spark.range(0, nImg, 1, cpus.toInt)
+        .select(col("id"), mkFp(col("id")).as("fp"))
+      val batchPath = s"$base/stream_hamming_fps.parquet"
+      fps.where(col("id") % 2 === 1).write.mode("overwrite").parquet(batchPath)
+      var model = new graft.dedup.HammingIndexer()
+        .setMaxHamming(3).setNumBands(4)
+        .fit(fps.where(col("id") % 2 === 0).localCheckpoint(true))
+      val chk = java.nio.file.Files.createTempDirectory("graft-shm-chk").toString
+      val nFiles = Option(new java.io.File(batchPath).listFiles())
+        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(1)
+      val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 16))
+        .parquet(batchPath)
+      def start() = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!perBatch.containsKey(id)) {
+            val c = b.persist()
+            val r = model.transform(c).head.agg(count(lit(1)),
+              sum(when(col("matched_id") === col("id") - 1, 1L).otherwise(0L))).collect()(0)
+            model = model.addToIndex(c)
+            c.unpersist(blocking = false)
+            perBatch.put(id, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+          }
+          ()
+        }.start()
+      val q1 = start()
+      while (perBatch.size < 6 && q1.isActive) Thread.sleep(100)
+      q1.stop()
+      val restartMidRun = perBatch.size < 16
+      val mdir = java.nio.file.Files.createTempDirectory("graft-shm-model").toString
+      model.save(mdir)
+      model = graft.dedup.HammingIndexModel.load(spark, mdir)
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      import scala.jdk.CollectionConverters._
+      val totalRows = perBatch.values.asScala.map(_._1).sum
+      val matched = perBatch.values.asScala.map(_._2).sum
+      println(s"""{"streaming_hamming_batches":${perBatch.size},""" +
+        s""""streaming_hamming_restart_mid_run":$restartMidRun,""" +
+        s""""streaming_hamming_rows_once":${totalRows == nImg / 2},""" +
+        s""""streaming_hamming_recall":${String.format(java.util.Locale.ROOT,
+          "%.4f", Double.box(matched.toDouble / totalRows))}}""")
+      require(matched == totalRows,
+        s"streamed recolor variants must all flag against their base: $matched != $totalRows")
+      matched
+    }
+
     // Z-order layout vs 1-D sort at 20M rows: the same 2-dim
     // rectangle predicate (1% of x × 1% of y) against (a) a layout
     // sorted by x alone and (b) the Morton-interleaved layout. Parquet
