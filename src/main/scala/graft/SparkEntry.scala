@@ -1642,6 +1642,51 @@ object SparkEntry {
         .select(col("dim").cast("long").as("dim"))
     }),
 
+    // --- Online PCA, count windows: 100-row windows emit cumulative
+    // model versions; latest-version scoring. The row count is a
+    // multiple of 100 at every sf, so every row lands in a full window
+    // and the latest version's moments equal the GLOBAL moments
+    // regardless of arrival order; at full rank the projection
+    // preserves each row's centered squared norm (the q_pca oracle
+    // trick), and the version number is SQL-computable as n/100 - 1. ---
+    "q_online_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val dim = emb.head().getAs[org.apache.spark.ml.linalg.Vector]("vec").size
+      val model = new graft.streaming.OnlinePCA()
+        .setInputCol("vec").setK(dim)
+        .setWindows(graft.streaming.CountTumblingWindows(100))
+        .fit(emb)
+        .setOutputCol("proj")
+      model.transform(emb).head
+        .select(col("vec_id"), col("version"),
+          round(aggregate(org.apache.spark.ml.functions.vector_to_array(col("proj")),
+            lit(0.0), (acc, x) => acc + x * x), 3).as("sq_norm"))
+    }),
+
+    // --- Online PCA, event-time windows + as-of versioned scoring:
+    // vec_id is the event time, 100-id tumbling windows; each row is
+    // projected by the EARLIEST version whose windowEndMs >= vec_id
+    // (delay 0 — reference HasMaxAllowedModelDelayMs rule), so
+    // full-rank norm preservation holds PER VERSION against that
+    // version's cumulative mean — all replayable as SQL prefix means. ---
+    "q_online_pca_versioned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val dim = emb.head().getAs[org.apache.spark.ml.linalg.Vector]("vec").size
+      val model = new graft.streaming.OnlinePCA()
+        .setInputCol("vec").setK(dim).setTimeCol("vec_id")
+        .setWindows(graft.streaming.EventTimeTumblingWindows(100L))
+        .fit(emb)
+        .setOutputCol("proj").setMaxAllowedModelDelayMs(0L)
+      model.transform(emb).head
+        .select(col("vec_id"), col("version"),
+          round(aggregate(org.apache.spark.ml.functions.vector_to_array(col("proj")),
+            lit(0.0), (acc, x) => acc + x * x), 3).as("sq_norm"))
+    }),
+
     // --- OnlineStandardScaler: model stream over event-time windows ---
     "q_online_scaler" -> ((s, dir) => {
       val ev = eventsTsm(s, dir).select(col("tsm"), col("value"))
@@ -4722,6 +4767,48 @@ object SparkEntry {
     "q_swing_arrays" -> swingOracleSql,
 
     "q_swing" -> swingOracleSql,
+
+    // full-rank orthogonal projection preserves centered norms (the
+    // q_pca trick); count windows of 100 cover every row (row count is
+    // a multiple of 100), so the latest version's mean is the global
+    // mean and its version number is n/100 - 1
+    "q_online_pca" ->
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                           unnest(range(len(embedding))) AS i
+                    FROM embeddings),
+         m AS (SELECT i, AVG(x) AS mu FROM u GROUP BY 1),
+         v AS (SELECT COUNT(*) // 100 - 1 AS version FROM embeddings)
+         SELECT u.vec_id, v.version,
+                ROUND(SUM((u.x - m.mu) * (u.x - m.mu)), 3) AS sq_norm
+         FROM u JOIN m USING (i), v GROUP BY 1, 2""",
+
+    // per-version prefix means over 100-id tumbling windows; each row
+    // picks the earliest version with windowEnd >= vec_id (delay 0),
+    // and full-rank norm preservation holds against THAT version's mean
+    "q_online_pca_versioned" ->
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                           unnest(range(len(embedding))) AS i
+                    FROM embeddings),
+         p AS (SELECT vec_id // 100 AS win, i, COUNT(*) AS n, SUM(x) AS s
+               FROM u GROUP BY 1, 2),
+         c AS (SELECT win, (win + 1) * 100 AS windowEndMs, i,
+                      SUM(n) OVER (PARTITION BY i ORDER BY win) AS cn,
+                      SUM(s) OVER (PARTITION BY i ORDER BY win) AS cs
+               FROM p),
+         v AS (SELECT DENSE_RANK() OVER (ORDER BY win) - 1 AS version,
+                      windowEndMs, i, cs / cn AS mu
+               FROM c),
+         pick AS (SELECT t.vec_id, MIN(vv.version) AS version
+                  FROM (SELECT DISTINCT vec_id FROM embeddings) t
+                  JOIN (SELECT DISTINCT version, windowEndMs FROM v) vv
+                    ON vv.windowEndMs >= t.vec_id
+                  GROUP BY 1)
+         SELECT u.vec_id, pick.version,
+                ROUND(SUM((u.x - v.mu) * (u.x - v.mu)), 3) AS sq_norm
+         FROM u
+         JOIN pick USING (vec_id)
+         JOIN v ON v.version = pick.version AND v.i = u.i
+         GROUP BY 1, 2""",
 
     "q_online_scaler" ->
       """WITH d AS (SELECT epoch_ms(ts) AS tsm, value FROM events),

@@ -169,6 +169,62 @@ object HammingJoin {
         (col("cluster_id") < col(idCol)).as("is_duplicate"),
         bit_count(col(fpCol).bitwiseXOR(col("__rep_fp"))).as("rep_hamming"))
   }
+
+  /** CROSS-MODAL transitive dedup: one fingerprint column per modality
+    * (text SimHash, image dHash, audio envelope hash — any 64-bit
+    * fingerprint on the SAME document table), each producing its own
+    * banded near-dup pair list; the union of all modality edges feeds
+    * one [[ConnectedComponents.run]], so documents linked through ANY
+    * chain of modalities — A shares an image with B, B shares text
+    * with C — collapse to one canonical `cluster_id` (the component
+    * min). This is the "a training document is a duplicate if any of
+    * its payloads is" rule a multimodal corpus pipeline needs, and no
+    * single-modality pass can produce it.
+    *
+    * `modalities`: (name, fpCol, maxHamming, numBands) per modality.
+    * Output per input row: `cluster_id`, `is_duplicate`, and `via` —
+    * the comma-joined sorted names of the modalities with at least one
+    * near-dup edge incident to this id ('' when none). rep_hamming is
+    * deliberately absent: a single bit distance is meaningless across
+    * modalities. Null fingerprints drop out of that modality's join
+    * only (a doc with an undecodable image still dedups by text).
+    *
+    * Scale shape: each modality's pair list is banded (near-dup-density
+    * sized, never corpus²); the union and the `via` aggregation run on
+    * those edge lists; CC is the engine's standard closure primitive
+    * (driver union-find under DriverEdgeLimit, star contraction above). */
+  def clusterComponentsMulti(df: DataFrame, idCol: String,
+      modalities: Seq[(String, String, Int, Int)]): DataFrame = {
+    require(modalities.nonEmpty, "at least one modality required")
+    val edges = modalities.map { case (name, fpCol, maxHamming, numBands) =>
+      pairs(df.where(col(fpCol).isNotNull), idCol, fpCol, maxHamming, numBands)
+        .select(col("id_a"), col("id_b"), lit(name).as("modality"))
+    }.reduce(_ unionByName _)
+    val incident = edges.select(col("id_a").as(idCol), col("modality"))
+      .union(edges.select(col("id_b").as(idCol), col("modality")))
+      .groupBy(idCol)
+      .agg(array_join(array_sort(collect_set(col("modality"))), ",").as("via"))
+    val comp = ConnectedComponents
+      .run(edges.select(col("id_a"), col("id_b")).distinct(), "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .join(incident, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"),
+        coalesce(col("via"), lit("")).as("via"))
+      .withColumn("is_duplicate", col("cluster_id") < col(idCol))
+      .select(col(idCol), col("cluster_id"), col("is_duplicate"), col("via"))
+  }
+
+  /** py4j-friendly overload (python/graftml/functions.py
+    * hamming_cluster_multi): parallel name/column lists, one shared
+    * threshold. */
+  def clusterComponentsMulti(df: DataFrame, idCol: String,
+      names: Seq[String], fpCols: Seq[String],
+      maxHamming: Int, numBands: Int): DataFrame =
+    clusterComponentsMulti(df, idCol,
+      names.zip(fpCols).map { case (n, c) => (n, c, maxHamming, numBands) })
 }
 
 /** Appends a 64-bit SimHash fingerprint of a token-array column. */

@@ -1,10 +1,10 @@
 package graft.feature
 
-import org.apache.commons.math3.linear.{Array2DRowRealMatrix, EigenDecomposition}
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{Estimator, Model, StageLoader}
+import graft.linalg.Eigen
 import graft.param._
 import graft.util.ReadWrite
 
@@ -48,59 +48,26 @@ class PCA extends Estimator[PCA, PCAModel]
     val spark = df.sparkSession
 
     // one pass: (count, sum, upper-triangular gram) per partition,
-    // merged pairwise — no row ever leaves its executor
+    // merged pairwise — no row ever leaves its executor; the moment
+    // arithmetic is graft.linalg.Eigen, shared with OnlinePCA
     val vecs = df.select(col(getInputCol)).rdd.map(_.getAs[Vector](0))
     val d = vecs.first().size
-    val triLen = d * (d + 1) / 2
-    val zero = (0L, new Array[Double](d), new Array[Double](triLen))
+    val zero = (0L, new Array[Double](d), new Array[Double](Eigen.triLen(d)))
     val (n, sum, tri) = vecs.treeAggregate(zero)(
       seqOp = { case ((cnt, s, g), v) =>
         require(v.size == d, s"PCA: vector of size ${v.size}, expected $d")
-        val a = v.toArray
-        var i = 0
-        while (i < d) {
-          s(i) += a(i)
-          var j = i
-          val base = i * d - i * (i - 1) / 2 - i // start of row i in packed upper triangle
-          while (j < d) { g(base + j) += a(i) * a(j); j += 1 }
-          i += 1
-        }
+        Eigen.accumulate(s, g, v.toArray, d)
         (cnt + 1L, s, g)
       },
       combOp = { case ((c1, s1, g1), (c2, s2, g2)) =>
-        var i = 0
-        while (i < d) { s1(i) += s2(i); i += 1 }
-        i = 0
-        while (i < triLen) { g1(i) += g2(i); i += 1 }
+        Eigen.merge(s1, g1, s2, g2)
         (c1 + c2, s1, g1)
       })
     require(n > 1, s"PCA needs at least 2 rows, got $n")
     require(getK <= d, s"k=$getK exceeds vector dimension $d")
 
-    // covariance = (G - n μμᵀ) / (n - 1)
-    val mean = sum.map(_ / n)
-    val cov = Array.ofDim[Double](d, d)
-    var i = 0
-    while (i < d) {
-      var j = i
-      val base = i * d - i * (i - 1) / 2 - i
-      while (j < d) {
-        val c = (tri(base + j) - n * mean(i) * mean(j)) / (n - 1)
-        cov(i)(j) = c; cov(j)(i) = c
-        j += 1
-      }
-      i += 1
-    }
-
-    val eig = new EigenDecomposition(new Array2DRowRealMatrix(cov, false))
-    val order = eig.getRealEigenvalues.zipWithIndex.sortBy(-_._1).take(getK)
-    val eigenvalues = order.map(_._1)
-    val components = order.map { case (_, idx) =>
-      val v = eig.getEigenvector(idx).toArray
-      // sign convention: largest-|coordinate| positive
-      val m = v.indices.maxBy(ii => math.abs(v(ii)))
-      if (v(m) < 0) v.map(-_) else v
-    }
+    val (mean, cov) = Eigen.covFromMoments(n, sum, tri, d)
+    val (eigenvalues, components) = Eigen.topK(cov, getK)
 
     import spark.implicits._
     val modelData = Seq((d, mean, eigenvalues, components.flatten))

@@ -39,86 +39,9 @@ class OnlineStandardScaler extends Estimator[OnlineStandardScaler, OnlineStandar
     val df = inputs.head
     val spark = df.sparkSession
 
-    // (windowId, windowEndMs, dim, value) exploded per dimension
-    val perWindow = getWindows match {
-      case GlobalWindows =>
-        df.select(lit(0L).as("win"), lit(Long.MaxValue).as("winEnd"), col(getInputCol))
-      case CountTumblingWindows(size) =>
-        // count triggers only fire FULL windows (Flink countWindowAll
-        // semantics; same batch mapping as AgglomerativeClustering):
-        // the trailing partial window emits no model version
-        val indexed = df.select(col(getInputCol)).rdd.zipWithIndex()
-        val n = df.count()
-        val fullRows = (n / size) * size
-        val rdd = indexed
-          .filter { case (_, i) => i < fullRows }
-          .map { case (r, i) => (i / size, r.getAs[Vector](0)) }
-        import spark.implicits._
-        rdd.toDF("win", "vec").select(col("win"), col("win").as("winEnd"),
-          col("vec").as(getInputCol))
-      case EventTimeTumblingWindows(sizeMs) =>
-        df.select((col(getTimeCol).cast("long") / sizeMs).cast("long").as("win"),
-          (((col(getTimeCol).cast("long") / sizeMs).cast("long") + 1) * sizeMs).as("winEnd"),
-          col(getInputCol))
-      case EventTimeSessionWindows(gapMs) =>
-        // Scalable global sessionization: range-partition the distinct
-        // event times, gap-split locally inside each sorted partition,
-        // then stitch sessions across partition boundaries on the
-        // driver from an O(partitions) summary — no single-task sort
-        // of the full distinct-timestamp table.
-        val spark2 = df.sparkSession
-        import spark2.implicits._
-        val distinctTs = df.select(col(getTimeCol).cast("long").as("t")).distinct()
-          .as[Long].rdd
-        val parts = math.max(1, distinctTs.sparkContext.defaultParallelism)
-        val sorted = distinctTs.sortBy(identity, ascending = true, numPartitions = parts)
-        // pass 1: per-partition (firstT, lastT, localSessionCount)
-        val summaries = sorted.mapPartitionsWithIndex { (pid, it) =>
-          var first = Long.MinValue; var last = Long.MinValue
-          var n = 0L; var prev = Long.MinValue
-          it.foreach { t =>
-            if (n == 0L) { first = t; n = 1L }
-            else if (t - prev > gapMs) n += 1L
-            prev = t; last = t
-          }
-          if (n == 0L) Iterator.empty else Iterator.single((pid, first, last, n))
-        }.collect().sortBy(_._1)
-        // driver scan: global id offset per partition; a partition's
-        // first local session merges into the previous non-empty
-        // partition's last session when the boundary gap is <= gapMs
-        val offsets = new Array[Long](parts)
-        var nextId = 0L; var prevLast = Long.MinValue; var havePrev = false
-        summaries.foreach { case (pid, first, _last, n) =>
-          val merged = havePrev && first - prevLast <= gapMs
-          offsets(pid) = if (merged) nextId - 1L else nextId
-          nextId = offsets(pid) + n
-          prevLast = _last; havePrev = true
-        }
-        val offsetsB = sorted.sparkContext.broadcast(offsets)
-        // pass 2: assign global session ids inside each partition
-        val sessions = sorted.mapPartitionsWithIndex { (pid, it) =>
-          val base = offsetsB.value(pid)
-          var sid = base - 1L; var prev = Long.MinValue; var started = false
-          it.map { t =>
-            if (!started || t - prev > gapMs) { sid += 1L; started = true }
-            prev = t
-            (t, sid)
-          }
-        }.toDF("t", "win")
-        // session end = max event time in the session + gap; computed on
-        // the (small) per-session summary, then joined back on t. AQE
-        // broadcasts these when they fit; no unpartitioned sort anywhere.
-        val winEnds = sessions.groupBy("win").agg((max("t") + gapMs).as("winEnd"))
-        val labeled = sessions.join(winEnds, "win")
-        df.select(col(getTimeCol).cast("long").as("t"), col(getInputCol))
-          .join(labeled, "t")
-          .select(col("win"), col("winEnd"), col(getInputCol))
-      case ProcessingTimeTumblingWindows(_) | ProcessingTimeSessionWindows(_) =>
-        // bounded replay runs "instantly" in processing time: one
-        // window (see Windows.scala scaladoc); streaming callers get
-        // per-trigger updates via foreachBatch + model.update
-        df.select(lit(0L).as("win"), lit(Long.MaxValue).as("winEnd"), col(getInputCol))
-    }
+    // (win, winEnd, vector) per the Windows strategy — the shared
+    // assigner factored into Windows.scala (also drives OnlinePCA)
+    val perWindow = WindowAssigner.assign(df, getWindows, getTimeCol, getInputCol)
 
     val exploded = perWindow.select(col("win"), col("winEnd"),
       posexplode(org.apache.spark.ml.functions.vector_to_array(col(getInputCol)))
