@@ -100,6 +100,7 @@ _STAGES = [
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineKMeansModel",
     "graft.streaming.OnlineLogisticRegression",
     "graft.streaming.OnlineLogisticRegressionModel",
+    "graft.streaming.OnlinePCA", "graft.streaming.OnlinePCAModel",
     "graft.streaming.OnlineStandardScaler",
     "graft.streaming.OnlineStandardScalerModel",
     "graft.streaming.Sessionizer",

@@ -72,6 +72,41 @@ def page_rank(edges, src="src", dst="dst", damping_factor=0.85,
     return DataFrame(jdf, spark)
 
 
+def personalized_page_rank(edges, seeds, src="src", dst="dst",
+                           seed_col="id", damping_factor=0.85, num_iter=20,
+                           tol=0.0, weight_col="", id_out="id",
+                           rank_out="pagerank"):
+    """Personalized PageRank (Haveliwala 2002): the teleport
+    distribution concentrates on ``seeds`` (one id column) instead of
+    being uniform — seed-relative centrality for whitelist-biased
+    corpus selection. Dangling mass returns to the seeds, so ranks
+    still sum to 1. Seeds absent from the graph are ignored (at least
+    one must be present). Same cache-release contract as page_rank."""
+    from pyspark.sql import DataFrame
+    spark = edges.sparkSession
+    jdf = spark._jvm.graft.graph.PageRank.runPersonalized(
+        edges._jdf, seeds._jdf, src, dst, seed_col, float(damping_factor),
+        int(num_iter), float(tol), weight_col, id_out, rank_out)
+    return DataFrame(jdf, spark)
+
+
+def label_propagation(edges, src="src", dst="dst", num_iter=10,
+                      directed=False, id_out="id", label_out="label"):
+    """Synchronous label propagation (Raghavan et al. 2007) community
+    detection: label_0(v) = v; each round every vertex adopts its
+    neighbors' most frequent label (ties -> smallest; no neighbors ->
+    keep). Undirected by default (edges symmetrized); self-loops are
+    dropped; parallel edges vote with multiplicity; early-stops when no
+    label changes. Deterministic — synchronous updates replay exactly,
+    including 2-cycles on bipartite structures (num_iter bounds them).
+    Same cache-release contract as page_rank."""
+    from pyspark.sql import DataFrame
+    spark = edges.sparkSession
+    jdf = spark._jvm.graft.graph.LabelPropagation.run(
+        edges._jdf, src, dst, int(num_iter), bool(directed), id_out, label_out)
+    return DataFrame(jdf, spark)
+
+
 def zorder_value(df, cols, bits=12, z_col="__z", strategy="linear"):
     """Append a Morton (Z-order) long column: each column bucketized to
     2^bits ("linear" = equi-width min/max; "quantile" = equi-depth via
@@ -129,6 +164,30 @@ def hamming_cluster(df, id_col, fp_col, max_hamming, num_bands=4):
     spark = df.sparkSession
     jdf = spark._jvm.graft.dedup.HammingJoin.clusterWithRep(
         df._jdf, id_col, fp_col, int(max_hamming), int(num_bands))
+    return DataFrame(jdf, spark)
+
+
+def hamming_cluster_multi(df, id_col, modalities, max_hamming, num_bands=4):
+    """CROSS-MODAL transitive dedup: ``modalities`` maps a modality
+    name to its 64-bit fingerprint column on the same table (e.g.
+    ``{"image": "img_fp", "text": "text_fp"}``); each modality's
+    banded near-dup pairs union into one edge list closed by connected
+    components, so documents linked through ANY chain of modalities
+    (A shares an image with B, B shares text with C) collapse to one
+    canonical cluster_id. Output: (id, cluster_id, is_duplicate,
+    via = comma-joined sorted modality names with an incident edge,
+    '' when none). One shared threshold across modalities; a null
+    fingerprint drops out of that modality's join only. Use the Scala
+    HammingJoin.clusterComponentsMulti overload for per-modality
+    thresholds."""
+    from pyspark.sql import DataFrame
+    spark = df.sparkSession
+    jvm = spark._jvm
+    names = sorted(modalities)
+    jnames = jvm.PythonUtils.toSeq([str(n) for n in names])
+    jcols = jvm.PythonUtils.toSeq([str(modalities[n]) for n in names])
+    jdf = jvm.graft.dedup.HammingJoin.clusterComponentsMulti(
+        df._jdf, id_col, jnames, jcols, int(max_hamming), int(num_bands))
     return DataFrame(jdf, spark)
 
 

@@ -82,3 +82,92 @@ def test_page_rank_output_naming(spark):
     ranks = {r["vertex"]: r["score"] for r in out.collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     out.unpersist()
+
+
+def test_hamming_cluster_multi_cross_modal_closure(spark):
+    from graftml.functions import hamming_cluster_multi
+    # image links 0-1, text links 1-2; 3 is a singleton; 4 has a null
+    # image fingerprint but still dedups by text with 5
+    rows = [
+        (0, 0x7, 0x1),
+        (1, 0x7, 0xFF00),
+        (2, 0xF0F0, 0xFF01),
+        (3, 0xFF000000, 0xF0F0F0F0),
+        (4, None, 0xAAAA00000000),
+        (5, 0x123400000000, 0xAAAA00000001),
+    ]
+    df = spark.createDataFrame(rows, ["id", "img_fp", "text_fp"])
+    out = {r["id"]: (r["cluster_id"], r["is_duplicate"], r["via"])
+           for r in hamming_cluster_multi(
+               df, "id", {"image": "img_fp", "text": "text_fp"}, 3).collect()}
+    assert out[0] == (0, False, "image")
+    assert out[1] == (0, True, "image,text")   # cross-modal chain roots at 0
+    assert out[2] == (0, True, "text")
+    assert out[3] == (3, False, "")
+    assert out[4] == (4, False, "text")
+    assert out[5] == (4, True, "text")
+
+
+def test_online_pca_versions_and_projection(spark):
+    from pyspark.ml.linalg import Vectors
+    from graftml import OnlinePCA
+    rows = [(i, Vectors.dense([float(i), 2.0 * i + (i % 3), float(i % 5)]))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["ts", "vec"])
+    w = spark._jvm.graft.streaming.EventTimeTumblingWindows(10)
+    model = (OnlinePCA(spark=spark)
+             .setInputCol("vec").setK(3).setTimeCol("ts")
+             .setWindows(w).fit(df))
+    versions = {r["version"]: r["count"]
+                for r in model.get_model_data()[0].collect()}
+    assert versions == {0: 10, 1: 20}
+    # full-rank projection preserves the centered squared norm
+    out = (model.setOutputCol("proj").setMaxAllowedModelDelayMs(0)
+           .transform(df)[0].collect())
+    means = {r["version"]: list(r["mean"])
+             for r in model.get_model_data()[0].collect()}
+    for r in out:
+        mu = means[r["version"]]
+        centered = sum((a - m) ** 2 for a, m in zip(r["vec"], mu))
+        proj_sq = sum(x * x for x in r["proj"])
+        assert abs(proj_sq - centered) < 1e-8
+    # as-of picking: ts=5 -> version 0, ts=15 -> version 1
+    ver = {r["ts"]: r["version"] for r in out}
+    assert ver[5] == 0 and ver[15] == 1
+
+
+def test_personalized_page_rank_seed_bias(spark):
+    from graftml.functions import page_rank, personalized_page_rank
+    # two loosely-linked triangles; seed the first one
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 12), (12, 10)],
+        ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    out = personalized_page_rank(edges, seeds, num_iter=25)
+    ranks = {r["id"]: r["pagerank"] for r in out.collect()}
+    out.unpersist()
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[0] + ranks[1] + ranks[2] > ranks[10] + ranks[11] + ranks[12]
+    # seeding everything recovers classic PageRank
+    allseeds = spark.createDataFrame([(i,) for i in (0, 1, 2, 10, 11, 12)], ["id"])
+    ppr = personalized_page_rank(edges, allseeds, num_iter=15)
+    classic = page_rank(edges, num_iter=15)
+    a = {r["id"]: r["pagerank"] for r in ppr.collect()}
+    b = {r["id"]: r["pagerank"] for r in classic.collect()}
+    ppr.unpersist()
+    classic.unpersist()
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_label_propagation_cliques(spark):
+    from graftml.functions import label_propagation
+    # two 4-cliques -> each converges to its min id
+    rows = [(b + i, b + j) for b in (0, 10)
+            for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    out = label_propagation(edges, num_iter=10, id_out="vertex",
+                            label_out="community")
+    got = {r["vertex"]: r["community"] for r in out.collect()}
+    out.unpersist()
+    assert all(got[v] == 0 for v in range(4))
+    assert all(got[v] == 10 for v in range(10, 14))

@@ -57,6 +57,7 @@ object DocGen {
     "graft.evaluation.RegressionEvaluator",
     "graft.recommendation.Swing",
     "graft.streaming.OnlineKMeans", "graft.streaming.OnlineLogisticRegression",
+    "graft.streaming.OnlinePCA",
     "graft.streaming.OnlineStandardScaler", "graft.streaming.Sessionizer",
     "graft.streaming.StreamingAnomalyDetector",
     "graft.streaming.StreamingDeduplicator",

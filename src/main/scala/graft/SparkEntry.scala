@@ -490,6 +490,32 @@ object SparkEntry {
         .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
     }),
 
+    // --- Personalized PageRank: teleport concentrated on a seed set
+    // (vertices ≡ 0 mod 10) — the seed-relative centrality a curation
+    // pipeline ranks hosts with from a trusted whitelist. Same graph
+    // as q_pagerank; the oracle replays 3 power iterations with the
+    // seed teleport vector (dangling mass returns to the seeds). ---
+    "q_personalized_pagerank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") * 31 % 1000).as("dst"))
+      val seeds = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .where(col("id") % 10 === 0).distinct()
+      graft.graph.PageRank.runPersonalized(edges, seeds, numIter = 3)
+        .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
+    }),
+
+    // --- Label propagation (community detection): synchronous LPA
+    // with min-label tie-breaks over the symmetrized q_pagerank graph;
+    // 3 deterministic rounds, exact integer-count replay in SQL. ---
+    "q_label_prop" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") * 31 % 1000).as("dst"))
+      graft.graph.LabelPropagation.run(edges, numIter = 3)
+    }),
+
     // --- TextRank keywords over the corpus word-co-occurrence graph:
     // 3 fixed PageRank iterations on the symmetrized adjacent-pair
     // list; the oracle rebuilds the same graph from the text and
@@ -1526,6 +1552,42 @@ object SparkEntry {
     // batch-1 images (match proves the increment: those ids exist
     // nowhere in the original index), its ≡3 rows recolors of indexed
     // bases. Closed-form oracle on the planted structure. ---
+    // --- CROSS-MODAL dedup: groups of 4 docs where 4g and 4g+1 share
+    // the IMAGE (texts unrelated), 4g+1 and 4g+2 share the TEXT
+    // (images unrelated), 4g+3 is a singleton — no single modality
+    // links the group, but the union of image-dHash and text-SimHash
+    // edges closed by ConnectedComponents collapses {4g, 4g+1, 4g+2}
+    // to one canonical cluster. `via` records which modalities had an
+    // incident edge. Real PNG decode + real SimHash; closed-form
+    // oracle (robust to a trailing partial group). ---
+    "q_crossmodal_dedup" -> ((s, dir) => {
+      val mkImg = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 | 1 => graft.multimodal.ImageDHasher.syntheticCellImage(g)
+          case 2 => graft.multimodal.ImageDHasher.syntheticCellImage(g + 50000000L)
+          case _ => graft.multimodal.ImageDHasher.syntheticCellImage(g + 100000000L)
+        }
+      }
+      val g = (col("doc_id") / 4).cast("long")
+      val prefix = when(col("doc_id") % 4 === 0, concat(lit("t"), g))
+        .when(col("doc_id") % 4 <= 2, concat(lit("u"), g))
+        .otherwise(concat(lit("v"), g))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("tokens", transform(sequence(lit(0), lit(15)),
+          i => concat(prefix, lit("_"), i)))
+        .withColumn("img", mkImg(col("doc_id")))
+      val withText = new graft.dedup.SimHasher()
+        .setInputCol("tokens").setOutputCol("text_fp")
+        .transform(docs).head
+      val hashed = new graft.multimodal.ImageDHasher()
+        .setInputCol("img").setOutputCol("img_fp")
+        .transform(withText).head.select("doc_id", "text_fp", "img_fp")
+        .localCheckpoint(true)
+      graft.dedup.HammingJoin.clusterComponentsMulti(hashed, "doc_id",
+        Seq(("image", "img_fp", 3, 4), ("text", "text_fp", 3, 4)))
+    }),
+
     "q_incremental_image_dedup" -> ((s, dir) => {
       val mkImg = udf { id: Long =>
         (id % 4) match {
@@ -3664,6 +3726,77 @@ object SparkEntry {
                 LEFT JOIN c3 ON nodes.id = c3.id)
          SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
 
+    // the q_pagerank chain with the teleport vector p concentrated on
+    // the seed set (id ≡ 0 mod 10): r0 = p and every round's formula
+    // is (1-d)·p + d·(contribs + dangling·p)
+    "q_personalized_pagerank" ->
+      """WITH e0 AS (
+           SELECT event_id AS src, (event_id * 31) % 1000 AS dst
+           FROM events WHERE event_id % 7 <> 0),
+         e AS (SELECT src, dst, COUNT(*) * 1.0 AS w FROM e0 GROUP BY 1, 2),
+         outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / o.outw AS share
+                FROM e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         sd AS (SELECT id FROM nodes WHERE id % 10 = 0),
+         ns AS (SELECT COUNT(*) * 1.0 AS s FROM sd),
+         p AS (SELECT nodes.id,
+                      CASE WHEN sd.id IS NOT NULL THEN 1.0 / ns.s ELSE 0.0 END AS p
+               FROM nodes CROSS JOIN ns LEFT JOIN sd ON nodes.id = sd.id),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+         r0 AS (SELECT id, p AS r FROM p),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r0 r JOIN dang USING (id)),
+         c1 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r0 r ON sh.src = r.id GROUP BY 1),
+         r1 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm * p.p) AS r
+                FROM p CROSS JOIN d1 LEFT JOIN c1 ON p.id = c1.id),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r1 r JOIN dang USING (id)),
+         c2 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r1 r ON sh.src = r.id GROUP BY 1),
+         r2 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm * p.p) AS r
+                FROM p CROSS JOIN d2 LEFT JOIN c2 ON p.id = c2.id),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r2 r JOIN dang USING (id)),
+         c3 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r2 r ON sh.src = r.id GROUP BY 1),
+         r3 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm * p.p) AS r
+                FROM p CROSS JOIN d3 LEFT JOIN c3 ON p.id = c3.id)
+         SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
+
+    // synchronous LPA replayed exactly: per round, per-vertex neighbor
+    // label counts (symmetrized edges, self-loops dropped, parallel
+    // edges count), argmax with MIN-label tie-break, keep-own when no
+    // neighbors — all integer arithmetic, so the replay is exact
+    "q_label_prop" ->
+      """WITH e0 AS (
+           SELECT event_id AS src, (event_id * 31) % 1000 AS dst
+           FROM events WHERE event_id % 7 <> 0),
+         nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         er AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         es AS (SELECT src, dst FROM er UNION ALL SELECT dst, src FROM er),
+         l0 AS (SELECT id, id AS lab FROM nodes),
+         c1 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l0 l ON es.src = l.id GROUP BY 1, 2),
+         m1 AS (SELECT id, MAX(c) AS mc FROM c1 GROUP BY 1),
+         p1 AS (SELECT c1.id, MIN(c1.lab) AS lab
+                FROM c1 JOIN m1 ON c1.id = m1.id AND c1.c = m1.mc GROUP BY 1),
+         l1 AS (SELECT n.id, COALESCE(p1.lab, l0.lab) AS lab
+                FROM nodes n JOIN l0 ON n.id = l0.id LEFT JOIN p1 ON n.id = p1.id),
+         c2 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l1 l ON es.src = l.id GROUP BY 1, 2),
+         m2 AS (SELECT id, MAX(c) AS mc FROM c2 GROUP BY 1),
+         p2 AS (SELECT c2.id, MIN(c2.lab) AS lab
+                FROM c2 JOIN m2 ON c2.id = m2.id AND c2.c = m2.mc GROUP BY 1),
+         l2 AS (SELECT n.id, COALESCE(p2.lab, l1.lab) AS lab
+                FROM nodes n JOIN l1 ON n.id = l1.id LEFT JOIN p2 ON n.id = p2.id),
+         c3 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l2 l ON es.src = l.id GROUP BY 1, 2),
+         m3 AS (SELECT id, MAX(c) AS mc FROM c3 GROUP BY 1),
+         p3 AS (SELECT c3.id, MIN(c3.lab) AS lab
+                FROM c3 JOIN m3 ON c3.id = m3.id AND c3.c = m3.mc GROUP BY 1),
+         l3 AS (SELECT n.id, COALESCE(p3.lab, l2.lab) AS lab
+                FROM nodes n JOIN l2 ON n.id = l2.id LEFT JOIN p3 ON n.id = p3.id)
+         SELECT id, lab AS label FROM l3""",
+
     // the word graph rebuilt from text (toks/pairs mirror
     // q_collocations), symmetrized, then the q_pagerank CTE chain
     // verbatim — shares = w/out single division, dangling CTEs kept
@@ -4713,6 +4846,25 @@ object SparkEntry {
     // are novel at flag time (matched null), ≡2 rows match the batch-1
     // image one id below (only reachable through addToIndex), ≡3 rows
     // match the originally indexed base three ids below
+    // closed-form replay of the planted cross-modal structure: image
+    // links 4g-(4g+1), text links (4g+1)-(4g+2), so the component is
+    // {4g, 4g+1, 4g+2} with canonical 4g; 4g+3 is a singleton. The
+    // CASE chain stays correct for a trailing partial group (absent
+    // siblings contribute no edge)
+    "q_crossmodal_dedup" ->
+      """WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+         d AS (SELECT doc_id, doc_id % 4 AS m, doc_id - doc_id % 4 AS base
+               FROM documents)
+         SELECT d.doc_id,
+                CASE WHEN d.m <= 2 THEN d.base ELSE d.doc_id END AS cluster_id,
+                d.m IN (1, 2) AS is_duplicate,
+                CASE WHEN d.m = 0 AND d.base + 1 < n.cnt THEN 'image'
+                     WHEN d.m = 1 AND d.base + 2 < n.cnt THEN 'image,text'
+                     WHEN d.m = 1 THEN 'image'
+                     WHEN d.m = 2 THEN 'text'
+                     ELSE '' END AS via
+         FROM d, n""",
+
     "q_incremental_image_dedup" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 4 = 2 THEN doc_id - 1

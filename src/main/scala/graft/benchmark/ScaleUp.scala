@@ -487,6 +487,63 @@ object ScaleUp {
       agg.getLong(0)
     }
 
+    // Personalized PageRank on the same 10M-edge graph: teleport
+    // concentrated on a 1%-spaced seed set. Must keep the unit-mass
+    // invariant (dangling mass returns to the seeds) and cost the
+    // same per-round shape as classic PageRank (only the O(V) rank
+    // table shuffles; the persisted seed tag joins once, not per round).
+    stage("personalized_pagerank") {
+      val er = spark.range(0, 9000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(5000000L)).as("dst"))
+      val hubs = spark.range(0, 1000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(3)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(4)), lit(1000L)).as("dst"))
+      val seeds = spark.range(0, 5000000L, 100L).select(col("id"))
+      val t0 = System.nanoTime()
+      val ranks = graft.graph.PageRank.runPersonalized(er.union(hubs), seeds, numIter = 10)
+      val agg = ranks.agg(count(lit(1)).as("n"), sum("pagerank").as("mass"),
+        max("pagerank").as("top")).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      ranks.unpersist(blocking = false)
+      println(s"""{"ppr_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""ppr_vertices":${agg.getLong(0)},"ppr_mass":${agg.getDouble(1)},""" +
+        s""""ppr_top":${agg.getDouble(2)}}""")
+      require(math.abs(agg.getDouble(1) - 1.0) < 1e-6,
+        s"personalized rank mass invariant broke: ${agg.getDouble(1)}")
+      agg.getLong(0)
+    }
+
+    // Label propagation on 500k disjoint 5-cliques (2.5M vertices, 5M
+    // pair edges before symmetrization): LPA must converge every
+    // clique to its min-id label (round 1 takes all but the min to
+    // the min, round 2 finishes, round 3 observes no change and
+    // early-stops) — an EXACT closed-form check over all 2.5M labels.
+    // Only the O(V) label table shuffles per round; the symmetrized
+    // edge table is partitioned once.
+    stage("label_prop") {
+      val nClique = 500000L
+      val pi = array(Seq(0, 0, 0, 0, 1, 1, 1, 2, 2, 3).map(lit(_)): _*)
+      val pj = array(Seq(1, 2, 3, 4, 2, 3, 4, 3, 4, 4).map(lit(_)): _*)
+      val idx = (col("id") % 10 + 1).cast("int")
+      val grp = (col("id") / 10).cast("long") // SQL '/' is double division
+      val edges = spark.range(0, nClique * 10, 1, cpus.toInt).select(
+        (grp * 5 + element_at(pi, idx)).as("src"),
+        (grp * 5 + element_at(pj, idx)).as("dst"))
+      val t0 = System.nanoTime()
+      val labels = graft.graph.LabelPropagation.run(edges, numIter = 5)
+      val wrong = labels.where(col("label") =!= (col("id") - col("id") % 5)).count()
+      val n = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      labels.unpersist(blocking = false)
+      println(s"""{"lpa_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""lpa_vertices":$n,"lpa_wrong_labels":$wrong,""" +
+        s""""lpa_iters":${graft.graph.LabelPropagation.lastIterations}}""")
+      require(wrong == 0L, s"LPA clique convergence broke: $wrong mislabeled")
+      require(graft.graph.LabelPropagation.lastIterations < 5, "early stop should fire")
+      n
+    }
+
     stage("minhash_dedup") {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
@@ -1222,6 +1279,119 @@ object ScaleUp {
         } finally reader.close()
       }
       (total, hit, rowsHit)
+    }
+
+    // Cross-modal transitive dedup at 500k docs (125k groups × 4):
+    // image links 4g-(4g+1) (identical PNG bytes), text links
+    // (4g+1)-(4g+2) (identical token sets), 4g+3 is a singleton — no
+    // single modality can assemble the triple; the union of both
+    // modalities' banded edges closed by ConnectedComponents must
+    // produce EXACTLY the planted structure. Real ImageIO decode +
+    // real SimHash at 500k; payload bytes never cross a shuffle.
+    // Validation is closed-form on the via/is_duplicate counts: any
+    // cross-group false positive or missed edge breaks one of them.
+    stage("crossmodal_dedup") {
+      val nDoc = 500000L
+      val mkImg = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 | 1 => graft.multimodal.ImageDHasher.syntheticCellImage(g)
+          case 2 => graft.multimodal.ImageDHasher.syntheticCellImage(g + 50000000L)
+          case _ => graft.multimodal.ImageDHasher.syntheticCellImage(g + 100000000L)
+        }
+      }
+      val grpCol = (col("id") / 4).cast("long")
+      val prefix = when(col("id") % 4 === 0, concat(lit("t"), grpCol))
+        .when(col("id") % 4 <= 2, concat(lit("u"), grpCol))
+        .otherwise(concat(lit("v"), grpCol))
+      val raw = spark.range(0, nDoc, 1, cpus.toInt)
+        .withColumn("tokens", transform(sequence(lit(0), lit(15)),
+          i => concat(prefix, lit("_"), i)))
+        .withColumn("img", mkImg(col("id")))
+      val hashed = new graft.multimodal.ImageDHasher()
+        .setInputCol("img").setOutputCol("img_fp")
+        .transform(new graft.dedup.SimHasher()
+          .setInputCol("tokens").setOutputCol("text_fp")
+          .transform(raw).head).head
+        .select("id", "text_fp", "img_fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hashed.count() // hash once; the multi-join reads fingerprints 3x
+      // Planted recall checked by PAIR IDENTITY per modality (every
+      // image edge (4g, 4g+1), every text edge (4g+1, 4g+2) must be
+      // found). Accidental extra edges are NOT a bug at this scale:
+      // 375k distinct comparison-based 64-bit hashes land a handful
+      // of random pairs within Hamming 3 (adjacent dHash bits share a
+      // cell, which fattens the small-distance tail vs independent
+      // bits — measured ~5 at 500k docs; a real corpus behaves the
+      // same and the operator correctly reports them as near-dups).
+      // They are reported and bounded, not forbidden.
+      val grp = nDoc / 4
+      val imgPairs = graft.dedup.HammingJoin.pairs(
+        hashed.where(col("img_fp").isNotNull), "id", "img_fp", 3, 4)
+      val textPairs = graft.dedup.HammingJoin.pairs(
+        hashed.where(col("text_fp").isNotNull), "id", "text_fp", 3, 4)
+      val imgPlanted = imgPairs
+        .where(col("id_a") % 4 === 0 && col("id_b") === col("id_a") + 1).count()
+      val textPlanted = textPairs
+        .where(col("id_a") % 4 === 1 && col("id_b") === col("id_a") + 1).count()
+      val accidental = (imgPairs.count() - imgPlanted) + (textPairs.count() - textPlanted)
+      val out = graft.dedup.HammingJoin.clusterComponentsMulti(hashed, "id",
+        Seq(("image", "img_fp", 3, 4), ("text", "text_fp", 3, 4)))
+      val viaCounts = out.groupBy("via").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dups = out.where(col("is_duplicate")).count()
+      hashed.unpersist(blocking = false)
+      println(s"""{"crossmodal_image_recall":${if (imgPlanted == grp) 1.0
+        else imgPlanted.toDouble / grp},""" +
+        s""""crossmodal_text_recall":${if (textPlanted == grp) 1.0
+        else textPlanted.toDouble / grp},""" +
+        s""""crossmodal_accidental_edges":$accidental,""" +
+        s""""crossmodal_via_image":${viaCounts.getOrElse("image", 0L)},""" +
+        s""""crossmodal_via_both":${viaCounts.getOrElse("image,text", 0L)},""" +
+        s""""crossmodal_via_text":${viaCounts.getOrElse("text", 0L)},""" +
+        s""""crossmodal_singletons":${viaCounts.getOrElse("", 0L)},""" +
+        s""""crossmodal_duplicates":$dups}""")
+      require(imgPlanted == grp && textPlanted == grp,
+        s"planted cross-modal recall broke: image $imgPlanted / $grp, text $textPlanted / $grp")
+      require(accidental <= 25,
+        s"accidental near-dup edges exploded past the random-collision rate: $accidental")
+      require(dups >= 2 * grp && dups <= 2 * grp + 2 * accidental,
+        s"duplicate count outside the planted+accidental envelope: $dups")
+      dups
+    }
+
+    // OnlinePCA at numVecs×dim: 10 event-time windows emit 10
+    // cumulative model versions (one O(d²) moment buffer per window
+    // per partition crosses the shuffle; 10 driver
+    // eigendecompositions), then versioned as-of scoring projects
+    // every row by ITS version. Validation: at full rank each
+    // projection must preserve the row's centered squared norm
+    // against its own version's cumulative mean — checked for EVERY
+    // row via a broadcast join on the 10-row version table.
+    stage("online_pca") {
+      val winSize = math.max(1L, numVecs / 10)
+      val model = new graft.streaming.OnlinePCA()
+        .setInputCol("vec").setK(dim).setTimeCol("vec_id")
+        .setWindows(graft.streaming.EventTimeTumblingWindows(winSize))
+        .fit(vecs)
+        .setOutputCol("proj").setMaxAllowedModelDelayMs(0L)
+      val means = model.getModelData.head.select(col("version"), col("mean"))
+      val nver = means.count()
+      val out = model.transform(vecs).head
+      val projSq = aggregate(
+        org.apache.spark.ml.functions.vector_to_array(col("proj")),
+        lit(0.0), (acc, x) => acc + x * x)
+      val centeredSq = aggregate(
+        zip_with(org.apache.spark.ml.functions.vector_to_array(col("vec")),
+          col("mean"), (a, m) => (a - m) * (a - m)),
+        lit(0.0), (acc, x) => acc + x)
+      val err = out.join(broadcast(means), "version")
+        .select(max(abs(projSq - centeredSq)).as("err")).head.getDouble(0)
+      println(s"""{"online_pca_versions":$nver,"online_pca_max_norm_err":${
+        String.format(java.util.Locale.ROOT, "%.2e", Double.box(err))}}""")
+      require(nver == 10 && err < 1e-6,
+        s"online PCA norm preservation broke: versions=$nver err=$err")
+      numVecs
     }
 
     stage("zorder_prune") {

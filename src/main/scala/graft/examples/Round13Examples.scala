@@ -107,3 +107,85 @@ object FilteredKeywordsExample {
     spark.stop()
   }
 }
+
+/** Online PCA: the model-version stream over event-time windows —
+  * fit emits one cumulative eigenbasis per window; versioned scoring
+  * projects each row with the model that existed at its event time
+  * (the same delay-gated as-of rule as OnlineStandardScaler). */
+object OnlinePCAExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("OnlinePCAExample")
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Vectors.dense(i * 0.5, i * 1.0 + (i % 5), (i % 3) * 2.0))
+    }.toDF("ts", "vec")
+    val model = new graft.streaming.OnlinePCA()
+      .setInputCol("vec").setK(2).setTimeCol("ts")
+      .setWindows(graft.streaming.EventTimeTumblingWindows(10))
+      .fit(rows)
+    model.getModelData.head
+      .select("version", "windowEndMs", "count", "eigenvalues").show(false)
+    model.setOutputCol("proj").setMaxAllowedModelDelayMs(0L)
+      .transform(rows).head.select("ts", "version", "proj").show(5, truncate = false)
+    spark.stop()
+  }
+}
+
+/** Cross-modal dedup: image links doc 0-1, text links doc 1-2 — no
+  * single modality assembles the group; the union of both edge lists
+  * closed by connected components does. */
+object CrossModalDedupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("CrossModalDedupExample")
+    import spark.implicits._
+    import graft.multimodal.ImageDHasher
+    val docs = Seq(
+      (0L, ImageDHasher.syntheticCellImage(1L), Seq("alpha", "beta", "gamma")),
+      (1L, ImageDHasher.syntheticCellImage(1L), Seq("delta", "epsilon", "zeta")),
+      (2L, ImageDHasher.syntheticCellImage(2L), Seq("delta", "epsilon", "zeta")),
+      (3L, ImageDHasher.syntheticCellImage(3L), Seq("eta", "theta", "iota"))
+    ).toDF("doc_id", "img", "tokens")
+    val hashed = new ImageDHasher().setInputCol("img").setOutputCol("img_fp")
+      .transform(new graft.dedup.SimHasher()
+        .setInputCol("tokens").setOutputCol("text_fp").transform(docs).head).head
+    graft.dedup.HammingJoin.clusterComponentsMulti(hashed, "doc_id",
+      Seq(("image", "img_fp", 3, 4), ("text", "text_fp", 3, 4)))
+      .orderBy("doc_id").show(false)
+    spark.stop()
+  }
+}
+
+/** Personalized PageRank: rank the graph from a trusted seed set —
+  * the whitelist-biased host ranking a crawl-curation pipeline uses. */
+object PersonalizedPageRankExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("PersonalizedPageRankExample")
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val ranks = graft.graph.PageRank.runPersonalized(edges, seeds, numIter = 25)
+    ranks.orderBy(desc("pagerank")).show(false)
+    ranks.unpersist()
+    spark.stop()
+  }
+}
+
+/** Label propagation: community detection over a link graph — groups
+  * mirror rings / topical neighborhoods that connected components
+  * (everything reachable) and PageRank (ranks, no partition) miss. */
+object LabelPropagationExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("LabelPropagationExample")
+    import spark.implicits._
+    val edges = (for {
+      base <- Seq(0L, 10L)
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)).toDF("src", "dst")
+    val labels = graft.graph.LabelPropagation.run(edges, numIter = 10)
+    labels.orderBy("id").show(false)
+    labels.unpersist()
+    spark.stop()
+  }
+}

@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+ * "Near linear time algorithm to detect community structures in
+ * large-scale networks") — community detection over an edge list, the
+ * third member of the graph tier next to [[PageRank]] and
+ * [[graft.dedup.ConnectedComponents]]. A crawl-curation pipeline uses
+ * it to group hosts/pages into link communities (spam farms and
+ * mirror rings cluster; topical neighborhoods emerge) — structure CC
+ * cannot see (it merges everything reachable) and PageRank does not
+ * expose (it ranks, it does not partition). The reference has no
+ * graph tier — beyond-reference addition.
+ *
+ * Deterministic semantics (exact, replayable in SQL):
+ *   label₀(v) = v
+ *   label_{t+1}(v) = the most frequent label among v's neighbors,
+ *                    ties broken by the SMALLEST label; vertices with
+ *                    no neighbors keep their current label.
+ * Neighbor multiplicity counts (parallel edges are stronger votes);
+ * self-loops are dropped (a self-vote would freeze the start state).
+ * By default the graph is treated as UNDIRECTED (edges symmetrized —
+ * the standard LPA setting); `directed = true` propagates along edge
+ * direction only. Synchronous updates can 2-cycle on bipartite
+ * structures — `numIter` bounds the loop and `lastIterations` reports
+ * whether the early-stop (no label changed) fired instead.
+ *
+ * Scale shape (100 TB link graph): the symmetrized edge table
+ * persists HASH-PARTITIONED ON src, so every iteration's label join
+ * reuses that partitioning and only the O(V) label table shuffles per
+ * round; the (dst, label) vote count is map-side combined; the
+ * argmax-with-min-tiebreak is two O(V·distinct-neighbor-labels)
+ * aggregates, no window over raw edges. Same per-round
+ * materialization discipline as PageRank: the changed-label count —
+ * needed for the early stop anyway — is the action that materializes
+ * each round's cache BEFORE its parent unpersists, and
+ * localCheckpoint every few rounds keeps the plan flat.
+ *
+ * Cache-release contract: identical to [[PageRank.run]] — the result
+ * is a same-order pure-rename projection of the final label table, so
+ * `result.unpersist()` genuinely releases it; rename only through
+ * `idOut`/`labelOut`.
+ */
+object LabelPropagation {
+
+  /** Instrumentation only: iterations the last run() took. */
+  @volatile var lastIterations: Int = 0
+
+  private val CheckpointEvery = 4
+
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      numIter: Int = 10, directed: Boolean = false,
+      idOut: String = "id", labelOut: String = "label"): DataFrame = {
+    require(numIter > 0, s"numIter must be positive, got $numIter")
+
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")) // self-votes would freeze the start state
+    val sym =
+      if (directed) raw
+      else raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    // partitioned on src: the per-iteration label join reuses this,
+    // only the O(V) label table shuffles per round
+    val adj = sym.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id")))
+      .distinct()
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(nodes.count() > 0, "LabelPropagation on an empty edge list is undefined")
+
+    var labels = nodes.withColumn("lab", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (iter < numIter && !converged) {
+      // votes: neighbor labels arriving at each dst, multiplicity kept
+      val votes = adj.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax with min-label tiebreak, window-free: max count per id,
+      // then min label among the labels that reach it
+      val best = votes.groupBy("id").agg(max("cnt").as("mc"))
+      val picked = votes.join(best, "id")
+        .where(col("cnt") === col("mc"))
+        .groupBy("id").agg(min("lab").as("newLab"))
+      val next = labels.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLab"), col("lab")).as("lab"))
+      val mat =
+        if ((iter + 1) % CheckpointEvery == 0) next.localCheckpoint(true)
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
+      // full-scan changed count: the early-stop probe doubles as the
+      // action that materializes mat BEFORE its parent unpersists
+      // (the PageRank/ConnectedComponents recompute lesson)
+      val changed = mat.join(labels.withColumnRenamed("lab", "lab0"), "id")
+        .where(col("lab") =!= col("lab0")).count()
+      labels.unpersist(blocking = false)
+      labels = mat
+      converged = changed == 0L
+      iter += 1
+    }
+    lastIterations = iter
+    adj.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    // same-order pure-rename projection: sameResult-matches the cache
+    // entry, so the caller's unpersist genuinely releases it (see
+    // PageRank.run's contract comment for the Spark 4.1.2 probe)
+    labels.select(col("id").as(idOut), col("lab").as(labelOut))
+  }
+}

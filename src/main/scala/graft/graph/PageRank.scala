@@ -71,7 +71,42 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       dampingFactor: Double = 0.85, numIter: Int = 20, tol: Double = 0.0,
       weightCol: String = "", idOut: String = "id",
-      rankOut: String = "pagerank"): DataFrame = {
+      rankOut: String = "pagerank"): DataFrame =
+    runImpl(edges, srcCol, dstCol, dampingFactor, numIter, tol, weightCol,
+      idOut, rankOut, teleport = None)
+
+  /**
+   * PERSONALIZED PageRank (Haveliwala, "Topic-Sensitive PageRank",
+   * WWW 2002): the teleport distribution concentrates on a SEED SET
+   * instead of being uniform —
+   *
+   *   r₀(v) = p(v),  r_{t+1}(v) = (1−d)·p(v) + d·( Σ contribs + D_t·p(v) )
+   *
+   * with p(v) = 1/|S| for seeds, 0 elsewhere (dangling mass also
+   * returns to the seeds — ranks still sum to 1). The seed-relative
+   * centrality a crawl-curation pipeline ranks hosts with when it has
+   * a trusted whitelist: "how reachable is this page from pages I
+   * already trust" — the seed-expansion primitive for quality-biased
+   * corpus selection.
+   *
+   * @param seeds   one column of vertex ids (`seedCol`); duplicates
+   *                ignored. Seeds that do not appear in `edges` are
+   *                ignored (they have no edges to spread rank through);
+   *                at least one seed must be present in the graph.
+   * Other params and the cache-release contract: see [[run]].
+   */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "id", dampingFactor: Double = 0.85,
+      numIter: Int = 20, tol: Double = 0.0, weightCol: String = "",
+      idOut: String = "id", rankOut: String = "pagerank"): DataFrame =
+    runImpl(edges, srcCol, dstCol, dampingFactor, numIter, tol, weightCol,
+      idOut, rankOut, teleport = Some((seeds, seedCol)))
+
+  private def runImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      dampingFactor: Double, numIter: Int, tol: Double,
+      weightCol: String, idOut: String, rankOut: String,
+      teleport: Option[(DataFrame, String)]): DataFrame = {
     require(dampingFactor > 0.0 && dampingFactor < 1.0,
       s"dampingFactor must be in (0, 1), got $dampingFactor")
     require(numIter > 0, s"numIter must be positive, got $numIter")
@@ -101,19 +136,39 @@ object PageRank {
     // per-iteration contribution join and dangling-mass aggregate then
     // reuse this partitioning (and the rank table inherits it through
     // the join), so only the rank→src shuffle moves data each round
-    val nodes = edges.select(col(srcCol).as("id"))
+    val nodeIds = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    val n = nodeIds.count()
     require(n > 0, "PageRank on an empty edge list is undefined")
+
+    // teleport column p: uniform 1/n (classic), or 1/|seeds∩graph| on
+    // the seed set and 0 elsewhere (personalized). The personalized
+    // tag join persists so no round re-joins the seed table; the
+    // uniform case is a free projection of the cached id table.
+    val (nodes, seedTagged) = teleport match {
+      case None =>
+        (nodeIds.withColumn("p", lit(1.0 / n)), Option.empty[DataFrame])
+      case Some((seedDf, seedCol)) =>
+        val seedIds = seedDf.select(col(seedCol).as("id")).distinct()
+          .withColumn("__seed", lit(1))
+        val tagged = nodeIds.join(seedIds, Seq("id"), "left")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val s = tagged.agg(sum(when(col("__seed").isNotNull, 1L).otherwise(0L)))
+          .head.getLong(0)
+        require(s > 0, "personalized PageRank: no seed appears in the graph")
+        (tagged.select(col("id"),
+          when(col("__seed").isNotNull, lit(1.0 / s)).otherwise(lit(0.0)).as("p")),
+          Some(tagged))
+    }
 
     // dangling ids: appear as a destination but never as a source
     val dangling = nodes.join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    var ranks = nodes.select(col("id"), col("p").as("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The per-round dangling-mass aggregate is folded FORWARD: each
     // iteration computes the NEXT round's mass from the fresh rank
@@ -139,8 +194,8 @@ object PageRank {
         .agg(sum(col("share") * col("r")).as("c"))
       val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit((1.0 - d) / n) +
-            lit(d) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n)))
+          (lit(1.0 - d) * col("p") +
+            lit(d) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass) * col("p")))
             .as("r"))
       val mat =
         if ((iter + 1) % CheckpointEvery == 0) next.localCheckpoint(true)
@@ -160,7 +215,8 @@ object PageRank {
     }
     lastIterations = iter
     shares.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    nodeIds.unpersist(blocking = false)
+    seedTagged.foreach(_.unpersist(blocking = false))
     dangling.unpersist(blocking = false)
     // SAME-ORDER pure-rename projection, deliberately: canonicalization
     // collapses such a Project, so the returned plan sameResult-matches

@@ -46,6 +46,42 @@ class HammingJoinSpec extends SparkSpec {
     assert(byId(10L)._1 == 10L && !byId(10L)._2 && byId(10L)._3 == -1)
   }
 
+  test("clusterComponentsMulti closes across modalities and reports via") {
+    import spark.implicits._
+    // image links 0-1 (equal fp), text links 1-2 (1 bit), text links
+    // 4-5; 3 is a singleton; 4 has an undecodable image (null fp) but
+    // still dedups by text; 6 is null in BOTH modalities
+    val df = Seq(
+      (0L, Some(0x7L), Some(0x1L)),
+      (1L, Some(0x7L), Some(0xFF00L)),
+      (2L, Some(0xF0F0L), Some(0xFF01L)),
+      (3L, Some(0xFF000000L), Some(0xF0F0F0F0L)),
+      (4L, None: Option[Long], Some(0xAAAA00000000L)),
+      (5L, Some(0x123400000000L), Some(0xAAAA00000001L)),
+      (6L, None: Option[Long], None: Option[Long]))
+      .toDF("id", "img_fp", "text_fp")
+    val out = HammingJoin.clusterComponentsMulti(df, "id",
+      Seq(("image", "img_fp", 3, 4), ("text", "text_fp", 3, 4)))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+    assert(out(0L) == ((0L, false, "image")))
+    assert(out(1L) == ((0L, true, "image,text")), "cross-modal chain roots at 0")
+    assert(out(2L) == ((0L, true, "text")))
+    assert(out(3L) == ((3L, false, "")))
+    assert(out(4L) == ((4L, false, "text")), "null image fp still dedups by text")
+    assert(out(5L) == ((4L, true, "text")))
+    assert(out(6L) == ((6L, false, "")))
+  }
+
+  test("clusterComponentsMulti py4j overload shares one threshold") {
+    import spark.implicits._
+    val df = Seq((0L, 0x7L, 0x1L), (1L, 0x7L, 0xFF00L)).toDF("id", "a_fp", "b_fp")
+    val out = HammingJoin.clusterComponentsMulti(df, "id",
+      Seq("a", "b"), Seq("a_fp", "b_fp"), 3, 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(out.toSeq == Seq((0L, 0L, "a"), (1L, 0L, "a")))
+  }
+
   test("clusterComponents agrees with clusterWithRep on clique-shaped groups") {
     import spark.implicits._
     // two 3-cliques (pairwise <= 2 bits) and a singleton

@@ -1,0 +1,66 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LabelPropagationSpec extends SparkSpec {
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("disjoint cliques converge to the clique-min label and early-stop") {
+    import spark.implicits._
+    // two 4-cliques: {0,1,2,3} and {10,11,12,13} (one direction per
+    // pair; symmetrization is the operator's job)
+    val cliques = for {
+      base <- Seq(0L, 10L)
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)
+    val edges = cliques.toDF("src", "dst")
+    val out = LabelPropagation.run(edges, numIter = 10)
+    val got = labelsOf(out)
+    out.unpersist()
+    (0L to 3L).foreach(v => assert(got(v) == 0L, s"vertex $v"))
+    (10L to 13L).foreach(v => assert(got(v) == 10L, s"vertex $v"))
+    assert(LabelPropagation.lastIterations < 10, "no-change early stop should fire")
+  }
+
+  test("synchronous updates are deterministic, including 2-cycles") {
+    import spark.implicits._
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    // path 0-1-2 oscillates: [1,0,1] -> [0,1,0] -> [1,0,1] ...
+    val r1 = labelsOf(LabelPropagation.run(path, numIter = 1))
+    assert(r1 == Map(0L -> 1L, 1L -> 0L, 2L -> 1L))
+    val r2 = labelsOf(LabelPropagation.run(path, numIter = 2))
+    assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+    val r3 = labelsOf(LabelPropagation.run(path, numIter = 3))
+    assert(r3 == r1, "period-2 oscillation must replay exactly")
+  }
+
+  test("directed propagation follows edge direction; self-loops are dropped") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (5L, 5L)).toDF("src", "dst")
+    val directed = labelsOf(LabelPropagation.run(edges, numIter = 5, directed = true))
+    // 0 has no in-edges -> keeps 0; 1 adopts 0; 5 only self-loops -> keeps 5
+    assert(directed == Map(0L -> 0L, 1L -> 0L, 5L -> 5L))
+    val undirected = labelsOf(LabelPropagation.run(edges, numIter = 2))
+    // undirected 0<->1 swaps labels each round: after 2 rounds back home
+    assert(undirected == Map(0L -> 0L, 1L -> 1L, 5L -> 5L))
+  }
+
+  test("parallel edges vote with multiplicity; output columns renamable") {
+    import spark.implicits._
+    // vertex 2 hears label 0 twice (parallel edges) and label 1 once:
+    // multiplicity must win over the smaller label only via count
+    val edges = Seq((0L, 2L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val out = LabelPropagation.run(edges, numIter = 1, directed = true,
+      idOut = "vertex", labelOut = "community")
+    assert(out.columns.toSeq == Seq("vertex", "community"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 0L)
+    // tie at multiplicity 1 each -> min label: rebuild with single edges
+    val tie = Seq((0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val gotTie = labelsOf(LabelPropagation.run(tie, numIter = 1, directed = true))
+    assert(gotTie(2L) == 0L)
+  }
+}

@@ -120,4 +120,66 @@ class PageRankSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
     assert(causes(e).exists(_.contains("non-positive")), causes(e).mkString(" | "))
   }
+
+  /** Dense reference PERSONALIZED power iteration: r0 = p,
+    * r' = (1-d)p + d(contribs + D·p), p = 1/|seeds| on seeds. */
+  private def referencePersonalized(edges: Seq[(Long, Long, Double)],
+      seeds: Set[Long], d: Double, iters: Int): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val s = nodes.count(seeds.contains)
+    val p = nodes.map(v => if (seeds.contains(v)) 1.0 / s else 0.0).toArray
+    var r = p.clone()
+    for (_ <- 0 until iters) {
+      val danglingMass = nodes.filterNot(outW.contains).map(v => r(idx(v))).sum
+      val next = nodes.indices.map(i => (1.0 - d) * p(i) + d * danglingMass * p(i)).toArray
+      edges.groupBy(e => (e._1, e._2)).foreach { case ((u, v), es) =>
+        val w = es.map(_._3).sum
+        next(idx(v)) += d * r(idx(u)) * w / outW(u)
+      }
+      r = next
+    }
+    nodes.map(v => v -> r(idx(v))).toMap
+  }
+
+  test("personalized: matches the dense reference; mass 1; seeds dominate") {
+    import spark.implicits._
+    // two loosely-linked triangles; seed only the first
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).map { case (a, b) => (a, b, 1.0) }
+    val seeds = Seq(0L).toDF("id")
+    val got = PageRank.runPersonalized(edges.toDF("src", "dst", "w"), seeds,
+        numIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = referencePersonalized(edges, Set(0L), 0.85, 25)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"node $v") }
+    // the seeded triangle holds most of the mass
+    assert(Seq(0L, 1L, 2L).map(got).sum > Seq(10L, 11L, 12L).map(got).sum)
+  }
+
+  test("personalized: seeding EVERY vertex equals classic PageRank") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0), (1L, 3L, 1.0))
+    val classic = runOn(edges, iters = 15)
+    val all = Seq(1L, 2L, 3L).toDF("id")
+    val ppr = PageRank.runPersonalized(edges.toDF("src", "dst", "w"), all, numIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    classic.foreach { case (v, r) => assert(math.abs(r - ppr(v)) < 1e-12, s"node $v") }
+  }
+
+  test("personalized: seeds outside the graph are ignored; all-outside raises") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "w")
+    // 30 iterations: the 2-cycle's oscillation has damped by then and
+    // the seed holds the larger stationary share (0.54 vs 0.46)
+    val got = PageRank.runPersonalized(edges, Seq(1L, 99L).toDF("id"), numIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) > got(2L)) // 99 ignored, 1 is the only seed
+    intercept[IllegalArgumentException] {
+      PageRank.runPersonalized(edges, Seq(99L).toDF("id"), numIter = 5)
+    }
+  }
 }
