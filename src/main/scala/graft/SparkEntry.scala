@@ -506,6 +506,25 @@ object SparkEntry {
         .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
     }),
 
+    // --- Semantic communities: the SemDeDup-shaped composition — an
+    // exact cosine top-5 kNN graph over the embeddings (self-edges
+    // dropped), then synchronous label propagation groups vectors
+    // into similarity communities. CC would merge everything
+    // reachable; LPA keeps dense cores apart — the distinction that
+    // matters on a near-dup graph with weak bridges. Oracle replays
+    // the brute-force top-k (the q_ann_cosine CTE) and 3 LPA rounds. ---
+    "q_semantic_communities" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("vec"))
+      val knn = new graft.ann.BruteForceCosineKnn()
+        .setIdCol("vec_id").setVecCol("vec").setK(6)
+        .transform(emb, emb).head
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.graph.LabelPropagation.run(knn, numIter = 3)
+    }),
+
     // --- Label propagation (community detection): synchronous LPA
     // with min-label tie-breaks over the symmetrized q_pagerank graph;
     // 3 deterministic rounds, exact integer-count replay in SQL. ---
@@ -1544,14 +1563,6 @@ object SparkEntry {
       hasher.clusterWithRep(hashed, "doc_id", maxHamming = 3, numBands = 4)
     }),
 
-    // --- Incremental perceptual dedup against a persisted fingerprint
-    // index (HammingIndexer — the MinHashIndexer workflow for
-    // perceptual hashes): index the ≡0 base images, flag batch 1 (≡1,
-    // all NOVEL bases → no matches), GROW the index with it
-    // (addToIndex), then flag batch 2 — its ≡2 rows are recolors of
-    // batch-1 images (match proves the increment: those ids exist
-    // nowhere in the original index), its ≡3 rows recolors of indexed
-    // bases. Closed-form oracle on the planted structure. ---
     // --- CROSS-MODAL dedup: groups of 4 docs where 4g and 4g+1 share
     // the IMAGE (texts unrelated), 4g+1 and 4g+2 share the TEXT
     // (images unrelated), 4g+3 is a singleton — no single modality
@@ -1588,6 +1599,14 @@ object SparkEntry {
         Seq(("image", "img_fp", 3, 4), ("text", "text_fp", 3, 4)))
     }),
 
+    // --- Incremental perceptual dedup against a persisted fingerprint
+    // index (HammingIndexer — the MinHashIndexer workflow for
+    // perceptual hashes): index the ≡0 base images, flag batch 1 (≡1,
+    // all NOVEL bases → no matches), GROW the index with it
+    // (addToIndex), then flag batch 2 — its ≡2 rows are recolors of
+    // batch-1 images (match proves the increment: those ids exist
+    // nowhere in the original index), its ≡3 rows recolors of indexed
+    // bases. Closed-form oracle on the planted structure. ---
     "q_incremental_image_dedup" -> ((s, dir) => {
       val mkImg = udf { id: Long =>
         (id % 4) match {
@@ -3762,6 +3781,47 @@ object SparkEntry {
                 FROM p CROSS JOIN d3 LEFT JOIN c3 ON p.id = c3.id)
          SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
 
+    // the q_ann_cosine brute-force top-k CTE builds the kNN edge
+    // list (k=6, self dropped), then the q_label_prop LPA chain runs
+    // 3 rounds over the symmetrized edges
+    "q_semantic_communities" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS q, b.vec_id AS n,
+                  list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                    AS sim
+           FROM emb a CROSS JOIN emb b),
+         knn AS (SELECT q AS src, n AS dst FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, n ASC) AS rk
+                   FROM pairs)
+                 WHERE rk <= 6 AND q <> n),
+         nodes AS (SELECT src AS id FROM knn UNION SELECT dst FROM knn),
+         es AS (SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn),
+         l0 AS (SELECT id, id AS lab FROM nodes),
+         c1 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l0 l ON es.src = l.id GROUP BY 1, 2),
+         m1 AS (SELECT id, MAX(c) AS mc FROM c1 GROUP BY 1),
+         p1 AS (SELECT c1.id, MIN(c1.lab) AS lab
+                FROM c1 JOIN m1 ON c1.id = m1.id AND c1.c = m1.mc GROUP BY 1),
+         l1 AS (SELECT n.id, COALESCE(p1.lab, l0.lab) AS lab
+                FROM nodes n JOIN l0 ON n.id = l0.id LEFT JOIN p1 ON n.id = p1.id),
+         c2 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l1 l ON es.src = l.id GROUP BY 1, 2),
+         m2 AS (SELECT id, MAX(c) AS mc FROM c2 GROUP BY 1),
+         p2 AS (SELECT c2.id, MIN(c2.lab) AS lab
+                FROM c2 JOIN m2 ON c2.id = m2.id AND c2.c = m2.mc GROUP BY 1),
+         l2 AS (SELECT n.id, COALESCE(p2.lab, l1.lab) AS lab
+                FROM nodes n JOIN l1 ON n.id = l1.id LEFT JOIN p2 ON n.id = p2.id),
+         c3 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l2 l ON es.src = l.id GROUP BY 1, 2),
+         m3 AS (SELECT id, MAX(c) AS mc FROM c3 GROUP BY 1),
+         p3 AS (SELECT c3.id, MIN(c3.lab) AS lab
+                FROM c3 JOIN m3 ON c3.id = m3.id AND c3.c = m3.mc GROUP BY 1),
+         l3 AS (SELECT n.id, COALESCE(p3.lab, l2.lab) AS lab
+                FROM nodes n JOIN l2 ON n.id = l2.id LEFT JOIN p3 ON n.id = p3.id)
+         SELECT id, lab AS label FROM l3""",
+
     // synchronous LPA replayed exactly: per round, per-vertex neighbor
     // label counts (symmetrized edges, self-loops dropped, parallel
     // edges count), argmax with MIN-label tie-break, keep-own when no
@@ -4842,10 +4902,6 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INT) AS rep_hamming
          FROM documents""",
 
-    // closed-form replay of the planted incremental structure: ≡1 rows
-    // are novel at flag time (matched null), ≡2 rows match the batch-1
-    // image one id below (only reachable through addToIndex), ≡3 rows
-    // match the originally indexed base three ids below
     // closed-form replay of the planted cross-modal structure: image
     // links 4g-(4g+1), text links (4g+1)-(4g+2), so the component is
     // {4g, 4g+1, 4g+2} with canonical 4g; 4g+3 is a singleton. The
@@ -4865,6 +4921,10 @@ object SparkEntry {
                      ELSE '' END AS via
          FROM d, n""",
 
+    // closed-form replay of the planted incremental structure: ≡1 rows
+    // are novel at flag time (matched null), ≡2 rows match the batch-1
+    // image one id below (only reachable through addToIndex), ≡3 rows
+    // match the originally indexed base three ids below
     "q_incremental_image_dedup" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 4 = 2 THEN doc_id - 1

@@ -1326,10 +1326,15 @@ object ScaleUp {
       // same and the operator correctly reports them as near-dups).
       // They are reported and bounded, not forbidden.
       val grp = nDoc / 4
+      // persisted: the planted/total counts AND clusterComponentsMulti's
+      // internal pairs (sameResult plans) all read ONE banded join per
+      // modality instead of recomputing it per consumer
       val imgPairs = graft.dedup.HammingJoin.pairs(
         hashed.where(col("img_fp").isNotNull), "id", "img_fp", 3, 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val textPairs = graft.dedup.HammingJoin.pairs(
         hashed.where(col("text_fp").isNotNull), "id", "text_fp", 3, 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val imgPlanted = imgPairs
         .where(col("id_a") % 4 === 0 && col("id_b") === col("id_a") + 1).count()
       val textPlanted = textPairs
@@ -1340,6 +1345,8 @@ object ScaleUp {
       val viaCounts = out.groupBy("via").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val dups = out.where(col("is_duplicate")).count()
+      imgPairs.unpersist(blocking = false)
+      textPairs.unpersist(blocking = false)
       hashed.unpersist(blocking = false)
       println(s"""{"crossmodal_image_recall":${if (imgPlanted == grp) 1.0
         else imgPlanted.toDouble / grp},""" +
@@ -1389,8 +1396,13 @@ object ScaleUp {
         .select(max(abs(projSq - centeredSq)).as("err")).head.getDouble(0)
       println(s"""{"online_pca_versions":$nver,"online_pca_max_norm_err":${
         String.format(java.util.Locale.ROOT, "%.2e", Double.box(err))}}""")
-      require(nver == 10 && err < 1e-6,
-        s"online PCA norm preservation broke: versions=$nver err=$err")
+      // expected versions from the actual window arithmetic (vec_ids
+      // 0..numVecs-1 span floor((numVecs-1)/winSize)+1 windows) — do
+      // not conflate window counting with the norm-preservation check
+      val expectVer = (numVecs - 1) / winSize + 1
+      require(nver == expectVer,
+        s"online PCA emitted $nver versions, expected $expectVer")
+      require(err < 1e-6, s"online PCA norm preservation broke: err=$err")
       numVecs
     }
 

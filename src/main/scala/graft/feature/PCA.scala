@@ -110,9 +110,7 @@ class PCAModel extends Model[PCAModel]
     val eigenvalues = row.getAs[scala.collection.Seq[Double]](2).toArray
     val flat = row.getAs[scala.collection.Seq[Double]](3).toArray
     val kk = eigenvalues.length
-    val whitenScale =
-      if (getWhiten) eigenvalues.map(ev => 1.0 / math.sqrt(math.max(ev, 1e-12)))
-      else Array.fill(kk)(1.0)
+    val whitenScale = Eigen.whitenScale(eigenvalues, getWhiten)
     val bc = input.sparkSession.sparkContext.broadcast((d, mean, flat, whitenScale))
     val project = udf { v: Vector =>
       val (dim, mu, comps, ws) = bc.value

@@ -192,11 +192,20 @@ object PageRank {
       val contribs = shares.join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share") * col("r")).as("c"))
+      // the uniform branch keeps the EXACT r12 expression ((1-d)/n and
+      // dm/n as divisions): x/n and x*(1/n) differ at the ulp level,
+      // and the classic path's oracle parity (ROUND(r, 10) after 3
+      // iterations) is pinned to the division form
+      val rankExpr = teleport match {
+        case None =>
+          lit((1.0 - d) / n) +
+            lit(d) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n))
+        case Some(_) =>
+          lit(1.0 - d) * col("p") +
+            lit(d) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass) * col("p"))
+      }
       val next = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(1.0 - d) * col("p") +
-            lit(d) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass) * col("p")))
-            .as("r"))
+        .select(col("id"), rankExpr.as("r"))
       val mat =
         if ((iter + 1) % CheckpointEvery == 0) next.localCheckpoint(true)
         else next.persist(StorageLevel.MEMORY_AND_DISK)

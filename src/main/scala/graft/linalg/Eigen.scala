@@ -61,6 +61,13 @@ object Eigen {
     (mean, cov)
   }
 
+  /** Per-component projection scales: all-ones, or 1/sqrt(eigenvalue)
+    * when whitening (eigenvalues floored at 1e-12) — ONE copy of the
+    * convention shared by batch PCA and OnlinePCA. */
+  def whitenScale(eigenvalues: Array[Double], whiten: Boolean): Array[Double] =
+    if (whiten) eigenvalues.map(ev => 1.0 / math.sqrt(math.max(ev, 1e-12)))
+    else Array.fill(eigenvalues.length)(1.0)
+
   /** Top-k eigenpairs of a symmetric matrix, eigenvalues descending,
     * each eigenvector's sign normalized so its largest-magnitude
     * coordinate is positive (eigenvectors are only defined up to

@@ -44,6 +44,11 @@ class OnlinePCA extends Estimator[OnlinePCA, OnlinePCAModel]
   def getK: Int = get(k)
   def setK(v: Int): OnlinePCA = set(k, v)
 
+  final val whiten: Param[Boolean] =
+    param[Boolean]("whiten", "Scale each component by 1/sqrt(eigenvalue) so the output has identity covariance (same convention as batch PCA).", false)
+  def getWhiten: Boolean = get(whiten)
+  def setWhiten(v: Boolean): OnlinePCA = set(whiten, v)
+
   final val timeCol: Param[String] =
     param[String]("timeCol", "Event-time column (milliseconds, long) for event-time windows.", "ts")
   def getTimeCol: String = get(timeCol)
@@ -124,6 +129,10 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
   final val k: Param[Int] =
     param[Int]("k", "Number of principal components (used by update()).", 2, ParamValidators.gt(0))
   def getK: Int = get(k)
+
+  final val whiten: Param[Boolean] =
+    param[Boolean]("whiten", "Scale each component by 1/sqrt(eigenvalue) so the output has identity covariance (same convention as batch PCA).", false)
+  def getWhiten: Boolean = get(whiten)
 
   final val modelVersionCol: Param[String] =
     param[String]("modelVersionCol", "Output column holding the model version used.", "version")
@@ -232,7 +241,7 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
   // projection body lives on the companion: the udf closures must
   // capture only broadcast handles, never `this` (the model holds a
   // non-serializable DataFrame)
-  import OnlinePCAModel.projectInto
+  import OnlinePCAModel.{projectInto, whitenScale}
 
   private def transformLatest(input: DataFrame): Array[DataFrame] = {
     val latest = modelData.orderBy(col("version").desc).head()
@@ -240,12 +249,14 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
     val d = latest.getAs[Int]("dim")
     val mu = latest.getAs[scala.collection.Seq[Double]]("mean").toArray
     val comps = latest.getAs[scala.collection.Seq[Double]]("components").toArray
-    val bc = input.sparkSession.sparkContext.broadcast((d, mu, comps))
+    val ws = whitenScale(
+      latest.getAs[scala.collection.Seq[Double]]("eigenvalues").toArray, getWhiten)
+    val bc = input.sparkSession.sparkContext.broadcast((d, mu, comps, ws))
     val project = udf { v: Vector =>
       if (v == null) null
       else {
-        val (dim, m, c) = bc.value
-        projectInto(c, m, dim, v.toArray)
+        val (dim, m, c, w) = bc.value
+        projectInto(c, m, w, dim, v.toArray)
       }
     }
     Array(input
@@ -260,7 +271,7 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
     val delay = getMaxAllowedModelDelayMs
     val versions = modelData
       .select(col("windowEndMs").cast("long"), col("version"), col("dim"),
-        col("mean"), col("components"))
+        col("mean"), col("components"), col("eigenvalues"))
       .orderBy("windowEndMs")
       .collect()
     val ends = versions.map(_.getLong(0))
@@ -268,11 +279,13 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
     val d = versions.head.getInt(2)
     val means = versions.map(_.getAs[scala.collection.Seq[Double]](3).toArray)
     val comps = versions.map(_.getAs[scala.collection.Seq[Double]](4).toArray)
+    val scales = versions.map(r =>
+      whitenScale(r.getAs[scala.collection.Seq[Double]](5).toArray, getWhiten))
     val spark = input.sparkSession
-    val bc = spark.sparkContext.broadcast((ends, vers, d, means, comps))
+    val bc = spark.sparkContext.broadcast((ends, vers, d, means, comps, scales))
 
     val projectVersioned = udf { (v: Vector, ts: Long) =>
-      val (es, vr, dim, mus, cs) = bc.value
+      val (es, vr, dim, mus, cs, sc) = bc.value
       // lower bound: first index with es(i) >= ts - delay
       var lo = 0; var hi = es.length
       val key = ts - delay
@@ -281,7 +294,7 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
         if (es(mid) >= key) hi = mid else lo = mid + 1
       }
       if (lo == es.length || v == null) (null: Vector, -1L)
-      else (projectInto(cs(lo), mus(lo), dim, v.toArray), vr(lo))
+      else (projectInto(cs(lo), mus(lo), sc(lo), dim, v.toArray), vr(lo))
     }
     val applied = input.withColumn("__proj",
       projectVersioned(col(getInputCol), col(getTimeCol).cast("long")))
@@ -297,10 +310,10 @@ object OnlinePCAModel extends StageLoader[OnlinePCAModel] {
     m.setModelData(ReadWrite.loadModelData(spark, path))
   }
 
-  /** proj = Vᵀ(x − μ); free function so udf closures capture only
-    * broadcast data, never a model instance. */
+  /** proj_c = ws_c · V_cᵀ(x − μ); free function so udf closures
+    * capture only broadcast data, never a model instance. */
   private[streaming] def projectInto(comps: Array[Double], mu: Array[Double],
-      d: Int, a: Array[Double]): Vector = {
+      ws: Array[Double], d: Int, a: Array[Double]): Vector = {
     val kk = comps.length / d
     val out = new Array[Double](kk)
     var c = 0
@@ -309,9 +322,13 @@ object OnlinePCAModel extends StageLoader[OnlinePCAModel] {
       var i = 0
       val off = c * d
       while (i < d) { s += comps(off + i) * (a(i) - mu(i)); i += 1 }
-      out(c) = s
+      out(c) = s * ws(c)
       c += 1
     }
     Vectors.dense(out)
   }
+
+  /** Shared with batch PCA — ONE copy of the whiten convention. */
+  private[streaming] def whitenScale(ev: Array[Double], whiten: Boolean): Array[Double] =
+    Eigen.whitenScale(ev, whiten)
 }

@@ -142,6 +142,20 @@ class OnlinePCASpec extends SparkSpec {
     assert(row.getAs[Long]("version") == 0L && row.getAs[Long]("count") == 40L)
   }
 
+  test("whiten matches batch PCA's whitened projection") {
+    val online = new OnlinePCA().setInputCol("vec").setK(3).setWhiten(true)
+      .setWindows(GlobalWindows).fit(input).setOutputCol("proj")
+    val batch = new graft.feature.PCA().setInputCol("vec").setK(3)
+      .setWhiten(true).fit(input).setOutputCol("proj")
+    val a = online.transform(input).head.select("ts", "proj").collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector](1).toArray).toMap
+    val b = batch.transform(input).head.select("ts", "proj").collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector](1).toArray).toMap
+    a.foreach { case (ts, v) =>
+      v.zip(b(ts)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-8, s"ts=$ts") }
+    }
+  }
+
   test("k truncation and explainedVariance ordering") {
     val model = new OnlinePCA().setInputCol("vec").setK(2)
       .setWindows(GlobalWindows).fit(input).setOutputCol("proj")
