@@ -1240,6 +1240,73 @@ object ScaleUp {
       matched
     }
 
+    // OnlinePCA as a STREAM consumer with a kill/restart mid-run: the
+    // embedding table streams through ~16 file triggers into
+    // model.update (one model version per micro-batch); after 6
+    // batches the query is killed, the model is saved + re-loaded
+    // (wiping the in-memory moments — the resume must come from the
+    // persisted sum/gram), and the stream restarts from its
+    // checkpoint. Exactly-once: batch-id-keyed idempotent folds make
+    // replays no-ops; the final version's count must equal the corpus
+    // and its eigenvalues/mean must equal a one-shot batch PCA fit on
+    // the full table — moment folding is exact regardless of where
+    // the kill landed.
+    stage("streaming_pca") {
+      val streamPath = s"$base/stream_pca_vecs.parquet"
+      vecs.select(col("vec_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("vec")).as("emb"))
+        .write.mode("overwrite").parquet(streamPath)
+      val nFiles = Option(new java.io.File(streamPath).listFiles())
+        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(1)
+      var model = new graft.streaming.OnlinePCAModel()
+        .setInputCol("vec").setOutputCol("proj")
+      model = model.set(model.k, dim)
+      val chk = java.nio.file.Files.createTempDirectory("graft-spca-chk").toString
+      val done = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("emb",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 16))
+        .parquet(streamPath)
+      def start() = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!done.containsKey(id)) {
+            model = model.update(b.withColumn("vec",
+              org.apache.spark.ml.functions.array_to_vector(col("emb"))), "vec", id)
+            done.put(id, id)
+          }
+          ()
+        }.start()
+      val q1 = start()
+      while (done.size < 6 && q1.isActive) Thread.sleep(100)
+      q1.stop()
+      val restartMidRun = done.size < 16
+      val mdir = java.nio.file.Files.createTempDirectory("graft-spca-model").toString
+      model.save(mdir)
+      model = graft.streaming.OnlinePCAModel.load(spark, mdir)
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val last = model.getModelData.head.orderBy(col("version").desc).head()
+      val count = last.getAs[Long]("count")
+      val streamedEv = last.getAs[scala.collection.Seq[Double]]("eigenvalues").toArray
+      val batch = new graft.feature.PCA().setInputCol("vec").setK(dim).fit(vecs)
+      val batchEv = batch.getModelData.head.head()
+        .getAs[scala.collection.Seq[Double]]("eigenvalues").toArray
+      val evErr = streamedEv.zip(batchEv).map { case (a, b) => math.abs(a - b) }.max
+      println(s"""{"streaming_pca_batches":${done.size},""" +
+        s""""streaming_pca_restart_mid_run":$restartMidRun,""" +
+        s""""streaming_pca_rows_once":${count == numVecs},""" +
+        s""""streaming_pca_eigen_err":${String.format(java.util.Locale.ROOT,
+          "%.2e", Double.box(evErr))}}""")
+      require(count == numVecs, s"streamed fold lost/duplicated rows: $count != $numVecs")
+      require(evErr < 1e-8,
+        s"streamed cumulative moments drifted from the one-shot batch fit: $evErr")
+      count
+    }
+
     // Z-order layout vs 1-D sort at 20M rows: the same 2-dim
     // rectangle predicate (1% of x × 1% of y) against (a) a layout
     // sorted by x alone and (b) the Morton-interleaved layout. Parquet
