@@ -154,4 +154,25 @@ class PlanShapeSpec extends SparkSpec {
     val out = model.transform(df).head
     assert(countExchanges(out.queryExecution.executedPlan.toString) == 0)
   }
+
+  test("cross-modal dedup unions banded equi-joins only — never a cartesian") {
+    import spark.implicits._
+    val df = Seq((0L, 0x7L, 0x1L), (1L, 0x7L, 0xFF00L), (2L, 0xF0F0L, 0xFF01L))
+      .toDF("id", "img_fp", "text_fp")
+    val out = graft.dedup.HammingJoin.clusterComponentsMulti(df, "id",
+      Seq(("image", "img_fp", 3, 4), ("text", "text_fp", 3, 4)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("label propagation's result plan carries no cartesian / nested-loop join") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = graft.graph.LabelPropagation.run(edges, numIter = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    out.unpersist()
+  }
 }
