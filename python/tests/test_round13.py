@@ -171,3 +171,22 @@ def test_label_propagation_cliques(spark):
     out.unpersist()
     assert all(got[v] == 0 for v in range(4))
     assert all(got[v] == 10 for v in range(10, 14))
+
+
+def test_video_cluster_components_closes_chains(spark):
+    from graftml import VideoDHasher
+    rows = [
+        (0, _vid(spark, 1)),
+        (1, _vid(spark, 1, flip_mask=0x07)),   # every slot moves 3 bits
+        (2, _vid(spark, 1, flip_mask=0x3F)),   # 6 from base: chain end
+        (9, _vid(spark, 2)),
+    ]
+    df = spark.createDataFrame(rows, ["id", "video"])
+    h = VideoDHasher(spark=spark).setInputCol("video").setOutputCol("sig")
+    hashed = h.transform(df)[0]
+    closed = {r["id"]: (r["cluster_id"], r["is_duplicate"])
+              for r in h.clusterComponents(hashed, "id", 3, 4).collect()}
+    assert closed[0] == (0, False)
+    assert closed[1] == (0, True)
+    assert closed[2] == (0, True)   # beyond maxHamming from the root, still closed
+    assert closed[9] == (9, False)

@@ -1563,6 +1563,33 @@ object SparkEntry {
       hasher.clusterWithRep(hashed, "doc_id", maxHamming = 3, numBands = 4)
     }),
 
+    // --- Video dedup under a planted Hamming CHAIN — the transitive-
+    // closure path (VideoDHasher.clusterComponents): flipMask 0 →
+    // 0b111 → 0b111111 moves EVERY slot by exactly 3 bits per hop
+    // (endpoints 6 apart — direct-neighbor clustering would split the
+    // group) plus a re-grade clique member on the chain end. One
+    // component per group, canonical = the group min; no rep_hamming
+    // (a chain's representative need not be a direct neighbor). ---
+    "q_video_dedup_chain" -> ((s, dir) => {
+      val mkVid = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.VideoDHasher.syntheticCellVideo(g)
+          case 1 => graft.multimodal.VideoDHasher.syntheticCellVideo(g, flipMask = 0x07)
+          case 2 => graft.multimodal.VideoDHasher.syntheticCellVideo(g, flipMask = 0x3f)
+          case _ => graft.multimodal.VideoDHasher.syntheticCellVideo(g, flipMask = 0x3f,
+            brightness = 40)
+        }
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("video", mkVid(col("doc_id")))
+      val hasher = new graft.multimodal.VideoDHasher()
+        .setInputCol("video").setOutputCol("sig")
+      val hashed = hasher.transform(docs).head.select("doc_id", "sig")
+        .localCheckpoint(true)
+      hasher.clusterComponents(hashed, "doc_id", maxHamming = 3, numBands = 4)
+    }),
+
     // --- CROSS-MODAL dedup: groups of 4 docs where 4g and 4g+1 share
     // the IMAGE (texts unrelated), 4g+1 and 4g+2 share the TEXT
     // (images unrelated), 4g+3 is a singleton — no single modality
@@ -4900,6 +4927,15 @@ object SparkEntry {
                 (doc_id // 4) * 4 AS cluster_id,
                 doc_id % 4 <> 0 AS is_duplicate,
                 CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INT) AS rep_hamming
+         FROM documents""",
+
+    // closed-form replay of the planted video CHAIN (same construction
+    // as q_image_dedup_chain, per-slot): the closure collapses each
+    // 4-variant chain to the group min
+    "q_video_dedup_chain" ->
+      """SELECT doc_id,
+                (doc_id // 4) * 4 AS cluster_id,
+                doc_id % 4 <> 0 AS is_duplicate
          FROM documents""",
 
     // closed-form replay of the planted cross-modal structure: image

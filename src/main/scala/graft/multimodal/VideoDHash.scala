@@ -182,6 +182,29 @@ class VideoDHasher extends Transformer[VideoDHasher]
         when(!col("__ok"), lit(null).cast("int"))
           .otherwise(coalesce(col("hamming"), lit(0))).as("rep_hamming"))
   }
+
+  /** Transitive-closure variant of [[clusterWithRep]]
+    * ([[graft.dedup.HammingJoin.clusterComponents]] over the 3-slot
+    * signature): the 3-slot near-dup pairs feed
+    * [[graft.dedup.ConnectedComponents.run]], so chain-shaped video
+    * groups — re-encodes linked through intermediates whose endpoints
+    * sit BEYOND maxHamming on some slot — still collapse to one
+    * canonical `cluster_id` = the component min. `rep_hamming` is
+    * absent, deliberately: on a chain the representative need not be
+    * a direct neighbor, and measuring a max-slot distance to it would
+    * require a full signature join-back for a number that exceeds the
+    * threshold by construction. Null signatures cluster alone. */
+  def clusterComponents(df: DataFrame, idCol: String, maxHamming: Int,
+      numBands: Int = 4): DataFrame = {
+    val p = similarityJoin(df, idCol, maxHamming, numBands)
+    val comp = graft.dedup.ConnectedComponents.run(p, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("is_duplicate", col("cluster_id") < col(idCol))
+  }
 }
 
 object VideoDHasher extends StageLoader[VideoDHasher] {

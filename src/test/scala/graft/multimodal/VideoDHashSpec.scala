@@ -126,6 +126,33 @@ class VideoDHashSpec extends SparkSpec {
     }
   }
 
+  test("clusterComponents closes video Hamming chains; clusterWithRep splits them") {
+    import spark.implicits._
+    // chain: flipMask 0 -> 0x07 -> 0x3f moves every slot 3 bits per
+    // hop (endpoints 6 apart), plus a re-grade clique member on the
+    // end; a null payload clusters alone
+    val df = Seq(
+      (0L, mk(1L)),
+      (1L, mk(1L, flipMask = 0x07)),
+      (2L, mk(1L, flipMask = 0x3f)),
+      (3L, mk(1L, flipMask = 0x3f, brightness = 40)),
+      (9L, mk(2L)),
+      (10L, Array.empty[Byte])).toDF("id", "v")
+    val h = new VideoDHasher().setInputCol("v").setOutputCol("s")
+    val hashed = h.transform(df).head
+    val closed = h.clusterComponents(hashed, "id", maxHamming = 3, numBands = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(closed(0L) == ((0L, false)))
+    assert(closed(1L) == ((0L, true)))
+    assert(closed(2L) == ((0L, true)), "chain end must close to the root")
+    assert(closed(3L) == ((0L, true)))
+    assert(closed(9L) == ((9L, false)) && closed(10L) == ((10L, false)))
+    // single-hop comparison: the chain end points at its neighbor
+    val direct = h.clusterWithRep(hashed, "id", maxHamming = 3, numBands = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct(2L) == 1L, "documented single-hop semantics")
+  }
+
   test("param save/load round-trip; banding guards") {
     val dir = tmpDir()
     new VideoDHasher().setInputCol("v").setOutputCol("s").save(dir)
