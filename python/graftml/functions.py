@@ -91,19 +91,23 @@ def personalized_page_rank(edges, seeds, src="src", dst="dst",
 
 
 def label_propagation(edges, src="src", dst="dst", num_iter=10,
-                      directed=False, id_out="id", label_out="label"):
+                      directed=False, weight_col="", id_out="id",
+                      label_out="label"):
     """Synchronous label propagation (Raghavan et al. 2007) community
     detection: label_0(v) = v; each round every vertex adopts its
     neighbors' most frequent label (ties -> smallest; no neighbors ->
     keep). Undirected by default (edges symmetrized); self-loops are
-    dropped; parallel edges vote with multiplicity; early-stops when no
-    label changes. Deterministic — synchronous updates replay exactly,
-    including 2-cycles on bipartite structures (num_iter bounds them).
-    Same cache-release contract as page_rank."""
+    dropped; parallel edges vote with multiplicity — or with their
+    summed weights when weight_col names a positive edge-weight column
+    (the natural setting for similarity-weighted graphs); early-stops
+    when no label changes. Deterministic — synchronous updates replay
+    exactly, including 2-cycles on bipartite structures (num_iter
+    bounds them). Same cache-release contract as page_rank."""
     from pyspark.sql import DataFrame
     spark = edges.sparkSession
     jdf = spark._jvm.graft.graph.LabelPropagation.run(
-        edges._jdf, src, dst, int(num_iter), bool(directed), id_out, label_out)
+        edges._jdf, src, dst, int(num_iter), bool(directed), weight_col,
+        id_out, label_out)
     return DataFrame(jdf, spark)
 
 

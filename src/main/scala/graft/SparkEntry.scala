@@ -535,6 +535,17 @@ object SparkEntry {
       graft.graph.LabelPropagation.run(edges, numIter = 3)
     }),
 
+    // --- Weighted label propagation: same graph, edge weight
+    // src % 3 + 1 — votes are weight SUMS (integer-valued, so the
+    // replay stays exact); a heavy edge outvotes multiplicity. ---
+    "q_label_prop_weighted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") * 31 % 1000).as("dst"))
+        .withColumn("w", (col("src") % 3 + 1).cast("double"))
+      graft.graph.LabelPropagation.run(edges, numIter = 3, weightCol = "w")
+    }),
+
     // --- TextRank keywords over the corpus word-co-occurrence graph:
     // 3 fixed PageRank iterations on the symmetrized adjacent-pair
     // list; the oracle rebuilds the same graph from the text and
@@ -3807,6 +3818,40 @@ object SparkEntry {
          r3 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm * p.p) AS r
                 FROM p CROSS JOIN d3 LEFT JOIN c3 ON p.id = c3.id)
          SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
+
+    // the q_label_prop chain with per-edge weights (src % 3 + 1):
+    // votes are SUM(w) — integer-valued, so the replay stays exact
+    "q_label_prop_weighted" ->
+      """WITH e0 AS (
+           SELECT event_id AS src, (event_id * 31) % 1000 AS dst,
+                  CAST(event_id % 3 + 1 AS DOUBLE) AS w
+           FROM events WHERE event_id % 7 <> 0),
+         nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         er AS (SELECT src, dst, w FROM e0 WHERE src <> dst),
+         es AS (SELECT src, dst, w FROM er UNION ALL SELECT dst, src, w FROM er),
+         l0 AS (SELECT id, id AS lab FROM nodes),
+         c1 AS (SELECT es.dst AS id, l.lab, SUM(es.w) AS c
+                FROM es JOIN l0 l ON es.src = l.id GROUP BY 1, 2),
+         m1 AS (SELECT id, MAX(c) AS mc FROM c1 GROUP BY 1),
+         p1 AS (SELECT c1.id, MIN(c1.lab) AS lab
+                FROM c1 JOIN m1 ON c1.id = m1.id AND c1.c = m1.mc GROUP BY 1),
+         l1 AS (SELECT n.id, COALESCE(p1.lab, l0.lab) AS lab
+                FROM nodes n JOIN l0 ON n.id = l0.id LEFT JOIN p1 ON n.id = p1.id),
+         c2 AS (SELECT es.dst AS id, l.lab, SUM(es.w) AS c
+                FROM es JOIN l1 l ON es.src = l.id GROUP BY 1, 2),
+         m2 AS (SELECT id, MAX(c) AS mc FROM c2 GROUP BY 1),
+         p2 AS (SELECT c2.id, MIN(c2.lab) AS lab
+                FROM c2 JOIN m2 ON c2.id = m2.id AND c2.c = m2.mc GROUP BY 1),
+         l2 AS (SELECT n.id, COALESCE(p2.lab, l1.lab) AS lab
+                FROM nodes n JOIN l1 ON n.id = l1.id LEFT JOIN p2 ON n.id = p2.id),
+         c3 AS (SELECT es.dst AS id, l.lab, SUM(es.w) AS c
+                FROM es JOIN l2 l ON es.src = l.id GROUP BY 1, 2),
+         m3 AS (SELECT id, MAX(c) AS mc FROM c3 GROUP BY 1),
+         p3 AS (SELECT c3.id, MIN(c3.lab) AS lab
+                FROM c3 JOIN m3 ON c3.id = m3.id AND c3.c = m3.mc GROUP BY 1),
+         l3 AS (SELECT n.id, COALESCE(p3.lab, l2.lab) AS lab
+                FROM nodes n JOIN l2 ON n.id = l2.id LEFT JOIN p3 ON n.id = p3.id)
+         SELECT id, lab AS label FROM l3""",
 
     // the q_ann_cosine brute-force top-k CTE builds the kNN edge
     // list (k=6, self dropped), then the q_label_prop LPA chain runs

@@ -52,16 +52,32 @@ object LabelPropagation {
 
   private val CheckpointEvery = 4
 
+  /**
+   * @param weightCol optional edge-weight column; "" = unweighted
+   *                  (every edge votes 1). Weighted votes generalize
+   *                  the multiplicity rule: a neighbor's label counts
+   *                  its incident edges' total weight — the natural
+   *                  setting when edges carry similarity scores (e.g.
+   *                  a cosine-kNN graph). Weights must be positive.
+   */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      numIter: Int = 10, directed: Boolean = false,
+      numIter: Int = 10, directed: Boolean = false, weightCol: String = "",
       idOut: String = "id", labelOut: String = "label"): DataFrame = {
     require(numIter > 0, s"numIter must be positive, got $numIter")
 
-    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val w =
+      if (weightCol.isEmpty) lit(1.0)
+      else when(col(weightCol).cast("double") <= 0.0 || col(weightCol).isNull,
+          raise_error(concat(
+            lit(s"LabelPropagation: non-positive/null weight in '$weightCol' on edge "),
+            col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
+            .cast("double"))
+        .otherwise(col(weightCol).cast("double"))
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .where(col("src") =!= col("dst")) // self-votes would freeze the start state
     val sym =
       if (directed) raw
-      else raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      else raw.union(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     // partitioned on src: the per-iteration label join reuses this,
     // only the O(V) label table shuffles per round
     val adj = sym.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -79,10 +95,11 @@ object LabelPropagation {
     var iter = 0
     var converged = false
     while (iter < numIter && !converged) {
-      // votes: neighbor labels arriving at each dst, multiplicity kept
+      // votes: neighbor labels arriving at each dst — edge-weight sums
+      // (multiplicity when unweighted: every edge votes 1.0)
       val votes = adj.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("lab"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum("w").as("cnt"))
       // argmax with min-label tiebreak. Labels are vertex ids, so for
       // numeric ids ONE aggregation does it: max over (cnt, -lab)
       // struct ordering picks the highest count and, on ties, the

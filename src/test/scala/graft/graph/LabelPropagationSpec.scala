@@ -48,6 +48,66 @@ class LabelPropagationSpec extends SparkSpec {
     assert(undirected == Map(0L -> 0L, 1L -> 1L, 5L -> 5L))
   }
 
+  test("weighted votes: heavier edges outvote multiplicity; guards reject bad weights") {
+    import spark.implicits._
+    // 2 hears label 0 over two weight-1 edges and label 1 over one
+    // weight-5 edge: weighted LPA must pick 1 where unweighted picks 0
+    val edges = Seq((0L, 2L, 1.0), (0L, 2L, 1.0), (1L, 2L, 5.0)).toDF("src", "dst", "w")
+    val weighted = LabelPropagation.run(edges, numIter = 1, directed = true,
+      weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(2L) == 1L)
+    val unweighted = labelsOf(LabelPropagation.run(edges, numIter = 1, directed = true))
+    assert(unweighted(2L) == 0L)
+    val e = intercept[Exception] {
+      LabelPropagation.run(Seq((0L, 1L, 0.0)).toDF("src", "dst", "w"),
+        numIter = 1, weightCol = "w").collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("non-positive")), causes(e).mkString(" | "))
+  }
+
+  /** In-memory reference: same semantics, dense maps. */
+  private def referenceLpa(edges: Seq[(Long, Long)], numIter: Int,
+      directed: Boolean): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val raw = edges.filter(e => e._1 != e._2)
+    val sym = if (directed) raw else raw ++ raw.map(e => (e._2, e._1))
+    val in = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var labels = nodes.map(v => v -> v).toMap
+    var iter = 0
+    var converged = false
+    while (iter < numIter && !converged) {
+      val next = nodes.map { v =>
+        in.get(v) match {
+          case None => v -> labels(v)
+          case Some(srcs) =>
+            val counts = srcs.map(labels).groupBy(identity).view.mapValues(_.size)
+            val mc = counts.values.max
+            v -> counts.collect { case (lab, c) if c == mc => lab }.min
+        }
+      }.toMap
+      converged = next == labels
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  test("differential: random graphs match the in-memory reference exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3; directed <- Seq(false, true)) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val want = referenceLpa(edges, numIter = 4, directed = directed)
+      val got = labelsOf(LabelPropagation.run(
+        edges.toDF("src", "dst"), numIter = 4, directed = directed))
+      assert(got == want, s"trial=$trial directed=$directed")
+    }
+  }
+
   test("parallel edges vote with multiplicity; output columns renamable") {
     import spark.implicits._
     // vertex 2 hears label 0 twice (parallel edges) and label 1 once:
