@@ -24,7 +24,11 @@ import graft.util.ReadWrite
  * `sum`/`gram` are the packed cumulative moments: they make a
  * persisted model resumable EXACTLY (update() folds new batches into
  * them), which mean+truncated eigenpairs alone cannot (k < d loses
- * the off-component covariance).
+ * the off-component covariance). Only the LATEST version row carries
+ * them (resume never needs older moments); earlier rows hold empty
+ * arrays, so model data is O(#versions·k·d + d²), not O(#versions·d²)
+ * — at d=1024 the difference is ~4 MB of moments total vs ~4 MB per
+ * version.
  *
  * Scale shape (100 TB design): one `aggregateByKey` pass computes
  * per-window `(n, Σx, packed Σxxᵀ)` with map-side combine — one
@@ -94,7 +98,12 @@ class OnlinePCA extends Estimator[OnlinePCA, OnlinePCAModel]
       require(cn > 1, s"OnlinePCA needs at least 2 rows in the first window, got $cn")
       val (mean, cov) = Eigen.covFromMoments(cn, cs, cg, d)
       val (ev, comps) = Eigen.topK(cov, kk)
-      (idx.toLong, we, cn, d, mean, ev, comps.flatten, cs.clone(), cg.clone())
+      // moments only on the final (latest) version: resume reads the
+      // latest row; persisting them per version would be O(#versions·d²)
+      val last = idx == perWin.length - 1
+      (idx.toLong, we, cn, d, mean, ev, comps.flatten,
+        if (last) cs.clone() else Array.empty[Double],
+        if (last) cg.clone() else Array.empty[Double])
     }.toSeq
 
     import spark.implicits._
@@ -169,6 +178,10 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
   private var cumN: Long = -1L
   private var cumS: Array[Double] = _
   private var cumG: Array[Double] = _
+  // carried with the moments so a chained update() never pays a Spark
+  // job to re-read the latest row it itself just wrote
+  private var cumVersion: Long = -1L
+  private var cumDim: Int = -1
 
   /**
    * Structured Streaming hook: treat one micro-batch as one window —
@@ -185,11 +198,15 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
     if (batch.isEmpty) return this
     val vecs = batch.select(col(featuresCol)).rdd.map(_.getAs[Vector](0))
     // fresh model (no fit, no prior update): dimension comes from the
-    // stream itself and the version counter starts at 0
+    // stream itself and the version counter starts at 0. When the
+    // in-memory moments are live (a chained update) the latest row is
+    // NOT re-read through the model-data plan — no Spark job.
     val latest: Option[org.apache.spark.sql.Row] =
-      if (modelData == null) None
+      if (modelData == null || cumN >= 0L) None
       else modelData.orderBy(col("version").desc).limit(1).collect().headOption
-    val d = latest.map(_.getAs[Int]("dim")).getOrElse(vecs.first().size)
+    val d =
+      if (cumDim > 0) cumDim
+      else latest.map(_.getAs[Int]("dim")).getOrElse(vecs.first().size)
     val zero = (0L, new Array[Double](d), new Array[Double](Eigen.triLen(d)))
     val (bn, bs, bg) = vecs.treeAggregate(zero)(
       seqOp = { case ((cnt, s, g), v) =>
@@ -217,18 +234,34 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
     val (mean, cov) = Eigen.covFromMoments(newN, baseS, baseG, d)
     val (ev, comps) = Eigen.topK(cov, math.min(getK, d))
 
-    val version = latest.map(_.getAs[Long]("version")).getOrElse(-1L) + 1
+    val version =
+      (if (cumN >= 0L) cumVersion else latest.map(_.getAs[Long]("version")).getOrElse(-1L)) + 1
     import spark.implicits._
     val newRow = Seq((version, windowEndMs, newN, d, mean, ev, comps.flatten, baseS, baseG))
       .toDF("version", "windowEndMs", "count", "dim",
         "mean", "eigenvalues", "components", "sum", "gram")
-    val m = new OnlinePCAModel().setModelData(
-      if (modelData == null) newRow else modelData.union(newRow))
+    // the new row is now the latest: strip the superseded row's
+    // moments (resume only ever reads the latest version's sum/gram),
+    // and bound the union-per-version lineage with an eager
+    // localCheckpoint every CompactEvery versions — the identical
+    // pattern as OnlineKMeansModel/OnlineLrModel (a days-long
+    // foreachBatch stream otherwise gets quadratic planning cost)
+    val chained =
+      if (modelData == null) newRow
+      else {
+        val empt = array().cast("array<double>")
+        val base = modelData.withColumn("sum", empt).withColumn("gram", empt)
+        val u = base.union(newRow)
+        if (version % OnlinePCAModel.CompactEvery == 0) u.localCheckpoint(true) else u
+      }
+    val m = new OnlinePCAModel().setModelData(chained)
     copyParamsTo(m)
     // the new model carries the exact running moments forward
     m.cumN = newN
     m.cumS = baseS
     m.cumG = baseG
+    m.cumVersion = version
+    m.cumDim = d
     m
   }
 
@@ -269,10 +302,13 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
     * null output and version -1 (same contract as the scaler). */
   private def transformVersioned(input: DataFrame): Array[DataFrame] = {
     val delay = getMaxAllowedModelDelayMs
+    // tie-break on version: repeated default-arg updates share
+    // windowEndMs, and the lower-bound binary search must then pick
+    // the EARLIEST version deterministically (same as OnlineLrModel)
     val versions = modelData
       .select(col("windowEndMs").cast("long"), col("version"), col("dim"),
         col("mean"), col("components"), col("eigenvalues"))
-      .orderBy("windowEndMs")
+      .orderBy("windowEndMs", "version")
       .collect()
     val ends = versions.map(_.getLong(0))
     val vers = versions.map(_.getLong(1))
@@ -305,6 +341,11 @@ class OnlinePCAModel extends Model[OnlinePCAModel]
   }
 }
 object OnlinePCAModel extends StageLoader[OnlinePCAModel] {
+  /** Version-stream compaction period: every this-many appended
+    * versions the union lineage is truncated with an eager
+    * localCheckpoint (same constant as its online siblings). */
+  val CompactEvery = 32L
+
   def load(spark: SparkSession, path: String): OnlinePCAModel = {
     val m = ReadWrite.applyParams(new OnlinePCAModel, path)
     m.setModelData(ReadWrite.loadModelData(spark, path))

@@ -246,9 +246,12 @@ class OnlineStandardScalerModel extends Model[OnlineStandardScalerModel]
   private def transformVersioned(input: DataFrame): Array[DataFrame] = {
     val delay = getMaxAllowedModelDelayMs
     // model stream is O(#windows); sorted driver copy for binary search
+    // version tie-break: equal windowEndMs rows must sort
+    // deterministically so the lower-bound search picks the earliest
+    // version (same contract as OnlineLrModel/OnlinePCAModel)
     val versions = modelData
       .select(col("windowEndMs").cast("long"), col("version"), col("mean"), col("std"))
-      .orderBy("windowEndMs")
+      .orderBy("windowEndMs", "version")
       .collect()
     val ends = versions.map(_.getLong(0))
     val vers = versions.map(_.getLong(1))
