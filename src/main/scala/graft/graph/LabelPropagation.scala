@@ -59,6 +59,12 @@ object LabelPropagation {
    *                  its incident edges' total weight — the natural
    *                  setting when edges carry similarity scores (e.g.
    *                  a cosine-kNN graph). Weights must be positive.
+   *                  Determinism caveat: vote counts are double SUMs,
+   *                  so the exact-replay guarantee above holds for
+   *                  INTEGER-VALUED weights (every partial sum exactly
+   *                  representable); with float weights a near-tie is
+   *                  ulp-sensitive to accumulation order and argmax
+   *                  results can differ run-to-run at the margin.
    */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       numIter: Int = 10, directed: Boolean = false, weightCol: String = "",
@@ -101,18 +107,25 @@ object LabelPropagation {
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(sum("w").as("cnt"))
       // argmax with min-label tiebreak. Labels are vertex ids, so for
-      // numeric ids ONE aggregation does it: max over (cnt, -lab)
+      // integral ids ONE aggregation does it: max over (cnt, ~lab)
       // struct ordering picks the highest count and, on ties, the
       // smallest label (A/B at 2.5M vertices / 10M edges: the generic
       // two-aggregation path re-shuffles the vote table per round).
-      // Non-numeric ids fall back to max-count-then-min-label.
-      val numericLabels = votes.schema("lab").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      // bitwise NOT, not negation: ~x = -x-1 is a strictly DECREASING
+      // bijection over the whole signed domain, so hash-derived ids at
+      // Long.MinValue stay exact where -x would overflow (silently in
+      // non-ANSI mode, an error under ANSI). Non-integral ids fall
+      // back to max-count-then-min-label.
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val integralLabels = votes.schema("lab").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
       val picked =
-        if (numericLabels)
+        if (integralLabels)
           votes.groupBy("id")
-            .agg(max(struct(col("cnt").as("c"), (lit(0) - col("lab")).as("nl"))).as("m"))
-            .select(col("id"), (lit(0) - col("m.nl")).as("newLab"))
+            .agg(max(struct(col("cnt").as("c"), bitwise_not(col("lab")).as("nl"))).as("m"))
+            .select(col("id"), bitwise_not(col("m.nl")).as("newLab"))
         else {
           val best = votes.groupBy("id").agg(max("cnt").as("mc"))
           votes.join(best, "id")

@@ -25,6 +25,20 @@ class LabelPropagationSpec extends SparkSpec {
     assert(LabelPropagation.lastIterations < 10, "no-change early stop should fire")
   }
 
+  test("extreme ids: Long.MinValue label survives the one-aggregation tiebreak") {
+    import spark.implicits._
+    // hash-derived ids can be ANY long. A negation-based tiebreak
+    // (-lab) overflows on MinValue; the bitwise-not form must pick it
+    // as the min label exactly. Clique {MinValue, MaxValue, 7}: every
+    // vertex's neighbor-label argmax ties and must resolve to MinValue.
+    val mn = Long.MinValue
+    val mx = Long.MaxValue
+    val edges = Seq((mn, mx), (mn, 7L), (mx, 7L)).toDF("src", "dst")
+    val got = labelsOf(LabelPropagation.run(edges, numIter = 4))
+    assert(got.values.toSet == Set(mn),
+      s"triangle must converge to the min label Long.MinValue, got $got")
+  }
+
   test("synchronous updates are deterministic, including 2-cycles") {
     import spark.implicits._
     val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
