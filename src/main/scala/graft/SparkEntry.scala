@@ -535,6 +535,18 @@ object SparkEntry {
       graft.graph.LabelPropagation.run(edges, numIter = 3)
     }),
 
+    // --- Directed label propagation: same graph, but votes flow
+    // along edge direction only (no symmetrize) — vertices with no
+    // in-edges keep their own label forever. Exercises the
+    // directed=true branch end-to-end against the same exact
+    // integer-count CTE replay with the symmetrize step dropped. ---
+    "q_label_prop_directed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") * 31 % 1000).as("dst"))
+      graft.graph.LabelPropagation.run(edges, numIter = 3, directed = true)
+    }),
+
     // --- Weighted label propagation: same graph, edge weight
     // src % 3 + 1 — votes are weight SUMS (integer-valued, so the
     // replay stays exact); a heavy edge outvotes multiplicity. ---
@@ -1601,6 +1613,37 @@ object SparkEntry {
       hasher.clusterComponents(hashed, "doc_id", maxHamming = 3, numBands = 4)
     }),
 
+    // --- Shot-boundary video dedup (the 3-slot escalation path):
+    // groups of 4 where the planted edits BREAK slot alignment — the
+    // base [0,1,2,3] vs a trimmed+reordered [3,1,2], a half-
+    // overlapping re-grade [2,3,8,9] (brightness 40 — dHash-invariant,
+    // so its 2 shared shots carry the SAME longs), and a disjoint
+    // stranger [4,5,6,7] that must never pair. Containment = shared /
+    // min set size: 1.0 for the trim (the asymmetric-dup shape), 0.5
+    // and 2/3 for the partial overlaps; closed-form oracle. ---
+    "q_video_shot_dedup" -> ((s, dir) => {
+      val mkVid = udf { id: Long =>
+        val g = id / 4
+        (id % 4) match {
+          case 0 => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(0, 1, 2, 3))
+          case 1 => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(3, 1, 2))
+          case 2 => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(2, 3, 8, 9),
+            brightness = 40)
+          case _ => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(4, 5, 6, 7))
+        }
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("video", mkVid(col("doc_id")))
+      val hasher = new graft.multimodal.VideoShotHasher()
+        .setInputCol("video").setOutputCol("shots").setMinOverlap(0.45)
+      val hashed = hasher.transform(docs).head.select("doc_id", "shots")
+        .localCheckpoint(true)
+      hasher.containmentJoin(hashed, "doc_id")
+        .select(col("id_a"), col("id_b"), col("shared"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          round(col("overlap"), 3).as("overlap"))
+    }),
+
     // --- CROSS-MODAL dedup: groups of 4 docs where 4g and 4g+1 share
     // the IMAGE (texts unrelated), 4g+1 and 4g+2 share the TEXT
     // (images unrelated), 4g+3 is a singleton — no single modality
@@ -1608,7 +1651,14 @@ object SparkEntry {
     // edges closed by ConnectedComponents collapses {4g, 4g+1, 4g+2}
     // to one canonical cluster. `via` records which modalities had an
     // incident edge. Real PNG decode + real SimHash; closed-form
-    // oracle (robust to a trailing partial group). ---
+    // oracle (robust to a trailing partial group). The closed form
+    // assumes ZERO accidental cross-group edges — honest at verify
+    // scale: the 500k ScaleUp run measured ~7 accidental near-dup
+    // edges across C(375k, 2) ≈ 7·10¹⁰ distinct-hash pairs
+    // (P ≈ 1·10⁻¹⁰ per pair, adjacent-dHash-bit correlation included),
+    // so at sf0.1's 5k docs the expectation is C(3750, 2)·10⁻¹⁰ ≈
+    // 7·10⁻⁴ ≪ 1 merged groups — the bound-don't-forbid treatment
+    // lives in the ScaleUp stage, where accidentals are real. ---
     "q_crossmodal_dedup" -> ((s, dir) => {
       val mkImg = udf { id: Long =>
         val g = id / 4
@@ -2632,6 +2682,53 @@ object SparkEntry {
         .transform(urls).head
         .select(col("doc_id"), col("u_scheme"), col("u_host"),
           col("u_domain"), col("u_path"), col("u_query"), col("u_blocked"))
+    }),
+
+    // --- Outlink extraction: pages with one anchor of every
+    // resolution class (absolute / protocol-relative in SINGLE quotes
+    // / root-relative / relative / mailto / fragment — the last two
+    // dropped), resolved against a real page URL; the oracle replays
+    // the construction closed-form, one UNION ALL branch per kept
+    // anchor. 4 rows per document. ---
+    "q_link_graph" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("/page.html")).as("url"),
+        concat(lit("<html><body><a href=\"https://out"), col("doc_id") % 5,
+          lit(".example.org/x/\">a</a><a class='c' href='//cdn.example.net/l.js'>c</a>"),
+          lit("<a href=\"/r/"), col("doc_id"),
+          lit("\">r</a><a href=\"sub/p2.html\">s</a>"),
+          lit("<a href=\"mailto:u@example.com\">m</a><a href=\"#top\">t</a></body></html>"))
+          .as("html"))
+      new graft.text.LinkGraphExtractor()
+        .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+        .transform(pages).head
+        .select(col("doc_id"), col("lk_href").as("href"), col("lk_url").as("link_url"),
+          col("lk_host").as("dst_host"), col("lk_domain").as("dst_domain"))
+    }),
+
+    // --- Host-rank: the Common Crawl shape — outlinks from the
+    // q_link_graph pages become a (src_host, dst_host) edge list
+    // (multiplicity = link count; self-edges from the two same-host
+    // anchors kept), then 3 PageRank iterations rank the hosts. The
+    // oracle rebuilds the edge list closed-form and replays the
+    // q_pagerank CTE chain over string vertex ids. ---
+    "q_host_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("/page.html")).as("url"),
+        concat(lit("<html><body><a href=\"https://out"), col("doc_id") % 5,
+          lit(".example.org/x/\">a</a><a class='c' href='//cdn.example.net/l.js'>c</a>"),
+          lit("<a href=\"/r/"), col("doc_id"),
+          lit("\">r</a><a href=\"sub/p2.html\">s</a>"),
+          lit("<a href=\"mailto:u@example.com\">m</a><a href=\"#top\">t</a></body></html>"))
+          .as("html"))
+      val edges = graft.text.LinkGraphExtractor.hostEdges(pages)
+      graft.graph.PageRank.run(edges, "src_host", "dst_host",
+          dampingFactor = 0.85, numIter = 3)
+        .select(col("id").as("host"), round(col("pagerank"), 10).as("pagerank"))
     }),
 
     // --- Prequential per-user anomaly scoring (the batch plan of the
@@ -3819,6 +3916,39 @@ object SparkEntry {
                 FROM p CROSS JOIN d3 LEFT JOIN c3 ON p.id = c3.id)
          SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
 
+    // the q_label_prop chain with the symmetrize step dropped: votes
+    // arrive along edge direction only, in-degree-0 vertices keep
+    // their own label through every round
+    "q_label_prop_directed" ->
+      """WITH e0 AS (
+           SELECT event_id AS src, (event_id * 31) % 1000 AS dst
+           FROM events WHERE event_id % 7 <> 0),
+         nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         es AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         l0 AS (SELECT id, id AS lab FROM nodes),
+         c1 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l0 l ON es.src = l.id GROUP BY 1, 2),
+         m1 AS (SELECT id, MAX(c) AS mc FROM c1 GROUP BY 1),
+         p1 AS (SELECT c1.id, MIN(c1.lab) AS lab
+                FROM c1 JOIN m1 ON c1.id = m1.id AND c1.c = m1.mc GROUP BY 1),
+         l1 AS (SELECT n.id, COALESCE(p1.lab, l0.lab) AS lab
+                FROM nodes n JOIN l0 ON n.id = l0.id LEFT JOIN p1 ON n.id = p1.id),
+         c2 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l1 l ON es.src = l.id GROUP BY 1, 2),
+         m2 AS (SELECT id, MAX(c) AS mc FROM c2 GROUP BY 1),
+         p2 AS (SELECT c2.id, MIN(c2.lab) AS lab
+                FROM c2 JOIN m2 ON c2.id = m2.id AND c2.c = m2.mc GROUP BY 1),
+         l2 AS (SELECT n.id, COALESCE(p2.lab, l1.lab) AS lab
+                FROM nodes n JOIN l1 ON n.id = l1.id LEFT JOIN p2 ON n.id = p2.id),
+         c3 AS (SELECT es.dst AS id, l.lab, COUNT(*) AS c
+                FROM es JOIN l2 l ON es.src = l.id GROUP BY 1, 2),
+         m3 AS (SELECT id, MAX(c) AS mc FROM c3 GROUP BY 1),
+         p3 AS (SELECT c3.id, MIN(c3.lab) AS lab
+                FROM c3 JOIN m3 ON c3.id = m3.id AND c3.c = m3.mc GROUP BY 1),
+         l3 AS (SELECT n.id, COALESCE(p3.lab, l2.lab) AS lab
+                FROM nodes n JOIN l2 ON n.id = l2.id LEFT JOIN p3 ON n.id = p3.id)
+         SELECT id, lab AS label FROM l3""",
+
     // the q_label_prop chain with per-edge weights (src % 3 + 1):
     // votes are SUM(w) — integer-valued, so the replay stays exact
     "q_label_prop_weighted" ->
@@ -4983,6 +5113,25 @@ object SparkEntry {
                 doc_id % 4 <> 0 AS is_duplicate
          FROM documents""",
 
+    // closed-form replay of the planted shot sets: base {0,1,2,3},
+    // trimmed+reordered {1,2,3}, re-graded half-overlap {2,3,8,9},
+    // stranger {4,5,6,7} (pairs with nobody). Both pair members must
+    // exist (the self-join on the group), so a trailing partial group
+    // replays correctly
+    "q_video_shot_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.m AS ma, b.m AS mb
+               FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+               WHERE a.m <= 2 AND b.m <= 2)
+         SELECT id_a, id_b,
+                CAST(CASE WHEN ma = 0 AND mb = 1 THEN 3 ELSE 2 END AS BIGINT) AS shared,
+                CAST(CASE WHEN ma = 1 THEN 3 ELSE 4 END AS BIGINT) AS n_a,
+                CAST(CASE WHEN mb = 1 THEN 3 ELSE 4 END AS BIGINT) AS n_b,
+                ROUND(CASE WHEN ma = 0 AND mb = 1 THEN 1.0
+                           WHEN ma = 0 AND mb = 2 THEN 0.5
+                           ELSE 2.0 / 3.0 END, 3) AS overlap
+         FROM p""",
+
     // closed-form replay of the planted cross-modal structure: image
     // links 4g-(4g+1), text links (4g+1)-(4g+2), so the component is
     // {4g, 4g+1, 4g+2} with canonical 4g; 4g+3 is a singleton. The
@@ -5982,6 +6131,79 @@ object SparkEntry {
                 u_path, u_query,
                 regexp_extract(u_host, '([^.]+\.[^.]+)$', 1) = 'spam.biz' AS u_blocked
          FROM parsed""",
+
+    // closed-form replay of the planted anchor set: one UNION ALL
+    // branch per KEPT anchor class (mailto/fragment branches absent),
+    // resolution spelled out against the constructed page URL
+    "q_link_graph" ->
+      """WITH pages AS (
+           SELECT doc_id,
+                  'www.' || source || '.example.com' AS host,
+                  '/docs/' || doc_id || '/' AS dir
+           FROM documents)
+         SELECT doc_id,
+                'https://out' || (doc_id % 5) || '.example.org/x/' AS href,
+                'https://out' || (doc_id % 5) || '.example.org/x/' AS link_url,
+                'out' || (doc_id % 5) || '.example.org' AS dst_host,
+                'example.org' AS dst_domain
+         FROM pages
+         UNION ALL
+         SELECT doc_id, '/r/' || doc_id,
+                'https://' || host || '/r/' || doc_id,
+                host, 'example.com'
+         FROM pages
+         UNION ALL
+         SELECT doc_id, 'sub/p2.html',
+                'https://' || host || dir || 'sub/p2.html',
+                host, 'example.com'
+         FROM pages
+         UNION ALL
+         SELECT doc_id, '//cdn.example.net/l.js',
+                'https://cdn.example.net/l.js',
+                'cdn.example.net', 'example.net'
+         FROM pages""",
+
+    // the q_link_graph host edges rebuilt closed-form (two self-edges
+    // per page from the root-relative and relative anchors), then the
+    // q_pagerank CTE chain verbatim over string vertex ids
+    "q_host_rank" ->
+      """WITH pages AS (
+           SELECT doc_id, 'www.' || source || '.example.com' AS h FROM documents),
+         e0 AS (
+           SELECT h AS src, 'out' || (doc_id % 5) || '.example.org' AS dst FROM pages
+           UNION ALL SELECT h, h FROM pages
+           UNION ALL SELECT h, h FROM pages
+           UNION ALL SELECT h, 'cdn.example.net' FROM pages),
+         e AS (SELECT src, dst, COUNT(*) * 1.0 AS w FROM e0 GROUP BY 1, 2),
+         outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / o.outw AS share
+                FROM e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+         r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r0 r JOIN dang USING (id)),
+         c1 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r0 r ON sh.src = r.id GROUP BY 1),
+         r1 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON nodes.id = c1.id),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r1 r JOIN dang USING (id)),
+         c2 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r1 r ON sh.src = r.id GROUP BY 1),
+         r2 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON nodes.id = c2.id),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r2 r JOIN dang USING (id)),
+         c3 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r2 r ON sh.src = r.id GROUP BY 1),
+         r3 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d3
+                LEFT JOIN c3 ON nodes.id = c3.id)
+         SELECT id AS host, ROUND(r, 10) AS pagerank FROM r3""",
 
     "q_stream_anomaly" ->
       """WITH slim AS (SELECT CAST(user_id AS VARCHAR) AS key,
