@@ -133,6 +133,7 @@ _STAGES = [
     "graft.text.HtmlExtractor",
     "graft.text.IntraDocDeduplicator",
     "graft.text.LanguageDetector",
+    "graft.text.LinkGraphExtractor",
     "graft.text.LineDeduplicator",
     "graft.text.NgramLm", "graft.text.NgramLmModel",
     "graft.text.PiiRedactor",
@@ -156,6 +157,7 @@ _STAGES = [
     "graft.multimodal.ImageDHasher",
     "graft.multimodal.VideoDecoder",
     "graft.multimodal.VideoDHasher",
+    "graft.multimodal.VideoShotHasher",
     "graft.join.AsOfJoiner",
     "graft.join.IntervalJoiner",
     "graft.join.RangeJoiner",

@@ -111,6 +111,23 @@ def label_propagation(edges, src="src", dst="dst", num_iter=10,
     return DataFrame(jdf, spark)
 
 
+def host_edges(pages, url_col="url", html_col="html"):
+    """Crawl link-graph extraction: one (src_host, dst_host) row per
+    anchor href in ``html_col``, resolved against the page URL in
+    ``url_col`` (absolute / protocol-relative / root-relative /
+    relative; mailto:-style and fragment-only hrefs dropped).
+    Parallel edges are kept — page_rank/label_propagation treat
+    multiplicity as weight; .distinct() for an unweighted graph.
+    Delegates to graft.text.LinkGraphExtractor.hostEdges; the
+    per-anchor detail (href, resolved URL, host, registrable domain)
+    is available from the LinkGraphExtractor stage itself."""
+    from pyspark.sql import DataFrame
+    spark = pages.sparkSession
+    jdf = spark._jvm.graft.text.LinkGraphExtractor.hostEdges(
+        pages._jdf, url_col, html_col)
+    return DataFrame(jdf, spark)
+
+
 def zorder_value(df, cols, bits=12, z_col="__z", strategy="linear"):
     """Append a Morton (Z-order) long column: each column bucketized to
     2^bits ("linear" = equi-width min/max; "quantile" = equi-depth via

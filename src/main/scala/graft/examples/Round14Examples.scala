@@ -1,0 +1,80 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-14 batch: crawl link-graph extraction feeding the graph tier,
+ * and shot-boundary video dedup (the 3-slot escalation path).
+ */
+
+/** Common Crawl's host-ranking shape, end to end inside the engine:
+  * raw (url, html) pages → outlinks resolved per anchor
+  * (LinkGraphExtractor) → (src_host, dst_host) edge list → PageRank
+  * ranks hosts, LabelPropagation groups them into link communities. */
+object LinkGraphExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("LinkGraphExample")
+    import spark.implicits._
+    import graft.text.LinkGraphExtractor
+
+    val pages = Seq(
+      ("https://blog.alpha.com/posts/1.html",
+        """<a href="https://news.alpha.com/">sister</a>
+          |<a href="/posts/2.html">next</a>
+          |<a href="https://hub.example.org/dir">dir</a>""".stripMargin),
+      ("https://news.alpha.com/",
+        """<a href="//blog.alpha.com/posts/1.html">blog</a>
+          |<a href="https://hub.example.org/dir">dir</a>""".stripMargin),
+      ("https://beta.net/index.html",
+        """<a href="about.html">about</a>
+          |<a href="https://hub.example.org/dir">dir</a>
+          |<a href="mailto:team@beta.net">mail</a>""".stripMargin),
+      ("https://hub.example.org/dir",
+        """<a href="https://blog.alpha.com/posts/1.html">a</a>
+          |<a href="https://beta.net/index.html">b</a>""".stripMargin)
+    ).toDF("url", "html")
+
+    // per-anchor detail: href as written, resolved URL, host, domain
+    new LinkGraphExtractor().setInputCol("html").setUrlCol("url").setOutputCol("lk")
+      .transform(pages).head
+      .select("url", "lk_href", "lk_url", "lk_host", "lk_domain")
+      .show(false)
+
+    // host graph → rank + communities (multiplicity kept as weight)
+    val edges = LinkGraphExtractor.hostEdges(pages)
+    val ranks = graft.graph.PageRank.run(edges, "src_host", "dst_host", 0.85, 10)
+    ranks.orderBy(desc("pagerank")).show(false) // the hub ranks first
+    ranks.unpersist()
+    val comms = graft.graph.LabelPropagation.run(edges, "src_host", "dst_host", 5)
+    comms.orderBy("label", "id").show(false)
+    comms.unpersist()
+    spark.stop()
+  }
+}
+
+/** Shot-boundary video dedup: a clip, a TRIMMED re-upload and a
+  * RE-ORDERED re-cut — the edits that break the cheap 3-slot
+  * signature — matched by shot-set containment instead. */
+object VideoShotDedupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("VideoShotDedupExample")
+    import spark.implicits._
+    import graft.multimodal.VideoShotHasher
+
+    val videos = Seq(
+      (0L, VideoShotHasher.syntheticShotVideo(1L, Seq(0, 1, 2, 3))), // original
+      (1L, VideoShotHasher.syntheticShotVideo(1L, Seq(1, 2, 3))),    // trimmed
+      (2L, VideoShotHasher.syntheticShotVideo(1L, Seq(3, 2, 1, 0))), // re-cut
+      (3L, VideoShotHasher.syntheticShotVideo(2L, Seq(0, 1, 2, 3)))  // unrelated
+    ).toDF("id", "video")
+
+    val hasher = new VideoShotHasher()
+      .setInputCol("video").setOutputCol("shots").setMinOverlap(0.8)
+    val hashed = hasher.transform(videos).head
+    hashed.select($"id", size($"shots").as("num_shots")).show()
+    // trim scores containment 1.0 against its source; the re-cut's
+    // shot SET is identical; the unrelated clip never pairs
+    hasher.containmentJoin(hashed, "id").orderBy("id_a", "id_b").show()
+    spark.stop()
+  }
+}
