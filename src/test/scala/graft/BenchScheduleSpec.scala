@@ -58,4 +58,17 @@ class BenchScheduleSpec extends AnyFunSuite {
     assert(!Bench.needsSoloReverify(warm = 5.0, prior = None, ranSolo = false))
     assert(!Bench.needsSoloReverify(warm = 5.0, prior = Some(0.0), ranSolo = false))
   }
+
+  test("drift gate: >1.25x the committed seed prior flags unchanged-query movement") {
+    // r13 movers that the 1.4x overlay gate missed: q_cc_minlabel
+    // 5.55 -> 7.21 (+30%) must fire against the SEED prior
+    assert(Bench.isDrift(warm = 7.21, seedPrior = Some(5.55)))
+    assert(Bench.isDrift(warm = 1.26, seedPrior = Some(1.0)))
+    // at or under the factor, or improvement → no flag
+    assert(!Bench.isDrift(warm = 1.25, seedPrior = Some(1.0)))
+    assert(!Bench.isDrift(warm = 0.7, seedPrior = Some(1.0)))
+    // new query (no seed) or degenerate prior → nothing to compare
+    assert(!Bench.isDrift(warm = 9.0, seedPrior = None))
+    assert(!Bench.isDrift(warm = 9.0, seedPrior = Some(0.0)))
+  }
 }
