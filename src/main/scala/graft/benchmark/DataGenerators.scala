@@ -193,6 +193,36 @@ object DataGenerators {
   }
 
   /**
+   * Embeddings with planted COMMUNITY structure — the input shape for
+   * measuring the semantic-communities composition (LSH edge graph →
+   * label propagation) at scale, vs [[embeddingsLike]]'s isolated
+   * near-dup PAIRS: ids are grouped in `clusterSize` blocks, every
+   * member = the block's base vector (uniform in [-0.5, 0.5)^dim)
+   * plus per-dim N(0, noise²) jitter. Within-block cosine
+   * concentrates near 1/(1 + 12·noise²) (≈ 0.971 at noise 0.05);
+   * cross-block cosine is ~N(0, 1/dim) (σ ≈ 0.125 at dim 64), so a
+   * 0.9 threshold separates the two populations by >5σ. Pure
+   * function of (seed, id): partition-parallel, shuffle-free,
+   * reproducible.
+   */
+  def clusteredEmbeddingsLike(spark: SparkSession, numVecs: Long, dim: Int = 64,
+      clusterSize: Int = 8, noise: Double = 0.05, seed: Long = 21L,
+      numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, numVecs, 1, numPartitions).rdd
+      .map { boxedId =>
+        val id = boxedId.toLong
+        val cluster = id / clusterSize
+        val rnd = new java.util.Random(seed ^ (cluster * 0x9E3779B97F4A7C15L))
+        val values = Array.fill(dim)(rnd.nextDouble() - 0.5)
+        val jit = new java.util.Random(seed ^ (id * 0xC2B2AE3D27D4EB4FL))
+        var i = 0
+        while (i < dim) { values(i) += jit.nextGaussian() * noise; i += 1 }
+        (id, Vectors.dense(values): Vector)
+      }.toDF("vec_id", "vec")
+  }
+
+  /**
    * A (user, item) behavior table with ZIPFIAN item popularity —
    * the catalog shape Swing's maxUserNumPerItem cap exists for
    * (the TPC-H-ish test tables are uniform: max 53 purchasers/item,

@@ -846,6 +846,92 @@ object ScaleUp {
         .transform(vecs, queries).head.count()
     }
 
+    // The q_semantic_communities composition at 100x with the SCALABLE
+    // edge source: the sf0.1 oracle query deliberately uses brute-force
+    // kNN for DuckDB exactness, which is O(n²) and stops being an
+    // option past ~1e5 vectors. At scale the community graph comes
+    // from the banded sign-LSH edge list (CosineDeduplicator.edges —
+    // the same candidate machinery embedding_dedup measures), then
+    // label propagation recovers the communities. Planted structure:
+    // clusterSize-blocks around a shared base vector (within-block
+    // cosine ≈ 0.971, cross-block ~N(0, 1/dim)), so recovery is
+    // checkable closed-form — every labeled vertex should carry its
+    // block's minimum id. Ground truth for LSH recall: a sampled
+    // brute-force pass (first `sampleN` vectors, broadcast
+    // nested-loop — measurement-only; the operator never does this).
+    stage("semantic_communities") {
+      val clusterSize = 8
+      val cvecsPath = s"$base/clustered_embeddings.parquet"
+      DataGenerators.clusteredEmbeddingsLike(spark, numVecs, dim,
+        clusterSize = clusterSize, noise = 0.05, seed = 21L,
+        numPartitions = cpus.toInt)
+        .write.mode("overwrite").parquet(cvecsPath)
+      val cvecs = spark.read.parquet(cvecsPath)
+      val t0 = System.nanoTime()
+      // 16-bit buckets: planted-pair candidate recall 1-(1-p^16)^8 ≈
+      // 0.93 at cosine 0.971 (p = 1 - θ/π = 0.923) while random
+      // collisions stay ~8·C(n,2)/2^16 — the embedding_dedup
+      // bits-vs-corpus-size tradeoff, one notch wider for recall
+      val edges = graft.dedup.CosineDeduplicator.edges(cvecs, "vec_id", "vec",
+        seed = 2022L, numHashTables = 8, numPlanes = 16, minSimilarity = 0.9)
+        .persist()
+      val edgeCount = edges.count()
+      val labels = graft.graph.LabelPropagation.run(edges, numIter = 5)
+      val wrong = labels.where(col("label") =!=
+        (col("id") - col("id") % clusterSize)).count()
+      val labeled = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      labels.unpersist(blocking = false)
+
+      // planted-pair edge recall by PAIR IDENTITY (same-block pairs
+      // the LSH graph recovered / all same-block pairs)
+      val plantedFound = edges.where(
+        (col("src") - col("src") % clusterSize) ===
+          (col("dst") - col("dst") % clusterSize)).count()
+      val plantedTotal = (numVecs / clusterSize) * clusterSize * (clusterSize - 1) / 2
+      // sampled brute-force ground truth: all pairs among the first
+      // sampleN vectors above the cosine threshold, vs the LSH edges
+      // restricted to the same sample
+      val sampleN = 2000L
+      val cosine = udf { (x: org.apache.spark.ml.linalg.Vector,
+          y: org.apache.spark.ml.linalg.Vector) =>
+        val d = graft.linalg.BLAS.dot(x, y)
+        val nx = math.sqrt(graft.linalg.BLAS.dot(x, x))
+        val ny = math.sqrt(graft.linalg.BLAS.dot(y, y))
+        if (nx == 0.0 || ny == 0.0) 0.0 else d / (nx * ny)
+      }
+      val sample = cvecs.where(col("vec_id") < sampleN)
+      val sa = sample.select(col("vec_id").as("src"), col("vec").as("va"))
+      val sb = sample.select(col("vec_id").as("dst"), col("vec").as("vb"))
+      val bf = sa.join(broadcast(sb), col("src") < col("dst"))
+        .where(cosine(col("va"), col("vb")) >= 0.9)
+        .select("src", "dst").persist()
+      val bfCount = bf.count()
+      val lshInSample = edges.where(col("src") < sampleN && col("dst") < sampleN)
+      val bfRecovered = bf.join(lshInSample, Seq("src", "dst")).count()
+      bf.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+
+      def pct(num: Long, den: Long): String =
+        String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(if (den == 0) 0.0 else num.toDouble / den))
+      println(s"""{"semcomm_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""semcomm_edges":$edgeCount,"semcomm_labeled":$labeled,""" +
+        s""""semcomm_wrong_labels":$wrong,""" +
+        s""""semcomm_planted_pair_recall":${pct(plantedFound, plantedTotal)},""" +
+        s""""semcomm_bf_pairs_sample":$bfCount,""" +
+        s""""semcomm_lsh_recall_vs_bf":${pct(bfRecovered, bfCount)},""" +
+        s""""semcomm_lpa_iters":${graft.graph.LabelPropagation.lastIterations}}""")
+      // bound, don't forbid: an accidental cross-block edge merges two
+      // blocks (≤ 2·clusterSize mislabels each); a fully-isolated
+      // minimum-id member re-roots its block. Both are rare
+      // (cross-block cosine ≥ 0.9 is >5σ; isolation is (1-0.93)^7);
+      // planted recovery must stay ≥ 99.9%
+      require(wrong <= labeled / 1000,
+        s"semantic-community recovery broke: $wrong of $labeled mislabeled")
+      labeled
+    }
+
     stage("curate") {
       val deduped = new graft.text.ExactDeduplicator()
         .setIdCol("doc_id").setInputCol("text")
@@ -1167,6 +1253,51 @@ object ScaleUp {
         s""""video_recall":${if (n == expected) 1.0 else n.toDouble / expected}}""")
       require(n == expected, s"planted-dup recall broke: $n != $expected")
       n
+    }
+
+    // Shot-boundary video dedup at scale (round-14, the 3-slot
+    // escalation path): 200k multi-shot AVIs — 50k groups × (base
+    // [0,1,2,3] / TRIMMED+REORDERED [3,1,2] / re-graded half-overlap
+    // [2,3,8,9] / stranger [4,5,6,7]) — every frame decoded (the
+    // documented escalation cost: ~11 decodes/video vs the cheap
+    // path's 3), shots split on frame-delta, containment join on
+    // exact shot-hash equality. The trim and the reorder BREAK the
+    // 3-slot signature by construction; recall here is by PAIR
+    // IDENTITY on the planted (base,trim)/(base,regrade)/(trim,
+    // regrade) triples; accidental cross-group shot collisions are
+    // bounded, not forbidden (the adjacent-dHash-bit tail).
+    stage("video_shot_dedup") {
+      val nVid = 200000L
+      val payloads = spark.range(0, nVid, 1, cpus.toInt)
+        .select(col("id"), udf { id: Long =>
+          val g = id / 4
+          (id % 4) match {
+            case 0 => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(0, 1, 2, 3))
+            case 1 => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(3, 1, 2))
+            case 2 => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(2, 3, 8, 9),
+              brightness = 40)
+            case _ => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(4, 5, 6, 7))
+          }
+        }.apply(col("id")).as("payload"))
+      val hasher = new graft.multimodal.VideoShotHasher()
+        .setInputCol("payload").setOutputCol("shots").setMinOverlap(0.45)
+      val hashed = hasher.transform(payloads).head.select("id", "shots")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = hasher.containmentJoin(hashed, "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val planted = pairs.where(
+        (col("id_a") - col("id_a") % 4) === (col("id_b") - col("id_b") % 4) &&
+          col("id_a") % 4 <= 2 && col("id_b") % 4 <= 2).count()
+      val accidental = pairs.count() - planted
+      hashed.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      val expected = (nVid / 4) * 3
+      println(s"""{"video_shot_pairs":$planted,"video_shot_expected":$expected,""" +
+        s""""video_shot_recall":${if (planted == expected) 1.0 else planted.toDouble / expected},""" +
+        s""""video_shot_accidental":$accidental}""")
+      require(planted == expected, s"planted shot-dup recall broke: $planted != $expected")
+      require(accidental <= 25, s"accidental shot collisions past bound: $accidental")
+      planted + accidental
     }
 
     // Streaming perceptual dedup at scale (round-13): HammingIndexer's

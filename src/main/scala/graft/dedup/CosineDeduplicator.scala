@@ -74,15 +74,42 @@ class CosineDeduplicator extends AlgoOperator[CosineDeduplicator]
   override def transform(inputs: DataFrame*): Array[DataFrame] = {
     require(inputs.size == 1)
     val df = inputs.head
-    val spark = df.sparkSession
-    val nt = getNumHashTables
-    val np = getNumPlanes
-    val minSim = getMinSimilarity
+    val edges = CosineDeduplicator.edges(df, getIdCol, getInputCol,
+      getSeed, getNumHashTables, getNumPlanes, getMinSimilarity)
 
-    val first = df.select(col(getInputCol)).where(col(getInputCol).isNotNull).head()
+    val components = ConnectedComponents.run(edges)
+      .withColumnRenamed("id", getIdCol)
+    val out = df.join(components, Seq(getIdCol), "left")
+      .withColumn(getCanonicalCol, coalesce(col("component"), col(getIdCol)))
+      .withColumn(getDuplicateCol, col(getCanonicalCol) =!= col(getIdCol))
+      .drop("component")
+    Array(out)
+  }
+}
+
+object CosineDeduplicator extends graft.api.StageLoader[CosineDeduplicator] {
+
+  /**
+   * The cosine-similarity EDGE LIST itself — one `(src, dst)` row
+   * (src < dst) per pair with cosine ≥ `minSimilarity`, found by the
+   * banded sign-LSH candidate join described on the class. Public
+   * because the edge list is the at-scale input to the graph tier:
+   * feed it to [[graft.graph.LabelPropagation]] for semantic
+   * communities (the SemDeDup shape — brute-force kNN is O(n²) and
+   * stops being an option around 10⁵ vectors), to
+   * [[ConnectedComponents]] for transitive dedup (what `transform`
+   * does), or weight it with the exact cosine for weighted votes.
+   */
+  def edges(df: DataFrame, idCol: String, inputCol: String, seed: Long,
+      numHashTables: Int, numPlanes: Int, minSimilarity: Double): DataFrame = {
+    val spark = df.sparkSession
+    val nt = numHashTables
+    val np = numPlanes
+
+    val first = df.select(col(inputCol)).where(col(inputCol).isNotNull).head()
     val dim = first.getAs[Vector](0).size
     // band-major seeded Gaussian hyperplanes, as in CosineLshKnn
-    val rnd = new java.util.Random(getSeed)
+    val rnd = new java.util.Random(seed)
     val planes = Array.fill(nt * np, dim)(rnd.nextGaussian())
     val bPlanes = spark.sparkContext.broadcast(planes)
 
@@ -111,7 +138,7 @@ class CosineDeduplicator extends AlgoOperator[CosineDeduplicator]
     }
 
     // (id, band, bucket) only — vectors never ride the candidate shuffle
-    val exploded = df.select(col(getIdCol).as("id"), posexplode(buckets(col(getInputCol)))
+    val exploded = df.select(col(idCol).as("id"), posexplode(buckets(col(inputCol)))
       .as(Seq("band", "bucket")))
     val a = exploded.select(col("id").as("src"), col("band"), col("bucket"))
     val b = exploded.select(col("id").as("dst"), col("band"), col("bucket"))
@@ -123,29 +150,19 @@ class CosineDeduplicator extends AlgoOperator[CosineDeduplicator]
     // pair in the verify join (candidates >> rows whenever the bucket
     // width is generous for the corpus size)
     val norm = udf { v: Vector => math.sqrt(graft.linalg.BLAS.dot(v, v)) }
-    val va = df.select(col(getIdCol).as("src"), col(getInputCol).as("va"),
-      norm(col(getInputCol)).as("na"))
-    val vb = df.select(col(getIdCol).as("dst"), col(getInputCol).as("vb"),
-      norm(col(getInputCol)).as("nb"))
+    val va = df.select(col(idCol).as("src"), col(inputCol).as("va"),
+      norm(col(inputCol)).as("na"))
+    val vb = df.select(col(idCol).as("dst"), col(inputCol).as("vb"),
+      norm(col(inputCol)).as("nb"))
     val cosine = udf { (x: Vector, y: Vector, nx: Double, ny: Double) =>
       if (nx == 0.0 || ny == 0.0) 0.0 else graft.linalg.BLAS.dot(x, y) / (nx * ny)
     }
-    val edges = candidates
+    candidates
       .join(va, "src").join(vb, "dst")
-      .where(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minSim)
+      .where(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minSimilarity)
       .select("src", "dst")
-
-    val components = ConnectedComponents.run(edges)
-      .withColumnRenamed("id", getIdCol)
-    val out = df.join(components, Seq(getIdCol), "left")
-      .withColumn(getCanonicalCol, coalesce(col("component"), col(getIdCol)))
-      .withColumn(getDuplicateCol, col(getCanonicalCol) =!= col(getIdCol))
-      .drop("component")
-    Array(out)
   }
-}
 
-object CosineDeduplicator extends graft.api.StageLoader[CosineDeduplicator] {
   def load(spark: SparkSession, path: String): CosineDeduplicator =
     ReadWrite.applyParams(new CosineDeduplicator, path)
 }
