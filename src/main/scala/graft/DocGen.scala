@@ -77,6 +77,7 @@ object DocGen {
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",
     "graft.text.ImportanceScorer",
     "graft.text.HtmlExtractor", "graft.text.IntraDocDeduplicator",
+    "graft.text.LinkGraphExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.SequencePacker", "graft.text.TextNormalizer",
     "graft.text.UrlParser",
@@ -89,9 +90,94 @@ object DocGen {
     "graft.multimodal.BinaryDecodeStub",
     "graft.multimodal.FrameSampler",
     "graft.multimodal.ImageDecoder", "graft.multimodal.ImageDHasher",
+    "graft.multimodal.VideoShotHasher",
     "graft.multimodal.VideoDecoder", "graft.multimodal.VideoDHasher",
     "graft.join.AsOfJoiner", "graft.join.IntervalJoiner", "graft.join.RangeJoiner",
     "graft.join.FuzzyJoiner", "graft.join.Scd2Builder")
+
+  /** Function-tier surface: object APIs that take/return DataFrames
+    * but have no Params registry (the graph tier + Hamming
+    * clustering), invisible to the instantiate()/params reflection
+    * above — hand-registered so the engine's most differentiated tier
+    * appears in its own docs. Each entry: fully-qualified object name,
+    * one-line summary, (signature, description) rows. */
+  private val objectPages: Seq[(String, String, Seq[(String, String)])] = Seq(
+    ("graft.graph.PageRank",
+      "PageRank over an edge-list DataFrame — ranks sum to 1, dangling mass redistributed; " +
+        "the share table shuffles once, each iteration moves only the O(V) rank table.",
+      Seq(
+        "run(edges, srcCol, dstCol, dampingFactor, numIter, tol, weightCol, idOut, rankOut)" ->
+          "Classic PageRank: returns (idOut, rankOut). weightCol=\"\" = unweighted (parallel edges count); tol > 0 adds an L1 early stop. Result is persisted — call result.unpersist() once consumed; rename via idOut/rankOut, not .select.",
+        "runPersonalized(edges, seeds, srcCol, dstCol, seedCol, dampingFactor, numIter, tol, weightCol, idOut, rankOut)" ->
+          "Personalized PageRank (Haveliwala 2002): teleport concentrates on the seed set; dangling mass returns to the seeds so ranks still sum to 1. Seeds absent from the graph are ignored (at least one must be present).")),
+    ("graft.graph.LabelPropagation",
+      "Synchronous label propagation (Raghavan et al. 2007) community detection: " +
+        "deterministic, exactly replayable — argmax votes with min-label ties, " +
+        "early-stop when no label changes.",
+      Seq(
+        "run(edges, srcCol, dstCol, numIter, directed, weightCol, idOut, labelOut)" ->
+          "Returns (idOut, labelOut). Undirected by default (edges symmetrized); self-loops dropped; parallel edges vote with multiplicity, or with summed weights when weightCol names a positive edge-weight column (integer-valued weights keep replay exact; float ties are ulp-sensitive). Only the O(V) label table shuffles per round on a once-partitioned edge table.")),
+    ("graft.dedup.ConnectedComponents",
+      "Connected components over an edge list (Kiveris et al. 2014 star contraction; " +
+        "a min-label variant for small-diameter graphs) — the closure step under every " +
+        "transitive-dedup operator in the engine.",
+      Seq(
+        "run(edges, srcCol, dstCol, idOut, componentOut, maxIter)" ->
+          "Returns (idOut, componentOut) with each vertex mapped to its component's minimum id. Star contraction: rounds of large/small-star operations, converging in O(log n) rounds on any diameter.")),
+    ("graft.dedup.HammingJoin",
+      "Banded near-duplicate machinery over 64-bit perceptual/SimHash fingerprints: " +
+        "band-bucket equi-joins (never all pairs) with the exact bit_count filter inside " +
+        "the join, then optional connected-component closure.",
+      Seq(
+        "similarityJoin(df, idCol, maxHamming, numBands, fpCol)" ->
+          "All pairs (id_a < id_b) within maxHamming bits, found via numBands banded buckets (pigeonhole-complete when numBands > maxHamming).",
+        "clusterWithRep(df, idCol, fpCol, maxHamming, numBands)" ->
+          "Single-hop clustering: every row keyed to the minimum id among its DIRECT neighbors (clique-shaped reports; a chain's far ends keep different reps).",
+        "clusterComponents(df, idCol, fpCol, maxHamming, numBands)" ->
+          "Transitive closure: banded pairs fed through ConnectedComponents, so Hamming CHAINS collapse into one cluster; rep_hamming can exceed maxHamming (it measures the closure's reach).",
+        "clusterComponentsMulti(df, idCol, specs...)" ->
+          "Cross-modal transitive dedup: per-modality banded edge lists unioned into ONE component closure — a document is a duplicate if ANY payload modality says so; 'via' records the incident modalities.")))
+
+  private def objectPage(fqcn: String, summary: String,
+      fns: Seq[(String, String)]): String = {
+    val name = fqcn.substring(fqcn.lastIndexOf('.') + 1)
+    val sb = new StringBuilder
+    sb ++= s"# $name\n\n"
+    sb ++= s"`$fqcn` — object (DataFrame functions; no Params)\n\n"
+    sb ++= s"${esc(summary)}\n\n"
+    sb ++= "## Functions\n\n"
+    sb ++= "| signature | description |\n|---|---|\n"
+    fns.foreach { case (sig, desc) => sb ++= s"| `${esc(sig)}` | ${esc(desc)} |\n" }
+    sb ++= "\n## Example\n\n"
+    sb ++= s"""```scala
+       |import $fqcn
+       |
+       |val edges = spark.read.parquet("...")  // see examples/ for runnable mains
+       |val out = $name.${fns.head._1.takeWhile(_ != '(')}(edges)
+       |```
+       |
+       |Python: `graftml.functions` wraps the graph tier (`page_rank`,
+       |`personalized_page_rank`, `label_propagation`, `host_edges`).
+       |""".stripMargin
+    sb.toString
+  }
+
+  /** Hand-authored sections appended to specific STAGE pages:
+    * DataFrame-function methods the params reflection cannot show. */
+  private val stageMethodNotes: Map[String, Seq[(String, String)]] = Map(
+    "graft.multimodal.VideoDHasher" -> Seq(
+      "similarityJoin(hashed, idCol, maxHamming, numBands)" ->
+        "All video pairs whose 3-slot signatures agree within maxHamming bits PER SLOT: candidates banded on slot 0 with the mid/last fingerprints carried through the band explode, so the exact filter runs inside the one join.",
+      "clusterWithRep(hashed, idCol, maxHamming, numBands)" ->
+        "Single-hop clustering over the 3-slot signature (clique-shaped near-dup reports).",
+      "clusterComponents(hashed, idCol, maxHamming, numBands)" ->
+        "Transitive closure over the 3-slot signature: chained re-encodes collapse into one cluster via ConnectedComponents."),
+    "graft.text.LinkGraphExtractor" -> Seq(
+      "LinkGraphExtractor.hostEdges(pages, urlCol, htmlCol)" ->
+        "The crawl link graph in one call: one (src_host, dst_host) row per anchor, parallel edges kept (PageRank/LabelPropagation treat multiplicity as weight)."),
+    "graft.multimodal.VideoShotHasher" -> Seq(
+      "containmentJoin(hashed, idCol)" ->
+        "All video pairs with shot containment |A intersect B| / min(|A|, |B|) >= minOverlap — robust to trimming and shot reordering, the edits that break VideoDHasher's 3-slot alignment; one equi-join on exploded shot hashes, hot 'stop shots' removable via maxVideosPerShot."))
 
   private def instantiate(fqcn: String): WithParams[_] =
     Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[WithParams[_]]
@@ -144,6 +230,11 @@ object DocGen {
         }
       }
     }
+    stageMethodNotes.get(fqcn).foreach { fns =>
+      sb ++= "\n## DataFrame functions\n\n"
+      sb ++= "| signature | description |\n|---|---|\n"
+      fns.foreach { case (sig, desc) => sb ++= s"| `${esc(sig)}` | ${esc(desc)} |\n" }
+    }
     sb ++= "\n## Example\n\n"
     sb ++= example(fqcn, name, kind)
     sb.toString
@@ -185,14 +276,18 @@ object DocGen {
     index ++= "# Operator reference\n\nGenerated by `sbt \"runMain graft.DocGen\"` " +
       "from the live Params metadata — do not edit by hand.\n\n"
     var prevPkg = ""
-    stages.sorted.foreach { fqcn =>
+    val all: Seq[(String, () => String, String)] =
+      stages.map(f => (f, () => page(f), "")) ++
+        objectPages.map { case (f, s, fns) =>
+          (f, () => objectPage(f, s, fns), " — functions") }
+    all.sortBy(_._1).foreach { case (fqcn, body, tag) =>
       val name = fqcn.substring(fqcn.lastIndexOf('.') + 1)
       val pkg = fqcn.substring(0, fqcn.lastIndexOf('.'))
-      java.nio.file.Files.writeString(outDir.resolve(s"$name.md"), page(fqcn))
+      java.nio.file.Files.writeString(outDir.resolve(s"$name.md"), body())
       if (pkg != prevPkg) { index ++= s"\n## $pkg\n\n"; prevPkg = pkg }
-      index ++= s"- [$name]($name.md)\n"
+      index ++= s"- [$name]($name.md)$tag\n"
     }
     java.nio.file.Files.writeString(outDir.resolve("README.md"), index.toString)
-    println(s"wrote ${stages.size} pages to $outDir")
+    println(s"wrote ${all.size} pages to $outDir")
   }
 }
