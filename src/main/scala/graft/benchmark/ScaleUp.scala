@@ -868,12 +868,18 @@ object ScaleUp {
         .write.mode("overwrite").parquet(cvecsPath)
       val cvecs = spark.read.parquet(cvecsPath)
       val t0 = System.nanoTime()
-      // 16-bit buckets: planted-pair candidate recall 1-(1-p^16)^8 ≈
-      // 0.93 at cosine 0.971 (p = 1 - θ/π = 0.923) while random
-      // collisions stay ~8·C(n,2)/2^16 — the embedding_dedup
-      // bits-vs-corpus-size tradeoff, one notch wider for recall
+      // 16 bands × 16-bit buckets: per-pair candidate recall
+      // 1-(1-p^16)^16 ≈ 0.995 at cosine 0.971 (p = 1 - θ/π = 0.923);
+      // COMMUNITY recovery needs higher pair recall than pair-dedup
+      // does — a block fragments when its connecting edges are missed
+      // TOGETHER (band weakness is correlated through the shared base
+      // vector), and 8 bands' 0.93 measurably mislabeled ~1% of
+      // vertices at 20k. Random collisions stay ~16·C(n,2)/2^16 —
+      // the embedding_dedup bits-vs-corpus-size tradeoff with the
+      // recall knob turned via BANDS, which scales linearly, not via
+      // fewer bits, which scales collision count 4× per 2 bits
       val edges = graft.dedup.CosineDeduplicator.edges(cvecs, "vec_id", "vec",
-        seed = 2022L, numHashTables = 8, numPlanes = 16, minSimilarity = 0.9)
+        seed = 2022L, numHashTables = 16, numPlanes = 16, minSimilarity = 0.9)
         .persist()
       val edgeCount = edges.count()
       val labels = graft.graph.LabelPropagation.run(edges, numIter = 5)
@@ -1846,6 +1852,43 @@ object ScaleUp {
       val out = new graft.text.HtmlExtractor()
         .setInputCol("html").setOutputCol("h").transform(page).head
       out.where(col("h_links") === 1 && length(col("h_text")) > 0).count()
+    }
+
+    // Crawl link-graph extraction at scale (round-14): 500k pages ×
+    // 24 anchors (20 absolute outlinks to a 20k-host universe, one
+    // root-relative + one relative self-link, one mailto + one
+    // fragment that must drop) → 12M kept anchor resolutions → host
+    // edge list (multiplicity kept) → 3 PageRank iterations over the
+    // 21k-host graph — the Common Crawl host-ranking pipeline end to
+    // end. Validation is exact: kept-edge count is closed-form
+    // (22/page), the host universe is 1000 src + 20000 dst hosts, and
+    // rank mass must come back 1.0.
+    stage("link_graph") {
+      val nPages = numDocs
+      val anchors = (0 until 20).map { k =>
+        concat(lit("<a href=\"https://h"), (col("id") * 31 + lit(k)) % 20000,
+          lit(".example.org/x\">a</a>"))
+      }.reduce((a, b) => concat(a, b))
+      val pages = spark.range(0, nPages, 1, cpus.toInt).select(
+        concat(lit("https://www.s"), col("id") % 1000,
+          lit(".example.com/d/"), col("id"), lit("/p.html")).as("url"),
+        concat(lit("<html><body>"), anchors,
+          lit("<a href=\"/self\">s</a><a href=\"rel.html\">r</a>" +
+            "<a href=\"mailto:u@e.co\">m</a><a href=\"#t\">t</a></body></html>"))
+          .as("html"))
+      val edges = graft.text.LinkGraphExtractor.hostEdges(pages).persist()
+      val total = edges.count()
+      val ranks = graft.graph.PageRank.run(edges, "src_host", "dst_host",
+        dampingFactor = 0.85, numIter = 3)
+      val hosts = ranks.count()
+      val mass = ranks.agg(sum("pagerank")).first().getDouble(0)
+      ranks.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      println(s"""{"link_graph_edges":$total,"link_graph_hosts":$hosts,""" +
+        s""""link_graph_rank_mass":${String.format(java.util.Locale.ROOT, "%.12f", Double.box(mass))}}""")
+      require(total == nPages * 22, s"kept-anchor count broke: $total != ${nPages * 22}")
+      require(math.abs(mass - 1.0) < 1e-9, s"rank mass broke: $mass")
+      total
     }
 
     // Lag/rolling featurization at scale: 2M events over 50k users —

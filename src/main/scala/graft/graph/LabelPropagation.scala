@@ -44,6 +44,19 @@ import org.apache.spark.storage.StorageLevel
  * is a same-order pure-rename projection of the final label table, so
  * `result.unpersist()` genuinely releases it; rename only through
  * `idOut`/`labelOut`.
+ *
+ * Semantic communities at scale (the SemDeDup-shaped composition):
+ * build the edge list with
+ * [[graft.dedup.CosineDeduplicator.edges]] (banded sign-LSH
+ * candidates + exact-cosine filter — brute-force kNN is O(n²) and
+ * stops being an option past ~1e5 vectors) and feed it here.
+ * Community recovery needs HIGHER pair recall than pair-dedup: a
+ * block fragments when its connecting edges are missed together
+ * (band weakness is correlated through the cluster centroid), so
+ * turn the recall knob via MORE BANDS (linear cost), not fewer bits
+ * (collision count grows 4× per 2 bits). Measured at 200k×64 with
+ * 16 bands × 16 bits: per-pair recall 0.993, 12 / 200k mislabeled
+ * (`ScaleUp semantic_communities`, BASELINE row).
  */
 object LabelPropagation {
 
