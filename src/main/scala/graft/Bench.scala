@@ -177,13 +177,21 @@ object Bench {
   /** The committed seed ALONE — the round-over-round reference the
     * drift gate compares against (the local overlay is the freshest
     * signal for scheduling, but it may itself already contain the
-    * drift being hunted). */
-  private def loadSeedCosts(): Map[String, Double] = {
+    * drift being hunted). The seed carries an `__sf` stamp: a full
+    * run at another scale refreshes the file for SCHEDULING, and
+    * cross-scale absolute comparisons are meaningless (every
+    * fixed-cost query "drifts" when an sf0.001 warm meets an sf0.1
+    * prior — observed on this gate's first day), so drift only fires
+    * when the seed's scale matches the run's. A stampless seed is
+    * assumed comparable (the pre-stamp committed file). */
+  private def loadSeedCosts(sfDir: String): Map[String, Double] = {
     val body =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(CostsPath)), "UTF-8")
       catch { case _: Exception => "" }
-    """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(body)
+    val seedSf = """"__sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
+    if (seedSf.exists(_ != sfDir)) Map.empty
+    else """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
@@ -279,7 +287,7 @@ object Bench {
     // gets one isolated child re-run, and the better warm wins:
     // shared-JVM contamination must not become the published number
     val priors = loadCosts()
-    val seedPriors = loadSeedCosts()
+    val seedPriors = loadSeedCosts(sfDir)
     val reverified = scala.collection.mutable.ArrayBuffer.empty[String]
     timings.toSeq.foreach { case (n, (c, w)) =>
       if (needsSoloReverify(w, priors.get(n), soloRan.contains(n)) ||
@@ -380,7 +388,8 @@ object Bench {
     // grouping reflects current reality (partial runs must not clobber)
     if (only.isEmpty && timings.nonEmpty) {
       val body = timings.toSeq.sortBy(-_._2._2)
-        .map { case (k, (_, w)) => s""" "$k": ${fmt(w)}""" }.mkString("{\n", ",\n", "\n}\n")
+        .map { case (k, (_, w)) => s""" "$k": ${fmt(w)}""" }
+        .mkString(s"""{\n "__sf": "$sfDir",\n""", ",\n", "\n}\n")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(CostsPath), body)
       catch { case _: Exception => () } // read-only checkout: grouping just stays seeded
     }
