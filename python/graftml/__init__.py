@@ -134,6 +134,7 @@ _STAGES = [
     "graft.text.IntraDocDeduplicator",
     "graft.text.LanguageDetector",
     "graft.text.LinkGraphExtractor",
+    "graft.text.UrlCanonicalizer",
     "graft.text.LineDeduplicator",
     "graft.text.NgramLm", "graft.text.NgramLmModel",
     "graft.text.PiiRedactor",

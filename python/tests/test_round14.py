@@ -67,3 +67,21 @@ def test_video_shot_containment(spark):
     # the unrelated clip (and its identically-keyed shots under another
     # group) never pairs
     assert pairs == {(0, 1): (3, 1.0), (0, 2): (2, 0.5), (1, 2): (2, 0.667)}
+
+
+def test_url_canonicalizer_collapses_spellings(spark):
+    from graftml import UrlCanonicalizer
+    df = spark.createDataFrame(
+        [("HTTP://Host:80/a//b?utm_source=x&b=2&a=1#top",),
+         ("http://host/a/b?a=1&b=2",),
+         ("ftp://files.net:2121/pub?z=1&y=2",),
+         ("not-a-url",)],
+        ["url"])
+    out = (UrlCanonicalizer(spark=spark)
+           .setInputCol("url").setOutputCol("cn")
+           .transform(df)[0].collect())
+    urls = [r["cn_url"] for r in out]
+    assert urls[0] == urls[1] == "http://host/a/b?a=1&b=2"
+    assert urls[2] == "ftp://files.net:2121/pub?y=2&z=1"
+    assert urls[3] is None and out[3]["cn_key"] is None
+    assert out[0]["cn_key"] == out[1]["cn_key"] is not None

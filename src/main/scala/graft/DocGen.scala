@@ -80,7 +80,7 @@ object DocGen {
     "graft.text.LinkGraphExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.SequencePacker", "graft.text.TextNormalizer",
-    "graft.text.UrlParser",
+    "graft.text.UrlCanonicalizer", "graft.text.UrlParser",
     "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",
     "graft.ann.BruteForceCosineKnn", "graft.ann.CosineLshKnn",

@@ -2684,6 +2684,30 @@ object SparkEntry {
           col("u_domain"), col("u_path"), col("u_query"), col("u_blocked"))
     }),
 
+    // --- URL canonicalization: one messy spelling per class — case +
+    // userinfo + default port + fragment + duplicate slashes +
+    // tracking params + param order (m0), default http port (m1),
+    // empty path with an all-dropped query (m2), non-default port
+    // kept with params sorted (m3) — each with its canonical form
+    // spelled closed-form in the oracle, plus the md5 dedup key. ---
+    "q_url_canonical" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val url = when(m === 0, concat(lit("HTTPS://User@WWW."), col("source"),
+          lit(".Example.COM:443//a//b/c?utm_source=tw&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("http://h"), col("doc_id"),
+          lit(".example.org:80/p/"), col("doc_id")))
+        .when(m === 2, concat(lit("https://h"), col("doc_id"),
+          lit(".example.org?fbclid=x"), col("doc_id")))
+        .otherwise(concat(lit("ftp://files.example.net:2121/pub//f"),
+          col("doc_id"), lit("?z=1&y=2&utm_campaign=c")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source")).withColumn("url", url)
+      new graft.text.UrlCanonicalizer().setInputCol("url").setOutputCol("cn")
+        .transform(docs).head
+        .select(col("doc_id"), col("cn_url").as("canon_url"),
+          col("cn_key").as("canon_key"))
+    }),
+
     // --- Outlink extraction: pages with one anchor of every
     // resolution class (absolute / protocol-relative in SINGLE quotes
     // / root-relative / relative / mailto / fragment — the last two
@@ -6110,6 +6134,21 @@ object SparkEntry {
 
     // replay of UrlParser's RE2-compatible regex decomposition on the
     // same deterministic URL construction
+    // closed-form replay of the planted canonical forms: each messy
+    // class's canonical spelling is written out per CASE branch (no
+    // regex replay needed), and the key is md5 of the same string
+    "q_url_canonical" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CASE doc_id % 4
+                    WHEN 0 THEN 'https://www.' || lower(source) || '.example.com/a/b/c?a=1&b=2'
+                    WHEN 1 THEN 'http://h' || doc_id || '.example.org/p/' || doc_id
+                    WHEN 2 THEN 'https://h' || doc_id || '.example.org/'
+                    ELSE 'ftp://files.example.net:2121/pub/f' || doc_id || '?y=2&z=1'
+                  END AS canon_url
+           FROM documents)
+         SELECT doc_id, canon_url, md5(canon_url) AS canon_key FROM c""",
+
     "q_url" ->
       """WITH urls AS (
            SELECT doc_id,

@@ -1925,6 +1925,29 @@ object ScaleUp {
       numDocs
     }
 
+    // URL canonicalization at scale (round-14): 500k URLs carrying two
+    // planted SPELLINGS per resource — clean vs messy (case + userinfo
+    // + default port + duplicate slashes + tracking params + param
+    // order + fragment) — must collapse to exactly numDocs/2 distinct
+    // canonical keys. In-row column math; the distinct() is the only
+    // shuffle and is the dedup the operator exists to enable.
+    stage("url_canonicalize") {
+      val r = (col("id") / 2).cast("long")
+      val urls = spark.range(0, numDocs, 1, cpus.toInt).select(
+        when(col("id") % 2 === 0,
+          concat(lit("https://www.s"), r % 1000, lit(".example.com/item/"), r,
+            lit("?a=1&b=2")))
+          .otherwise(concat(lit("HTTPS://u@WWW.S"), r % 1000,
+            lit(".Example.COM:443//item//"), r, lit("?utm_source=x&b=2&a=1#f")))
+          .as("url"))
+      val out = new graft.text.UrlCanonicalizer()
+        .setInputCol("url").setOutputCol("cn").transform(urls).head
+      val distinct = out.select("cn_key").distinct().count()
+      require(distinct == numDocs / 2,
+        s"two spellings per resource must collapse: $distinct != ${numDocs / 2}")
+      distinct
+    }
+
     // One-pass profiling at scale: every column's null/distinct/
     // moment/length stats in ONE scan + one global HLL aggregation —
     // shuffle bytes must stay O(columns), never O(rows).

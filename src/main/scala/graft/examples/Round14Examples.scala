@@ -52,6 +52,32 @@ object LinkGraphExample {
   }
 }
 
+/** URL canonicalization: two spellings of the same resource collapse
+  * to one canonical form + md5 dedup key — the URL-level exact-dedup
+  * primitive (frontier de-queuing, per-URL joins). */
+object UrlCanonicalizeExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("UrlCanonicalizeExample")
+    import spark.implicits._
+
+    val urls = Seq(
+      "HTTP://Host:80/a//b?utm_source=x&b=2&a=1#top",
+      "http://host/a/b?a=1&b=2",                       // same resource
+      "https://shop.example.com/item/7?gclid=XYZ",
+      "https://shop.example.com:8443/item/7",          // non-default port: distinct
+      "/relative/ref"                                  // no absolute form -> null
+    ).toDF("url")
+
+    val out = new graft.text.UrlCanonicalizer()
+      .setInputCol("url").setOutputCol("cn")
+      .transform(urls).head
+    out.show(false)
+    println(s"distinct resources: ${out.where($"cn_key".isNotNull)
+      .select("cn_key").distinct().count()}") // 3
+    spark.stop()
+  }
+}
+
 /** Shot-boundary video dedup: a clip, a TRIMMED re-upload and a
   * RE-ORDERED re-cut — the edits that break the cheap 3-slot
   * signature — matched by shot-set containment instead. */

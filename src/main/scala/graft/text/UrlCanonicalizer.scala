@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{StageLoader, Transformer}
+import graft.param._
+import graft.util.ReadWrite
+
+/**
+ * URL canonicalization — the dedup-KEY primitive the crawl tier was
+ * missing: [[UrlParser]] decomposes a URL and [[LinkGraphExtractor]]
+ * resolves one, but two spellings of the same resource
+ * (`HTTP://Host:80/a//b?utm_source=x&b=2&a=1#top` vs
+ * `http://host/a/b?a=1&b=2`) still carry different strings, so
+ * URL-level exact dedup, frontier de-queuing and per-URL joins all
+ * over-count. Emits:
+ *
+ *  - `<o>_url`: the canonical form — scheme and host lowercased,
+ *    userinfo and the scheme's DEFAULT port stripped (http:80 /
+ *    https:443; explicit non-default ports kept), fragment dropped,
+ *    duplicate path slashes collapsed, empty path → "/", tracking
+ *    parameters removed (`dropParamsPattern`, default: the utm_
+ *    family, fbclid, gclid, msclkid, igshid, mc_eid), remaining
+ *    query params SORTED
+ *    byte-wise (`sortQuery`) so parameter order stops mattering;
+ *    null for inputs with no scheme://host prefix (relative
+ *    references have no canonical absolute form — resolve them with
+ *    [[LinkGraphExtractor]] first);
+ *  - `<o>_key`: md5 of the canonical form (the equi-join/dedup key;
+ *    null when the URL is null).
+ *
+ * Scope (documented trades, same stance as UrlParser): no dot-segment
+ * (`..`) normalization, no percent-encoding normalization, no IDN —
+ * each needs a spec-complete parser; this operator is the
+ * RE2-expressible column-math core (zero shuffle, zero UDF — one
+ * higher-order `filter`/`array_sort` pair over the split query), so
+ * the DuckDB oracle replays the planted construction exactly.
+ *
+ * Scale shape (100 TB crawl): pure in-row Column math, scan-bound
+ * like [[UrlParser]]/[[HtmlExtractor]]; the canonical key feeds the
+ * same zero-exchange bucketed-ingest pattern as content fingerprints
+ * ([[graft.sources.BucketedStore]]).
+ */
+class UrlCanonicalizer extends Transformer[UrlCanonicalizer]
+    with HasInputCol[UrlCanonicalizer] with HasOutputCol[UrlCanonicalizer] {
+
+  final val dropParamsPattern: Param[String] = param[String](
+    "dropParamsPattern",
+    "RE2 fragment matching query-parameter NAMES to drop (anchored and compared against the text before '=').",
+    "utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_eid")
+  def getDropParamsPattern: String = get(dropParamsPattern)
+  def setDropParamsPattern(v: String): UrlCanonicalizer = set(dropParamsPattern, v)
+
+  final val sortQuery: Param[Boolean] = param[Boolean](
+    "sortQuery",
+    "Sort surviving query parameters byte-wise so parameter order stops distinguishing URLs.",
+    true)
+  def getSortQuery: Boolean = get(sortQuery)
+  def setSortQuery(v: Boolean): UrlCanonicalizer = set(sortQuery, v)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val u = trim(col(getInputCol))
+    val o = getOutputCol
+
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawAuthority = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_replace(rawAuthority, "^.*@", "")
+    val host = lower(regexp_replace(hostPort, ":[0-9]*$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+
+    val rawPath = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/{2,}", "/"))
+
+    // query: split on '&', drop empties and tracked names, sort
+    val dropRe = "^(" + getDropParamsPattern + ")(=.*)?$"
+    val kept0 = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike(dropRe))
+    val kept: Column = if (getSortQuery) array_sort(kept0) else kept0
+    val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+
+    val canon = when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+
+    Array(inputs.head
+      .withColumn(s"${o}_url", canon)
+      .withColumn(s"${o}_key",
+        when(canon.isNull, lit(null).cast("string")).otherwise(md5(canon))))
+  }
+}
+
+object UrlCanonicalizer extends StageLoader[UrlCanonicalizer] {
+  def load(spark: SparkSession, path: String): UrlCanonicalizer =
+    ReadWrite.applyParams(new UrlCanonicalizer, path)
+}
