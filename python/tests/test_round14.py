@@ -85,3 +85,20 @@ def test_url_canonicalizer_collapses_spellings(spark):
     assert urls[2] == "ftp://files.net:2121/pub?y=2&z=1"
     assert urls[3] is None and out[3]["cn_key"] is None
     assert out[0]["cn_key"] == out[1]["cn_key"] is not None
+
+
+def test_hits_hubs_and_authorities(spark):
+    from graftml.functions import hits
+    edges = spark.createDataFrame(
+        [("d1", "n"), ("d1", "m"), ("d2", "n"), ("d2", "m"), ("d3", "n")],
+        ["src", "dst"])
+    out = {r["id"]: (r["hub"], r["authority"])
+           for r in hits(edges, num_iter=8).collect()}
+    assert abs(sum(h for h, _ in out.values()) - 1.0) < 1e-12
+    assert abs(sum(a for _, a in out.values()) - 1.0) < 1e-12
+    # n has one more in-link than m; d1 == d2 outrank d3 as hubs
+    assert out["n"][1] > out["m"][1]
+    assert abs(out["d1"][0] - out["d2"][0]) < 1e-15
+    assert out["d1"][0] > out["d3"][0]
+    # pure hubs have zero authority and vice versa
+    assert out["d1"][1] == 0.0 and out["n"][0] == 0.0

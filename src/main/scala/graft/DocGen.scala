@@ -110,6 +110,13 @@ object DocGen {
           "Classic PageRank: returns (idOut, rankOut). weightCol=\"\" = unweighted (parallel edges count); tol > 0 adds an L1 early stop. Result is persisted — call result.unpersist() once consumed; rename via idOut/rankOut, not .select.",
         "runPersonalized(edges, seeds, srcCol, dstCol, seedCol, dampingFactor, numIter, tol, weightCol, idOut, rankOut)" ->
           "Personalized PageRank (Haveliwala 2002): teleport concentrates on the seed set; dangling mass returns to the seeds so ranks still sum to 1. Seeds absent from the graph are ignored (at least one must be present).")),
+    ("graft.graph.Hits",
+      "HITS hubs/authorities (Kleinberg 1999) over an edge-list DataFrame — " +
+        "synchronous L1-normalized iteration (rankings identical to the L2 classic), " +
+        "both score columns sum to 1; the edge table shuffles twice up front and never per round.",
+      Seq(
+        "run(edges, srcCol, dstCol, numIter, weightCol, idOut, hubOut, authOut)" ->
+          "Returns (idOut, hubOut, authOut), one row per vertex. weightCol=\"\" = unweighted (parallel edges accumulate); vertices without in-edges get authority 0, without out-edges hub 0; self-loops legal. Result is an eager localCheckpoint — no unpersist contract.")),
     ("graft.graph.LabelPropagation",
       "Synchronous label propagation (Raghavan et al. 2007) community detection: " +
         "deterministic, exactly replayable — argmax votes with min-label ties, " +

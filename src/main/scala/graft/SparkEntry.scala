@@ -547,6 +547,20 @@ object SparkEntry {
       graft.graph.LabelPropagation.run(edges, numIter = 3, directed = true)
     }),
 
+    // --- HITS hubs/authorities on the same directed graph: 2
+    // synchronous L1-normalized iterations (the linear iteration makes
+    // per-step scaling ranking-neutral, and L1 keeps both columns
+    // summing to 1 and the replay exact); the oracle replays both
+    // half-steps per iteration as chained CTEs. ---
+    "q_hits" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("src"), (col("event_id") * 31 % 1000).as("dst"))
+      graft.graph.Hits.run(edges, numIter = 2)
+        .select(col("id"), round(col("hub"), 10).as("hub"),
+          round(col("authority"), 10).as("authority"))
+    }),
+
     // --- Weighted label propagation: same graph, edge weight
     // src % 3 + 1 — votes are weight SUMS (integer-valued, so the
     // replay stays exact); a heavy edge outvotes multiplicity. ---
@@ -3939,6 +3953,39 @@ object SparkEntry {
          r3 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm * p.p) AS r
                 FROM p CROSS JOIN d3 LEFT JOIN c3 ON p.id = c3.id)
          SELECT id, ROUND(r, 10) AS pagerank FROM r3""",
+
+    // HITS replayed exactly: both L1-normalized half-steps per
+    // iteration as chained CTEs (authority from hubs along edges, hubs
+    // from authorities against them), ROUND(,10) absorbing the
+    // scalar-sum ulp like the PageRank replays
+    "q_hits" ->
+      """WITH e AS (SELECT event_id AS src, (event_id * 31) % 1000 AS dst
+                    FROM events WHERE event_id % 7 <> 0),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         h0 AS (SELECT id, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn),
+         ra1 AS (SELECT e.dst AS id, SUM(h.h) AS ra
+                 FROM e JOIN h0 h ON e.src = h.id GROUP BY 1),
+         za1 AS (SELECT SUM(ra) AS z FROM ra1),
+         a1 AS (SELECT nodes.id, COALESCE(ra1.ra, 0.0) / za1.z AS a
+                FROM nodes CROSS JOIN za1 LEFT JOIN ra1 ON nodes.id = ra1.id),
+         rh1 AS (SELECT e.src AS id, SUM(a.a) AS rh
+                 FROM e JOIN a1 a ON e.dst = a.id GROUP BY 1),
+         zh1 AS (SELECT SUM(rh) AS z FROM rh1),
+         h1 AS (SELECT nodes.id, COALESCE(rh1.rh, 0.0) / zh1.z AS h
+                FROM nodes CROSS JOIN zh1 LEFT JOIN rh1 ON nodes.id = rh1.id),
+         ra2 AS (SELECT e.dst AS id, SUM(h.h) AS ra
+                 FROM e JOIN h1 h ON e.src = h.id GROUP BY 1),
+         za2 AS (SELECT SUM(ra) AS z FROM ra2),
+         a2 AS (SELECT nodes.id, COALESCE(ra2.ra, 0.0) / za2.z AS a
+                FROM nodes CROSS JOIN za2 LEFT JOIN ra2 ON nodes.id = ra2.id),
+         rh2 AS (SELECT e.src AS id, SUM(a.a) AS rh
+                 FROM e JOIN a2 a ON e.dst = a.id GROUP BY 1),
+         zh2 AS (SELECT SUM(rh) AS z FROM rh2),
+         h2 AS (SELECT nodes.id, COALESCE(rh2.rh, 0.0) / zh2.z AS h
+                FROM nodes CROSS JOIN zh2 LEFT JOIN rh2 ON nodes.id = rh2.id)
+         SELECT h2.id, ROUND(h2.h, 10) AS hub, ROUND(a2.a, 10) AS authority
+         FROM h2 JOIN a2 ON h2.id = a2.id""",
 
     // the q_label_prop chain with the symmetrize step dropped: votes
     // arrive along edge direction only, in-degree-0 vertices keep

@@ -514,6 +514,36 @@ object ScaleUp {
       agg.getLong(0)
     }
 
+    // HITS on the same 10M-edge graph (round-14): the 1M-edge hub
+    // block funnels into just 1,000 destination ids, so the top
+    // authority MUST be one of them (structure PageRank also sees) —
+    // and the block's sources are the graph's hubs. Both L1 masses
+    // must come back exactly 1; edges shuffle twice up front (one
+    // partitioning per join direction), never per round.
+    stage("hits") {
+      val er = spark.range(0, 9000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(5000000L)).as("dst"))
+      val hubBlock = spark.range(0, 1000000L, 1, cpus.toInt).select(
+        pmod(xxhash64(col("id"), lit(3)), lit(5000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(4)), lit(1000L)).as("dst"))
+      val t0 = System.nanoTime()
+      val out = graft.graph.Hits.run(er.union(hubBlock), numIter = 10)
+      val agg = out.agg(count(lit(1)).as("n"), sum("hub").as("hm"),
+        sum("authority").as("am")).head
+      val topAuth = out.orderBy(desc("authority")).select("id").head.getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"hits_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""hits_vertices":${agg.getLong(0)},"hits_hub_mass":${agg.getDouble(1)},""" +
+        s""""hits_auth_mass":${agg.getDouble(2)},"hits_top_authority":$topAuth}""")
+      require(math.abs(agg.getDouble(1) - 1.0) < 1e-9 &&
+        math.abs(agg.getDouble(2) - 1.0) < 1e-9,
+        s"HITS L1 mass invariant broke: ${agg.getDouble(1)} / ${agg.getDouble(2)}")
+      require(topAuth < 1000L,
+        s"the funnel block's 1,000 targets must top the authority ranking, got $topAuth")
+      agg.getLong(0)
+    }
+
     // Label propagation on 500k disjoint 5-cliques (2.5M vertices, 5M
     // pair edges before symmetrization): LPA must converge every
     // clique to its min-id label (round 1 takes all but the min to

@@ -52,6 +52,29 @@ object LinkGraphExample {
   }
 }
 
+/** HITS on a crawl host graph: directory/aggregator hosts score
+  * hub-high, the content they point at scores authority-high — two
+  * separate curation signals where PageRank gives one. */
+object HitsExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("HitsExample")
+    import spark.implicits._
+
+    // two directories both link the same three content hosts; one
+    // content host links back to a directory
+    val edges = Seq(
+      ("dir1.example", "news.example"), ("dir1.example", "docs.example"),
+      ("dir1.example", "blog.example"), ("dir2.example", "news.example"),
+      ("dir2.example", "docs.example"), ("news.example", "dir1.example")
+    ).toDF("src", "dst")
+
+    val scores = graft.graph.Hits.run(edges, numIter = 15)
+    scores.orderBy(desc("authority")).show(false) // news/docs lead authority
+    scores.orderBy(desc("hub")).show(false)       // dir1/dir2 lead hub
+    spark.stop()
+  }
+}
+
 /** URL canonicalization: two spellings of the same resource collapse
   * to one canonical form + md5 dedup key — the URL-level exact-dedup
   * primitive (frontier de-queuing, per-URL joins). */
