@@ -59,7 +59,11 @@ import org.apache.spark.sql.SparkSession
   * ([[DriftFactor]] 1.25×) compares against the COMMITTED
   * bench_costs.json seed only: such rows get the same solo re-run,
   * and any that still exceed the factor publish under `"drift"` so
-  * the round adjudicates them by name.
+  * the round adjudicates them by name. Both gates (and the
+  * scheduling overlay) are PER-SCALE: seed and artifacts carry an sf
+  * stamp, and priors from another scale are ignored — an sf0.001
+  * quick drive's numbers must not become the sf0.1 publish's priors
+  * (they would trip the 1.4× gate on essentially every query).
   *
   * Isolated single-query timing (the judge's TimeQ): pass the query
   * name(s) — `runMain graft.Bench q_swing` — which runs exactly one
@@ -160,17 +164,31 @@ object Bench {
 
   /** Per-query prior warm cost: committed seed overlaid by the local
     * scratch detail of the most recent full run, then any partial run
-    * (partial runs are the freshest signal but cover few queries). */
-  private def loadCosts(): Map[String, Double] = {
+    * (partial runs are the freshest signal but cover few queries).
+    * Overlays (and a stamped seed) apply only at the SAME scale as
+    * the current run: an sf0.001 quick drive's bench_out.json would
+    * otherwise become the "prior" for the sf0.1 publish and trip the
+    * 1.4× solo gate on essentially every query (round-14 lesson, the
+    * same cross-scale trap as the drift gate's seed). An unstamped
+    * artifact is assumed comparable. */
+  private def loadCosts(sfDir: String): Map[String, Double] = {
     def readFile(p: String): String =
       try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
       catch { case _: Exception => "" }
     val flat = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r
     val detail = """"([A-Za-z0-9_]+)":\{"cold":([0-9.]+),"warm":([0-9.]+)""".r
-    def warms(path: String): Map[String, Double] =
-      detail.findAllMatchIn(readFile(path)).map(m => m.group(1) -> m.group(3).toDouble).toMap
-    val seed = flat.findAllMatchIn(readFile(CostsPath))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val sfOf = """"sf"\s*:\s*"([^"]*)"""".r
+    def warms(path: String): Map[String, Double] = {
+      val body = readFile(path)
+      if (sfOf.findFirstMatchIn(body).exists(_.group(1) != sfDir)) Map.empty
+      else detail.findAllMatchIn(body).map(m => m.group(1) -> m.group(3).toDouble).toMap
+    }
+    val seedBody = readFile(CostsPath)
+    val seed =
+      if (sfOf.findFirstMatchIn(seedBody).map(_.group(1))
+            .orElse(""""__sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(seedBody).map(_.group(1)))
+            .exists(_ != sfDir)) Map.empty[String, Double]
+      else flat.findAllMatchIn(seedBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
     seed ++ warms("bench_out.json") ++ warms("bench_out_partial.json")
   }
 
@@ -256,7 +274,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val groups = schedule(names, loadCosts())
+    val groups = schedule(names, loadCosts(sfDir))
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -286,7 +304,7 @@ object Bench {
     // the drift, so the milder check runs against the seed only) —
     // gets one isolated child re-run, and the better warm wins:
     // shared-JVM contamination must not become the published number
-    val priors = loadCosts()
+    val priors = loadCosts(sfDir)
     val seedPriors = loadSeedCosts(sfDir)
     val reverified = scala.collection.mutable.ArrayBuffer.empty[String]
     timings.toSeq.foreach { case (n, (c, w)) =>
