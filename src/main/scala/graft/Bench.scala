@@ -95,6 +95,12 @@ object Bench {
     * factor after re-running it publishes under "drift" so the round
     * adjudicates it explicitly instead of forensically. */
   private val DriftFactor = 1.25
+  /** Drift also needs this much ABSOLUTE movement: on the first
+    * sf0.1 publish the ratio-only gate flagged 20 rows of which 19
+    * were sub-1.5 s queries moved 60-300 ms by fixed-cost jitter —
+    * 1.25× of a small number is noise, not drift (the suspect gate's
+    * noise-floor lesson, applied to the round-over-round axis). */
+  private val DriftAbsFloorSec = 0.5
   private val CostsPath = "benchmarks/bench_costs.json"
   /** warm > cold only counts as suspect when warm also exceeds this
     * floor: beneath it the inversion is scheduler jitter on a query
@@ -128,7 +134,8 @@ object Bench {
     * contamination gate, but enough that the row must carry a solo
     * re-verified number and, if it stands, a "drift" stamp. */
   private[graft] def isDrift(warm: Double, seedPrior: Option[Double]): Boolean =
-    seedPrior.exists(p => p > 0.0 && warm > p * DriftFactor)
+    seedPrior.exists(p => p > 0.0 && warm > p * DriftFactor &&
+      warm - p > DriftAbsFloorSec)
 
   def main(args: Array[String]): Unit = args match {
     case Array("--child", sfDir, outPath, names) =>

@@ -63,10 +63,17 @@ class BenchScheduleSpec extends AnyFunSuite {
     // r13 movers that the 1.4x overlay gate missed: q_cc_minlabel
     // 5.55 -> 7.21 (+30%) must fire against the SEED prior
     assert(Bench.isDrift(warm = 7.21, seedPrior = Some(5.55)))
-    assert(Bench.isDrift(warm = 1.26, seedPrior = Some(1.0)))
+    assert(Bench.isDrift(warm = 2.6, seedPrior = Some(2.0)))
     // at or under the factor, or improvement → no flag
-    assert(!Bench.isDrift(warm = 1.25, seedPrior = Some(1.0)))
+    assert(!Bench.isDrift(warm = 2.5, seedPrior = Some(2.0)))
     assert(!Bench.isDrift(warm = 0.7, seedPrior = Some(1.0)))
+    // absolute noise floor: 1.25x of a small query is jitter, not
+    // drift — the first sf0.1 publish flagged 19 sub-1.5 s rows moved
+    // 60-300 ms (q_zorder 0.26 -> 0.407 "drifted" 1.57x)
+    assert(!Bench.isDrift(warm = 0.407, seedPrior = Some(0.26)))
+    assert(!Bench.isDrift(warm = 1.468, seedPrior = Some(1.145)))
+    // ...but a real mover clears both bars (q_fuzzy_join 3.81 -> 5.42)
+    assert(Bench.isDrift(warm = 5.42, seedPrior = Some(3.81)))
     // new query (no seed) or degenerate prior → nothing to compare
     assert(!Bench.isDrift(warm = 9.0, seedPrior = None))
     assert(!Bench.isDrift(warm = 9.0, seedPrior = Some(0.0)))
