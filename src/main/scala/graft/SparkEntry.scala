@@ -1954,6 +1954,12 @@ object SparkEntry {
       val ev = eventsTsm(s, dir)
         .select(col("event_id"), col("tsm"), col("value").as("x"))
         .orderBy("event_id")
+      // the oracle replays batches of 5000 — exact at the sf0.01
+      // verify scale (2 batches of its 10k events) and unchanged at
+      // sf0.1; the clamp only matters at sf0.001, whose 1,000 events
+      // are SMALLER than one batch (zero versions = versioned scoring
+      // refuses — the quick-drive bench failed on exactly this)
+      val batch = math.min(5000L, ev.count()).toInt
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("x").setOutputCol("features").setInputSizes(1)
         .transform(ev).head
@@ -1964,7 +1970,7 @@ object SparkEntry {
           org.apache.spark.ml.functions.array_to_vector(col("arr")).as("centroid"),
           lit(1.0).as("weight"))
       val model = new graft.streaming.OnlineKMeans()
-        .setK(2).setDecayFactor(0.5).setGlobalBatchSize(5000).setTimeCol("tsm")
+        .setK(2).setDecayFactor(0.5).setGlobalBatchSize(batch).setTimeCol("tsm")
         .setInitialModelData(init)
         .fit(assembled)
         .setMaxAllowedModelDelayMs(172800000L) // 2 days
