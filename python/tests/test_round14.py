@@ -102,3 +102,16 @@ def test_hits_hubs_and_authorities(spark):
     assert out["d1"][0] > out["d3"][0]
     # pure hubs have zero authority and vice versa
     assert out["d1"][1] == 0.0 and out["n"][0] == 0.0
+
+
+def test_anchor_text_alignment(spark):
+    from graftml import LinkGraphExtractor
+    pages = spark.createDataFrame(
+        [(1, "https://h.org/",
+          '<a href="/a">first</a><a href="/b"><img src="x"/></a>')],
+        ["id", "url", "html"])
+    rows = (LinkGraphExtractor(spark=spark)
+            .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+            .transform(pages)[0].collect())
+    got = {r["lk_href"]: r["lk_text"] for r in rows}
+    assert got == {"/a": "first", "/b": ""}

@@ -2775,6 +2775,29 @@ object SparkEntry {
         .select(col("id").as("host"), round(col("pagerank"), 10).as("pagerank"))
     }),
 
+    // --- Anchor-text aggregation over the same planted pages: "what
+    // the web calls each target" — anchor texts grouped per resolved
+    // registrable domain. The dropped anchors (mailto 'm', fragment
+    // 't') must NOT appear; the kept classes each contribute one text
+    // per document. ---
+    "q_anchor_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("/page.html")).as("url"),
+        concat(lit("<html><body><a href=\"https://out"), col("doc_id") % 5,
+          lit(".example.org/x/\">a</a><a class='c' href='//cdn.example.net/l.js'>c</a>"),
+          lit("<a href=\"/r/"), col("doc_id"),
+          lit("\">r</a><a href=\"sub/p2.html\">s</a>"),
+          lit("<a href=\"mailto:u@example.com\">m</a><a href=\"#top\">t</a></body></html>"))
+          .as("html"))
+      new graft.text.LinkGraphExtractor()
+        .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+        .transform(pages).head
+        .groupBy(col("lk_domain").as("dst_domain"), col("lk_text").as("anchor_text"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // --- Prequential per-user anomaly scoring (the batch plan of the
     // streaming detector: expanding frame, entire past as baseline) ---
     "q_stream_anomaly" -> ((s, dir) => {
@@ -6254,6 +6277,16 @@ object SparkEntry {
                 'https://cdn.example.net/l.js',
                 'cdn.example.net', 'example.net'
          FROM pages""",
+
+    // anchor texts per kept resolution class, closed-form: one row
+    // per (domain, text) with count = the documents table size; the
+    // dropped mailto/fragment anchors ('m'/'t') are absent
+    "q_anchor_text" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM documents)
+         SELECT 'example.org' AS dst_domain, 'a' AS anchor_text, n.c AS n FROM n
+         UNION ALL SELECT 'example.net', 'c', n.c FROM n
+         UNION ALL SELECT 'example.com', 'r', n.c FROM n
+         UNION ALL SELECT 'example.com', 's', n.c FROM n""",
 
     // the q_link_graph host edges rebuilt closed-form (two self-edges
     // per page from the root-relative and relative anchors), then the

@@ -37,7 +37,7 @@ object LinkGraphExample {
     // per-anchor detail: href as written, resolved URL, host, domain
     new LinkGraphExtractor().setInputCol("html").setUrlCol("url").setOutputCol("lk")
       .transform(pages).head
-      .select("url", "lk_href", "lk_url", "lk_host", "lk_domain")
+      .select("url", "lk_href", "lk_text", "lk_url", "lk_host", "lk_domain")
       .show(false)
 
     // host graph → rank + communities (multiplicity kept as weight)

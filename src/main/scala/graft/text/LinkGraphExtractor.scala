@@ -19,6 +19,10 @@ import graft.util.ReadWrite
  * column), with:
  *
  *  - `<o>_href`: the href exactly as written in the anchor tag;
+ *  - `<o>_text`: the anchor's inner text (trimmed, up to the first
+ *    nested markup — empty for image/markup-only anchors): the
+ *    "what the web calls this page" relevance/quality signal,
+ *    aggregated per target by `q_anchor_text`'s shape;
  *  - `<o>_url`: the href resolved to an absolute URL against the page
  *    URL (RFC 3986-lite, see below);
  *  - `<o>_host` / `<o>_domain`: the resolved URL's lowercased host and
@@ -36,7 +40,8 @@ import graft.util.ReadWrite
  *
  * Scope (documented trades, same stance as HtmlExtractor/UrlParser):
  * a REGEX extractor, not an HTML5 parser — hrefs in single or double
- * quotes only (unquoted values skipped), no `..`/`.` dot-segment
+ * quotes only (unquoted values skipped; an opening tag truncated
+ * before its `>` is skipped too), no `..`/`.` dot-segment
  * normalization, no `<base href>` handling, fragments kept verbatim
  * in the resolved URL. All patterns are RE2-compatible (no
  * backreferences) so the DuckDB oracle replays them exactly.
@@ -79,15 +84,30 @@ class LinkGraphExtractor extends Transformer[LinkGraphExtractor]
     val dir = when(regexp_replace(path, "[^/]*$", "") === "", lit("/"))
       .otherwise(regexp_replace(path, "[^/]*$", ""))
 
-    // hrefs from anchor tags, double-quoted pass then single-quoted
-    // pass (two RE2-safe patterns — alternation with two capture
-    // groups would need backreference-style cleverness)
+    // hrefs + anchor TEXT from anchor tags, double-quoted pass then
+    // single-quoted pass (two RE2-safe patterns — alternation with
+    // multiple capture groups would need backreference-style
+    // cleverness). Both columns come from the SAME pattern (group 1 =
+    // href, group 2 = inner text up to the first markup), so the
+    // per-anchor arrays stay aligned by construction; `[^>]*>`
+    // requires the opening tag to close, which drops an `<a href`
+    // truncated at end-of-payload (and `[^<]*` yields empty text for
+    // anchors whose content opens with nested markup) — the regex
+    // extractor's documented stance, not an HTML5 parser's.
+    val pd = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)"
+    val ps = "(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'[^>]*>([^<]*)"
     val hrefs = concat(
-      regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)),
-      regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'"), lit(1)))
+      regexp_extract_all(html, lit(pd), lit(1)),
+      regexp_extract_all(html, lit(ps), lit(1)))
+    val texts = concat(
+      regexp_extract_all(html, lit(pd), lit(2)),
+      regexp_extract_all(html, lit(ps), lit(2)))
 
     val withHref = inputs.head
-      .withColumn(s"${o}_href", explode(hrefs))
+      .withColumn("__lk", explode(arrays_zip(hrefs, texts)))
+      .withColumn(s"${o}_href", col("__lk.0"))
+      .withColumn(s"${o}_text", trim(col("__lk.1")))
+      .drop("__lk")
     val h = col(s"${o}_href")
 
     val resolved =

@@ -61,6 +61,24 @@ class LinkGraphExtractorSpec extends SparkSpec {
     assert(dropped.count() == 1)
   }
 
+  test("anchor text rides the same matches: trimmed, markup-empty, dropped-with-its-anchor") {
+    import spark.implicits._
+    val df = Seq(("https://h.org/",
+      """<a href="/plain"> Click Here </a>
+        |<a href="/markup"><b>bold</b></a>
+        |<a href='/single'>sq</a>
+        |<a href="mailto:x@y.z">mail text</a>
+        |<a href="/trunc""".stripMargin)).toDF("url", "html")
+    val got = new LinkGraphExtractor().setInputCol("html").setUrlCol("url")
+      .setOutputCol("lk").transform(df).head
+      .select("lk_href", "lk_text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // trimmed text; nested markup yields empty; single-quote pass has
+    // text too; the mailto anchor (and its text) dropped with the row;
+    // the opening tag truncated before '>' never matches
+    assert(got == Map("/plain" -> "Click Here", "/markup" -> "", "/single" -> "sq"))
+  }
+
   test("hostEdges builds the (src_host, dst_host) list with multiplicity and self-edges") {
     import spark.implicits._
     val pages = Seq(
