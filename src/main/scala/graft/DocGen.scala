@@ -181,7 +181,7 @@ object DocGen {
         "Transitive closure over the 3-slot signature: chained re-encodes collapse into one cluster via ConnectedComponents."),
     "graft.text.LinkGraphExtractor" -> Seq(
       "LinkGraphExtractor.hostEdges(pages, urlCol, htmlCol)" ->
-        "The crawl link graph in one call: one (src_host, dst_host) row per anchor, parallel edges kept (PageRank/LabelPropagation treat multiplicity as weight)."),
+        "The crawl link graph in one call: one (src_host, dst_host) row per anchor, parallel edges kept (PageRank/LabelPropagation treat multiplicity as weight). Per-anchor detail (href, TEXT, resolved URL, host, registrable domain) comes from transform() — anchor text rides the same regex matches as the href, so the columns stay aligned."),
     "graft.multimodal.VideoShotHasher" -> Seq(
       "containmentJoin(hashed, idCol)" ->
         "All video pairs with shot containment |A intersect B| / min(|A|, |B|) >= minOverlap — robust to trimming and shot reordering, the edits that break VideoDHasher's 3-slot alignment; one equi-join on exploded shot hashes, hot 'stop shots' removable via maxVideosPerShot."))
