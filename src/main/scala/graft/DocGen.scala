@@ -164,7 +164,8 @@ object DocGen {
        |```
        |
        |Python: `graftml.functions` wraps the graph tier (`page_rank`,
-       |`personalized_page_rank`, `label_propagation`, `host_edges`).
+       |`personalized_page_rank`, `hits`, `label_propagation`,
+       |`host_edges`).
        |""".stripMargin
     sb.toString
   }
