@@ -118,6 +118,7 @@ _STAGES = [
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher",
     "graft.dedup.SpanDeduplicator",
+    "graft.text.AnchorTextRollup",
     "graft.text.Bm25Scorer",
     "graft.text.C4Filter",
     "graft.text.FrequentNgrams",

@@ -111,21 +111,23 @@ def label_propagation(edges, src="src", dst="dst", num_iter=10,
     return DataFrame(jdf, spark)
 
 
-def hits(edges, src="src", dst="dst", num_iter=20, weight_col="",
+def hits(edges, src="src", dst="dst", num_iter=20, tol=0.0, weight_col="",
          id_out="id", hub_out="hub", auth_out="authority"):
     """HITS hubs/authorities (Kleinberg 1999) over an edge-list
     DataFrame: returns (id_out, hub_out, auth_out) with each score
     column summing to 1 (synchronous L1-normalized iteration —
     rankings identical to the classic L2 form). Delegates to
-    graft.graph.Hits; the edge table is shuffled twice up front (once
-    per join direction) and never again — each iteration moves only
-    the O(V) score tables. The result is an eager localCheckpoint:
-    no unpersist contract, the data is freed when the DataFrame
-    becomes unreachable."""
+    graft.graph.Hits; the edge table is partitioned twice up front
+    (once per join direction) and never re-partitioned — per-round
+    exchanges are reduced to O(V) rows by partial aggregation. With
+    ``tol`` > 0 the loop stops early once the hub vector's L1
+    movement falls below it (same contract as page_rank). The result
+    is an eager localCheckpoint: no unpersist contract, the data is
+    freed when the DataFrame becomes unreachable."""
     from pyspark.sql import DataFrame
     spark = edges.sparkSession
     jdf = spark._jvm.graft.graph.Hits.run(
-        edges._jdf, src, dst, int(num_iter), weight_col,
+        edges._jdf, src, dst, int(num_iter), float(tol), weight_col,
         id_out, hub_out, auth_out)
     return DataFrame(jdf, spark)
 

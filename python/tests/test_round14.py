@@ -20,8 +20,10 @@ def test_link_graph_extractor_resolution(spark):
     assert got == {
         ("https://other.org/x", "https://other.org/x", "other.org", "other.org"),
         ("//cdn.net/l.js", "https://cdn.net/l.js", "cdn.net", "cdn.net"),
-        ("/root.html", "https://www.ex.co/root.html", "www.ex.co", "ex.co"),
-        ("img/p.html", "https://www.ex.co/a/b/img/p.html", "www.ex.co", "ex.co"),
+        # userinfo stripped, the page's non-default PORT kept in the
+        # resolution base (round-15 fix); lk_host strips the port
+        ("/root.html", "https://www.ex.co:8443/root.html", "www.ex.co", "ex.co"),
+        ("img/p.html", "https://www.ex.co:8443/a/b/img/p.html", "www.ex.co", "ex.co"),
     }
 
 

@@ -1,0 +1,66 @@
+"""Round-15 stages: the anchor-text rollup operator, dot-segment URL
+canonicalization, and the HITS tol early stop."""
+
+
+def test_anchor_text_rollup(spark):
+    from graftml import AnchorTextRollup
+    df = spark.createDataFrame(
+        [("ex.com", "Home"), ("ex.com", "home"), ("ex.com", " home "),
+         ("ex.com", "docs"), ("ex.com", "blog"),
+         ("ex.com", ""), (None, "orphan"), ("other.org", "x")],
+        ["d", "t"])
+    rows = (AnchorTextRollup(spark=spark)
+            .setTargetCol("d").setTextCol("t").setOutputCol("a").setTopK(2)
+            .transform(df)[0].collect())
+    got = {(r["d"], r["a_text"], r["a_count"], r["a_rank"]) for r in rows}
+    assert got == {
+        ("ex.com", "home", 3, 1),
+        ("ex.com", "blog", 1, 2),  # count-1 tie breaks ascending by text
+        ("other.org", "x", 1, 1),
+    }
+
+
+def test_anchor_text_rollup_salted_identical(spark):
+    from graftml import AnchorTextRollup
+    rows = [("d%d" % (i % 3), "t%d" % (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["d", "t"])
+    base = (AnchorTextRollup(spark=spark)
+            .setTargetCol("d").setTextCol("t").setOutputCol("a").setTopK(3))
+    plain = {tuple(r) for r in base.transform(df)[0].collect()}
+    salted = {tuple(r) for r in base.setSaltBuckets(4).transform(df)[0].collect()}
+    assert salted == plain
+
+
+def test_url_canonicalizer_dot_segments(spark):
+    from graftml import UrlCanonicalizer
+    df = spark.createDataFrame(
+        [("https://h.org/a/b/../c",),
+         ("https://h.org/a/c",),
+         ("https://h.org/./a/c",),
+         ("https://h.org/../../a/c",),
+         ("https://h.org/app#/search?q=x",)],
+        ["url"])
+    out = (UrlCanonicalizer(spark=spark)
+           .setInputCol("url").setOutputCol("cn").transform(df)[0].collect())
+    canon = [r["cn_url"] for r in out]
+    # the four path spellings collapse to one canonical form
+    assert canon[:4] == ["https://h.org/a/c"] * 4
+    # a '?' first appearing inside the fragment fabricates no query
+    assert canon[4] == "https://h.org/app"
+    assert len({r["cn_key"] for r in out[:4]}) == 1
+
+
+def test_hits_tol_early_stop(spark):
+    from graftml.functions import hits
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], ["src", "dst"])
+    # uniform complete-bipartite graph: fixed point from iteration 2
+    out = {r["id"]: (r["hub"], r["authority"])
+           for r in hits(edges, num_iter=20, tol=1e-9).collect()}
+    last = spark._jvm.graft.graph.Hits.lastIterations()
+    assert 2 <= last < 20
+    full = {r["id"]: (r["hub"], r["authority"])
+            for r in hits(edges, num_iter=20).collect()}
+    assert spark._jvm.graft.graph.Hits.lastIterations() == 20
+    for v, (h, a) in out.items():
+        assert abs(h - full[v][0]) < 1e-12 and abs(a - full[v][1]) < 1e-12

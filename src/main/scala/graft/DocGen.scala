@@ -68,6 +68,7 @@ object DocGen {
     "graft.dedup.MinHashDeduplicator", "graft.dedup.MinHashIndexer",
     "graft.dedup.NgramJaccardJoin",
     "graft.dedup.SimHasher", "graft.dedup.SpanDeduplicator",
+    "graft.text.AnchorTextRollup",
     "graft.text.Bm25Scorer", "graft.text.BpeTrainer", "graft.text.C4Filter",
     "graft.text.ChunkSplitter",
     "graft.text.CorpusOverlap", "graft.text.CollocationScorer",
@@ -113,10 +114,11 @@ object DocGen {
     ("graft.graph.Hits",
       "HITS hubs/authorities (Kleinberg 1999) over an edge-list DataFrame — " +
         "synchronous L1-normalized iteration (rankings identical to the L2 classic), " +
-        "both score columns sum to 1; the edge table shuffles twice up front and never per round.",
+        "both score columns sum to 1; the edge table is partitioned twice up front and " +
+        "never re-partitioned — per-round exchanges are reduced to O(V) by partial aggregation.",
       Seq(
-        "run(edges, srcCol, dstCol, numIter, weightCol, idOut, hubOut, authOut)" ->
-          "Returns (idOut, hubOut, authOut), one row per vertex. weightCol=\"\" = unweighted (parallel edges accumulate); vertices without in-edges get authority 0, without out-edges hub 0; self-loops legal. Result is an eager localCheckpoint — no unpersist contract.")),
+        "run(edges, srcCol, dstCol, numIter, tol, weightCol, idOut, hubOut, authOut)" ->
+          "Returns (idOut, hubOut, authOut), one row per vertex. weightCol=\"\" = unweighted (parallel edges accumulate); tol > 0 adds an L1 early stop on the hub vector (same contract as PageRank); vertices without in-edges get authority 0, without out-edges hub 0; self-loops legal. Result is an eager localCheckpoint — no unpersist contract.")),
     ("graft.graph.LabelPropagation",
       "Synchronous label propagation (Raghavan et al. 2007) community detection: " +
         "deterministic, exactly replayable — argmax votes with min-label ties, " +

@@ -1650,8 +1650,9 @@ object SparkEntry {
         .withColumn("video", mkVid(col("doc_id")))
       val hasher = new graft.multimodal.VideoShotHasher()
         .setInputCol("video").setOutputCol("shots").setMinOverlap(0.45)
+      // no caller-side checkpoint: containmentJoin checkpoints its slim
+      // projection internally (single-decode contract)
       val hashed = hasher.transform(docs).head.select("doc_id", "shots")
-        .localCheckpoint(true)
       hasher.containmentJoin(hashed, "doc_id")
         .select(col("id_a"), col("id_b"), col("shared"),
           col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
@@ -2728,6 +2729,30 @@ object SparkEntry {
           col("cn_key").as("canon_key"))
     }),
 
+    // --- Dot-segment + fragment-'?' canonicalization (round-15): one
+    // planted spelling class per mod-4 residue — "/a/b/../c" (m0),
+    // "/./x/./y" (m1), above-root "/../../p" (m2), and an SPA hash
+    // route whose '?' first appears inside the fragment and must NOT
+    // be resurrected as a query (m3) — each with its canonical twin
+    // spelled closed-form in the oracle. ---
+    "q_url_dotsegments" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val url = when(m === 0, concat(lit("https://ex."), col("source"),
+          lit(".example.com/a/b/../c")))
+        .when(m === 1, concat(lit("https://h"), col("doc_id"),
+          lit(".example.org/./x/./y")))
+        .when(m === 2, concat(lit("https://h"), col("doc_id"),
+          lit(".example.org/../../p"), col("doc_id")))
+        .otherwise(concat(lit("https://app.example.com/app/"),
+          col("doc_id"), lit("#/search?q="), col("doc_id")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source")).withColumn("url", url)
+      new graft.text.UrlCanonicalizer().setInputCol("url").setOutputCol("cn")
+        .transform(docs).head
+        .select(col("doc_id"), col("cn_url").as("canon_url"),
+          col("cn_key").as("canon_key"))
+    }),
+
     // --- Outlink extraction: pages with one anchor of every
     // resolution class (absolute / protocol-relative in SINGLE quotes
     // / root-relative / relative / mailto / fragment — the last two
@@ -2796,6 +2821,24 @@ object SparkEntry {
         .transform(pages).head
         .groupBy(col("lk_domain").as("dst_domain"), col("lk_text").as("anchor_text"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- Anchor-text rollup as a first-class operator (round-15):
+    // per-target top-k anchor texts with exact counts and
+    // deterministic tie-broken ranks. Planted: target d(doc_id%3),
+    // text t(doc_id%5) — a non-uniform histogram per target whose
+    // counts, ordering and rank the oracle replays with the same
+    // construction + a row_number window. ---
+    "q_anchor_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val links = docs.select(
+        concat(lit("d"), col("doc_id") % 3).as("dst"),
+        concat(lit("t"), col("doc_id") % 5).as("txt"))
+      new graft.text.AnchorTextRollup()
+        .setTargetCol("dst").setTextCol("txt").setOutputCol("a").setTopK(3)
+        .transform(links).head
+        .select(col("dst").as("target"), col("a_text").as("anchor_text"),
+          col("a_count").as("n"), col("a_rank").cast("long").as("rank"))
     }),
 
     // --- Prequential per-user anomaly scoring (the batch plan of the
@@ -6225,6 +6268,21 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, canon_url, md5(canon_url) AS canon_key FROM c""",
 
+    // closed-form canonical twins of the planted dot-segment /
+    // fragment-'?' spellings (the operator resolves them; the oracle
+    // just spells the answer)
+    "q_url_dotsegments" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CASE doc_id % 4
+                    WHEN 0 THEN 'https://ex.' || lower(source) || '.example.com/a/c'
+                    WHEN 1 THEN 'https://h' || doc_id || '.example.org/x/y'
+                    WHEN 2 THEN 'https://h' || doc_id || '.example.org/p' || doc_id
+                    ELSE 'https://app.example.com/app/' || doc_id
+                  END AS canon_url
+           FROM documents)
+         SELECT doc_id, canon_url, md5(canon_url) AS canon_key FROM c""",
+
     "q_url" ->
       """WITH urls AS (
            SELECT doc_id,
@@ -6287,6 +6345,23 @@ object SparkEntry {
          UNION ALL SELECT 'example.net', 'c', n.c FROM n
          UNION ALL SELECT 'example.com', 'r', n.c FROM n
          UNION ALL SELECT 'example.com', 's', n.c FROM n""",
+
+    // same construction, counted and ranked with a row_number window —
+    // ties (uniform residue classes) break ascending by text on both
+    // sides, so the top-3 per target replays exactly
+    "q_anchor_topk" ->
+      """WITH e AS (
+           SELECT 'd' || (doc_id % 3) AS target,
+                  't' || (doc_id % 5) AS anchor_text
+           FROM documents),
+         c AS (SELECT target, anchor_text, COUNT(*) AS n
+               FROM e GROUP BY 1, 2),
+         r AS (SELECT target, anchor_text, n,
+                      row_number() OVER (
+                        PARTITION BY target
+                        ORDER BY n DESC, anchor_text ASC) AS rank
+               FROM c)
+         SELECT target, anchor_text, n, rank FROM r WHERE rank <= 3""",
 
     // the q_link_graph host edges rebuilt closed-form (two self-edges
     // per page from the root-relative and relative anchors), then the

@@ -1,8 +1,9 @@
 package graft.benchmark
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Empirical scale-up run for the dedup / ANN / curation tier: the
@@ -528,14 +529,20 @@ object ScaleUp {
         pmod(xxhash64(col("id"), lit(3)), lit(5000000L)).as("src"),
         pmod(xxhash64(col("id"), lit(4)), lit(1000L)).as("dst"))
       val t0 = System.nanoTime()
-      val out = graft.graph.Hits.run(er.union(hubBlock), numIter = 10)
+      // round-15: tol early-stop — the funnel graph's score vectors
+      // settle fast, so a converged run should stop before all 10
+      // rounds and skip their checkpoint materializations (the
+      // per-round L1-delta probe is an O(V) join, cheap next to a
+      // saved round)
+      val out = graft.graph.Hits.run(er.union(hubBlock), numIter = 10, tol = 1e-5)
       val agg = out.agg(count(lit(1)).as("n"), sum("hub").as("hm"),
         sum("authority").as("am")).head
       val topAuth = out.orderBy(desc("authority")).select("id").head.getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"hits_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
         s""""hits_vertices":${agg.getLong(0)},"hits_hub_mass":${agg.getDouble(1)},""" +
-        s""""hits_auth_mass":${agg.getDouble(2)},"hits_top_authority":$topAuth}""")
+        s""""hits_auth_mass":${agg.getDouble(2)},"hits_top_authority":$topAuth,""" +
+        s""""hits_iterations":${graft.graph.Hits.lastIterations}}""")
       require(math.abs(agg.getDouble(1) - 1.0) < 1e-9 &&
         math.abs(agg.getDouble(2) - 1.0) < 1e-9,
         s"HITS L1 mass invariant broke: ${agg.getDouble(1)} / ${agg.getDouble(2)}")
@@ -1317,15 +1324,16 @@ object ScaleUp {
         }.apply(col("id")).as("payload"))
       val hasher = new graft.multimodal.VideoShotHasher()
         .setInputCol("payload").setOutputCol("shots").setMinOverlap(0.45)
+      // no caller-side persist of the hashed table: containmentJoin
+      // checkpoints its slim projection internally (single-decode
+      // contract, pinned by VideoShotHashSpec's invocation counter)
       val hashed = hasher.transform(payloads).head.select("id", "shots")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = hasher.containmentJoin(hashed, "id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val planted = pairs.where(
         (col("id_a") - col("id_a") % 4) === (col("id_b") - col("id_b") % 4) &&
           col("id_a") % 4 <= 2 && col("id_b") % 4 <= 2).count()
       val accidental = pairs.count() - planted
-      hashed.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       val expected = (nVid / 4) * 3
       println(s"""{"video_shot_pairs":$planted,"video_shot_expected":$expected,""" +
@@ -1919,6 +1927,101 @@ object ScaleUp {
       require(total == nPages * 22, s"kept-anchor count broke: $total != ${nPages * 22}")
       require(math.abs(mass - 1.0) < 1e-9, s"rank mass broke: $mass")
       total
+    }
+
+    // URL-granularity PageRank (round-15): the other Common Crawl
+    // product next to link_graph's host ranks — the vertex set is
+    // CANONICAL URLS (UrlCanonicalizer keys over LinkGraphExtractor's
+    // resolved URLs), ~10× more vertices than hosts and string-typed.
+    // 500k pages × 13 kept anchors: 10 clean outlinks onto a
+    // numDocs×10 URL universe, 2 MESSY respellings (case + default
+    // port + dot segment + tracking param) of the first two — the
+    // canonicalizer must merge them into existing vertices, so the
+    // closed-form vertex count (numDocs×10 dst + numDocs pages + 1
+    // hub) breaks if canonicalization drifts — plus 1 hub link from
+    // every page (the planted funnel: the hub URL must top the
+    // ranking), and 1 mailto that must drop. 3 PageRank iterations;
+    // rank mass must come back 1.0.
+    stage("url_rank") {
+      val nPages = numDocs
+      val hubUrl = "https://hub.example.org/"
+      def dstClean(p: Column): Column = concat(
+        lit("https://h"), pmod(p, lit(1000L)), lit(".example.org/p/"), p)
+      val cleanAnchors = (0 until 10).map { k =>
+        concat(lit("<a href=\""), dstClean(col("id") * 10 + lit(k)), lit("\">a</a>"))
+      }.reduce((a, b) => concat(a, b))
+      val messyAnchors = (0 until 2).map { k =>
+        val p = col("id") * 10 + lit(k)
+        concat(lit("<a href=\"HTTPS://H"), pmod(p, lit(1000L)),
+          lit(".EXAMPLE.ORG:443/p/x/../"), p, lit("?utm_source=s\">m</a>"))
+      }.reduce((a, b) => concat(a, b))
+      val pages = spark.range(0, nPages, 1, cpus.toInt).select(
+        concat(lit("https://www.s"), col("id") % 1000,
+          lit(".example.com/d/"), col("id"), lit("/p.html")).as("url"),
+        concat(lit("<html><body>"), cleanAnchors, messyAnchors,
+          lit(s"""<a href="$hubUrl">hub</a><a href="mailto:u@e.co">m</a></body></html>"""))
+          .as("html"))
+      val links = new graft.text.LinkGraphExtractor()
+        .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+        .transform(pages).head
+        .select(col("url").as("src_raw"), col("lk_url").as("dst_raw"))
+      val canon = new graft.text.UrlCanonicalizer()
+      val edges = canon.setInputCol("dst_raw").setOutputCol("d")
+        .transform(canon.setInputCol("src_raw").setOutputCol("s")
+          .transform(links).head).head
+        .select(col("s_url").as("src"), col("d_url").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = edges.count()
+      val ranks = graft.graph.PageRank.run(edges, "src", "dst",
+        dampingFactor = 0.85, numIter = 3)
+      val vertices = ranks.count()
+      val mass = ranks.agg(sum("pagerank")).first().getDouble(0)
+      val top = ranks.orderBy(desc("pagerank")).select("id").head.getString(0)
+      ranks.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      println(s"""{"url_rank_edges":$total,"url_rank_vertices":$vertices,""" +
+        s""""url_rank_rank_mass":${String.format(java.util.Locale.ROOT, "%.12f", Double.box(mass))},""" +
+        s""""url_rank_top":"$top"}""")
+      require(total == nPages * 13, s"kept-anchor count broke: $total != ${nPages * 13}")
+      require(vertices == nPages * 10 + nPages + 1,
+        s"canonical URL vertex count broke (messy respellings must merge): $vertices")
+      require(math.abs(mass - 1.0) < 1e-9, s"rank mass broke: $mass")
+      require(top == hubUrl, s"the planted funnel URL must top the ranking, got $top")
+      vertices
+    }
+
+    // Anchor-text rollup at scale (round-15): numDocs×40 anchors onto
+    // numDocs÷5 targets with an EXACT per-target histogram — 50× t0,
+    // 6× t1..t5, 5× t6..t9 — so the salted top-3 (saltBuckets=16,
+    // bounding any single ranking sort) is closed-form checkable:
+    // every target reports (t0, 50, 1), (t1, 6, 2), (t2, 6, 3); the
+    // count-6 tie breaks ascending by text on both phases.
+    stage("anchor_topk") {
+      val perTarget = 100L
+      val nRows = numDocs * 40
+      val nTargets = nRows / perTarget
+      val i = col("id") % perTarget
+      val anchors = spark.range(0, nRows, 1, cpus.toInt).select(
+        concat(lit("d"), (col("id") / perTarget).cast("long")).as("target"),
+        concat(lit("t"), when(i < 50, lit(0L))
+          .otherwise((i - 50) % 9 + 1)).as("txt"))
+      val out = new graft.text.AnchorTextRollup()
+        .setTargetCol("target").setTextCol("txt").setOutputCol("a")
+        .setTopK(3).setSaltBuckets(16)
+        .transform(anchors).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rows = out.count()
+      val rank1 = out.where(col("a_rank") === 1 && col("a_text") === "t0" &&
+        col("a_count") === 50).count()
+      val rank23 = out.where(col("a_rank") > 1 && col("a_count") === 6 &&
+        col("a_text").isin("t1", "t2")).count()
+      out.unpersist(blocking = false)
+      println(s"""{"anchor_topk_rows":$rows,"anchor_topk_targets":$nTargets,""" +
+        s""""anchor_topk_rank1_exact":$rank1,"anchor_topk_rank23_exact":$rank23}""")
+      require(rows == nTargets * 3, s"top-3 row count broke: $rows != ${nTargets * 3}")
+      require(rank1 == nTargets, s"rank-1 closed form broke: $rank1 != $nTargets")
+      require(rank23 == nTargets * 2, s"rank-2/3 closed form broke: $rank23")
+      rows
     }
 
     // Lag/rolling featurization at scale: 2M events over 50k users —

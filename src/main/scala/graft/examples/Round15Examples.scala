@@ -1,0 +1,77 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-15 batch: the anchor-text rollup signal and dot-segment URL
+ * canonicalization (the crawl-tier composition that makes URL-level
+ * dedup keys correct on real `../` links).
+ */
+
+/** "What the web calls this page": crawl pages → per-anchor outlinks
+  * (LinkGraphExtractor) → per-domain top-k anchor texts with exact
+  * counts (AnchorTextRollup) — the external title/relevance signal,
+  * and a spam tell when a domain's top anchors are all boilerplate. */
+object AnchorTextRollupExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("AnchorTextRollupExample")
+    import spark.implicits._
+
+    val pages = Seq(
+      ("https://a.example.com/",
+        """<a href="https://docs.target.org/">Docs</a>
+          |<a href="https://docs.target.org/api">docs</a>
+          |<a href="https://spam.biz/p">click here</a>""".stripMargin),
+      ("https://b.example.com/",
+        """<a href="https://docs.target.org/">documentation</a>
+          |<a href="https://docs.target.org/start">Docs</a>
+          |<a href="https://spam.biz/q">click here</a>""".stripMargin),
+      ("https://c.example.com/",
+        """<a href="https://spam.biz/r">click here</a>""".stripMargin)
+    ).toDF("url", "html")
+
+    val links = new graft.text.LinkGraphExtractor()
+      .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+      .transform(pages).head
+
+    // defaults consume LinkGraphExtractor's lk_domain / lk_text;
+    // 'Docs'/'docs' roll up (lowercase=true), ranks tie-break by text
+    new graft.text.AnchorTextRollup().setOutputCol("a").setTopK(3)
+      .transform(links).head
+      .orderBy("lk_domain", "a_rank")
+      .show(false) // target.org led by "docs"; spam.biz is all "click here"
+    spark.stop()
+  }
+}
+
+/** Dot-segment canonicalization closes the crawl dedup loop:
+  * LinkGraphExtractor resolves `../sibling` hrefs verbatim (literal
+  * `..` in the URL), and UrlCanonicalizer's default dot-segment
+  * normalization folds them onto the clean spelling so both carry
+  * ONE md5 dedup key. */
+object DotSegmentCanonExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("DotSegmentCanonExample")
+    import spark.implicits._
+
+    val pages = Seq(
+      ("https://h.example.org/a/b/page.html",
+        """<a href="../c/d.html">up-and-over</a>""")
+    ).toDF("url", "html")
+    val resolved = new graft.text.LinkGraphExtractor()
+      .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+      .transform(pages).head
+      .select(col("lk_url").as("url"))
+
+    // the clean spelling of the same resource, plus an SPA hash route
+    // whose '?' lives inside the fragment (no query fabricated)
+    val clean = Seq(
+      "https://h.example.org/a/c/d.html",
+      "https://h.example.org/app#/search?q=x").toDF("url")
+
+    new graft.text.UrlCanonicalizer().setInputCol("url").setOutputCol("cn")
+      .transform(resolved.union(clean)).head
+      .show(false) // rows 1 and 2 share cn_url and cn_key
+    spark.stop()
+  }
+}

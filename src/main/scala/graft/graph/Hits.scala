@@ -34,13 +34,20 @@ import org.apache.spark.storage.StorageLevel
  *
  * Scale shape (100 TB link graph): the aggregated edge table persists
  * TWICE — hash-partitioned on src for the authority step's hub lookup
- * and on dst for the hub step's authority lookup — so no round ever
- * reshuffles the O(E) edges; both per-step contribution sums are
- * map-side combined to O(V) rows; each half-step lands in an eager
+ * and on dst for the hub step's authority lookup — so the edge table
+ * is never RE-partitioned after those two up-front shuffles; each
+ * half-step's groupBy still exchanges the joined edge-sized
+ * contribution table, but partial aggregation (map-side combine)
+ * reduces the bytes that actually move to O(V) rows per round. Each
+ * half-step lands in an eager
  * localCheckpoint of the unnormalized sums with the L1 constant
  * folded afterward as a flat projection (see the in-loop comment for
  * why per-half-step checkpointing is load-bearing here, unlike
- * PageRank's every-4th-round cut).
+ * PageRank's every-4th-round cut). With `tol` > 0 the loop stops
+ * early once the hub vector's L1 movement falls below it — same
+ * convergence contract as [[PageRank]] — so a converged graph stops
+ * paying the per-round driver actions and checkpoint
+ * materializations.
  *
  * Cache-release contract: simpler than PageRank's rename rule — the
  * result is an eager localCheckpoint of the final (id, hub,
@@ -55,7 +62,13 @@ object Hits {
 
   /**
    * @param edges     (src, dst [, weight]) rows; any orderable vertex type.
-   * @param numIter   fixed iteration count (deterministic replay).
+   * @param srcCol    edge-source column name.
+   * @param dstCol    edge-destination column name.
+   * @param numIter   maximum iteration count (exact count when tol = 0,
+   *                  for deterministic replay).
+   * @param tol       when > 0, stop early once Σ|h_{t+1} − h_t| < tol
+   *                  (the hub vector moves last each round, so its L1
+   *                  delta bounds the authority one by linearity).
    * @param weightCol optional edge-weight column name; "" = unweighted.
    * @param idOut     output vertex-id column name.
    * @param hubOut    output hub-score column name.
@@ -64,17 +77,25 @@ object Hits {
    *         each sum to 1.
    */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      numIter: Int = 20, weightCol: String = "", idOut: String = "id",
-      hubOut: String = "hub", authOut: String = "authority"): DataFrame = {
+      numIter: Int = 20, tol: Double = 0.0, weightCol: String = "",
+      idOut: String = "id", hubOut: String = "hub",
+      authOut: String = "authority"): DataFrame = {
     require(numIter > 0, s"numIter must be positive, got $numIter")
+    require(tol >= 0.0, s"tol must be >= 0, got $tol")
 
+    // the guard tests the CASTED value for null, so a non-numeric
+    // string weight raises like a non-positive one instead of casting
+    // to null and silently dropping the edge inside sum()
     val w =
       if (weightCol.isEmpty) lit(1.0)
-      else when(col(weightCol).cast("double") <= 0.0 || col(weightCol).isNull,
-          raise_error(concat(lit(s"Hits: non-positive/null weight in '$weightCol' on edge "),
-            col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
-            .cast("double"))
-        .otherwise(col(weightCol).cast("double"))
+      else {
+        val wd = col(weightCol).cast("double")
+        when(wd.isNull || wd <= 0.0,
+            raise_error(concat(lit(s"Hits: non-positive/null/non-numeric weight in '$weightCol' on edge "),
+              col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
+              .cast("double"))
+          .otherwise(wd)
+      }
 
     val agg = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
@@ -106,7 +127,9 @@ object Hits {
     var hubs = nodes.select(col("id"), lit(1.0 / n).as("h"))
     var auths: DataFrame = null
     var iter = 0
-    while (iter < numIter) {
+    var converged = false
+    while (iter < numIter && !converged) {
+      val prevHubs = hubs
       // authority step: hub mass flows along edge direction
       val rawA = nodes.join(
           bySrc.join(hubs.withColumnRenamed("id", "src"), "src")
@@ -128,6 +151,14 @@ object Hits {
       val zh = rawH.agg(sum("rh")).head.getDouble(0)
       hubs = rawH.select(col("id"), (col("rh") / zh).as("h"))
       iter += 1
+      if (tol > 0.0 && iter < numIter) {
+        // O(V) join of two checkpoint-backed flat projections — one
+        // extra driver action per round, only on the tol path
+        val delta = hubs.withColumnRenamed("h", "hn")
+          .join(prevHubs.withColumnRenamed("h", "hp"), "id")
+          .agg(sum(abs(col("hn") - col("hp")))).head.getDouble(0)
+        converged = delta < tol
+      }
     }
     lastIterations = iter
     // eager checkpoint of the final join, then release EVERYTHING —

@@ -45,12 +45,19 @@ import graft.util.ReadWrite
  */
 object VideoShotHash {
 
+  /** Test seam: shotHashes invocations in this JVM (local-mode specs
+    * count decode passes to pin containmentJoin's single-decode
+    * contract; one volatile add per VIDEO, noise next to decoding
+    * every frame). */
+  val decodeInvocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Sorted distinct shot-representative dHashes of an AVI payload.
     * None for null/non-AVI/frameless payloads or when ANY frame fails
     * to decode — a partially decodable video must not silently match
     * on the shots that happened to parse (the [[VideoDHash.signature]]
     * failure discipline). */
   def shotHashes(payload: Array[Byte], boundaryBits: Int): Option[Seq[Long]] = {
+    decodeInvocations.incrementAndGet()
     val chunks = VideoDHash.aviFrameChunks(payload)
     if (chunks.isEmpty) return None
     val hashes = new Array[Long](chunks.size)
@@ -123,12 +130,22 @@ class VideoShotHasher extends Transformer[VideoShotHasher]
     * distinct, no join-backs. With `maxVideosPerShot` > 0, hot shot
     * hashes are removed from pairing first (one aggregation on the
     * same join key); n_a/n_b stay the FULL set sizes so a capped shot
-    * lowers recall, never inflates overlap. */
+    * lowers recall, never inflates overlap.
+    *
+    * Caching contract: the slim (id, shots, n) projection is eagerly
+    * localCheckpointed INSIDE this method, so the dominant cost —
+    * decoding and dHashing every frame behind `df`'s hash column —
+    * runs exactly once per video no matter how many plan branches
+    * read it (the self-join reads it twice, the hot-shot cap a third
+    * time). Callers need no persist/checkpoint of their own; what
+    * moves is only the O(shots) long-array column, never payload
+    * bytes. */
   def containmentJoin(df: DataFrame, idCol: String): DataFrame = {
     val out = getOutputCol
     val slim = df.where(col(out).isNotNull && size(col(out)) > 0)
       .select(col(idCol).as("id"), col(out).as("shots"),
         size(col(out)).as("n"))
+      .localCheckpoint(true)
     val exploded = slim.select(col("id"), col("n"),
       explode(col("shots")).as("shot"))
     val ex =

@@ -29,21 +29,27 @@ import graft.util.ReadWrite
  *    last-two-label registrable domain — the SAME expressions as
  *    [[UrlParser]], so page-side and link-side host keys agree.
  *
- * Resolution rules (in precedence order; `scheme`/`host`/`dir` come
- * from the page URL):
+ * Resolution rules (in precedence order; `scheme`/`auth`/`dir` come
+ * from the page URL — `auth` is the page authority LOWERCASED with
+ * only userinfo stripped, so a non-default port survives resolution
+ * and root/relative links on `https://ex.co:8443/` stay on that
+ * origin):
  *  1. `scheme://...`      -> as written (absolute);
  *  2. `//host/...`        -> page scheme + ":" + href (protocol-relative);
- *  3. `/path`             -> scheme://host + href (root-relative);
+ *  3. `/path`             -> scheme://auth + href (root-relative);
  *  4. `mailto:`/`tel:`... -> DROPPED (non-hierarchical scheme);
  *  5. "" or `#frag`       -> DROPPED (self-reference);
- *  6. anything else       -> scheme://host + page-dir + href (relative).
+ *  6. anything else       -> scheme://auth + page-dir + href (relative).
  *
  * Scope (documented trades, same stance as HtmlExtractor/UrlParser):
  * a REGEX extractor, not an HTML5 parser — hrefs in single or double
  * quotes only (unquoted values skipped; an opening tag truncated
- * before its `>` is skipped too), no `..`/`.` dot-segment
- * normalization, no `<base href>` handling, fragments kept verbatim
- * in the resolved URL. All patterns are RE2-compatible (no
+ * before its `>` is skipped too), no `<base href>` handling,
+ * fragments kept verbatim in the resolved URL. Rule 6 concatenates
+ * `dir + href` verbatim, so `../sibling` hrefs emit literal `..`
+ * spellings — [[UrlCanonicalizer]] (dot-segment normalization on by
+ * default) is the composition that resolves them into dedup keys.
+ * All patterns are RE2-compatible (no
  * backreferences) so the DuckDB oracle replays them exactly.
  * Within one page, double-quoted anchors emit before single-quoted
  * ones (two extraction passes), not strict document order.
@@ -74,11 +80,14 @@ class LinkGraphExtractor extends Transformer[LinkGraphExtractor]
     val u = col(getUrlCol)
     val o = getOutputCol
 
-    // page-URL decomposition: the exact UrlParser expressions
+    // page-URL decomposition: the exact UrlParser expressions, except
+    // the resolution base keeps the page's PORT (only userinfo is
+    // stripped) — links on https://ex.co:8443/ must resolve to that
+    // origin, not the default-port one
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_replace(regexp_replace(
+    val auth = lower(regexp_replace(
       regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
-      "^.*@", ""), ":[0-9]*$", ""))
+      "^.*@", ""))
     val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     // directory of the page path: strip the last segment; empty -> "/"
     val dir = when(regexp_replace(path, "[^/]*$", "") === "", lit("/"))
@@ -113,10 +122,10 @@ class LinkGraphExtractor extends Transformer[LinkGraphExtractor]
     val resolved =
       when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
         .when(h.rlike("^//"), concat(scheme, lit(":"), h))
-        .when(h.rlike("^/"), concat(scheme, lit("://"), host, h))
+        .when(h.rlike("^/"), concat(scheme, lit("://"), auth, h))
         .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string"))
         .when(h === "" || h.rlike("^#"), lit(null).cast("string"))
-        .otherwise(concat(scheme, lit("://"), host, dir, h))
+        .otherwise(concat(scheme, lit("://"), auth, dir, h))
 
     val out = withHref.withColumn(s"${o}_url", resolved)
     val r = col(s"${o}_url")

@@ -82,7 +82,7 @@ class HitsSpec extends SparkSpec {
       math.abs(h - 1.0 / 3) < 1e-12 && math.abs(a - 1.0 / 3) < 1e-12 })
   }
 
-  test("guards: empty edges, non-positive weights") {
+  test("guards: empty edges, non-positive weights, non-numeric weights") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
       Hits.run(Seq.empty[(Long, Long)].toDF("src", "dst"), numIter = 1)
@@ -91,5 +91,29 @@ class HitsSpec extends SparkSpec {
       Hits.run(Seq((1L, 2L, 0.0)).toDF("src", "dst", "w"),
         weightCol = "w", numIter = 1).collect()
     }
+    // a string weight that doesn't parse must RAISE, not cast to null
+    // and silently drop the edge inside sum()
+    intercept[Exception] {
+      Hits.run(Seq((1L, 2L, "oops")).toDF("src", "dst", "w"),
+        weightCol = "w", numIter = 1).collect()
+    }
+  }
+
+  test("tol early-stop: a uniform complete-bipartite graph converges after 2 iterations") {
+    import spark.implicits._
+    // hubs {1,2} each link authorities {10,11}: from iteration 2 on
+    // both vectors are the exact fixed point, so the L1 delta is 0
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val got = scores(Hits.run(edges, numIter = 20, tol = 1e-9))
+    assert(Hits.lastIterations < 20,
+      s"converged graph must stop early, ran ${Hits.lastIterations}")
+    assert(Hits.lastIterations >= 2)
+    // early-stopped scores equal the full-run fixed point
+    val full = scores(Hits.run(edges, numIter = 20))
+    got.foreach { case (v, (h, a)) =>
+      assert(math.abs(h - full(v)._1) < 1e-12 && math.abs(a - full(v)._2) < 1e-12) }
+    // tol = 0 (default) keeps the exact-replay contract: all rounds run
+    Hits.run(edges, numIter = 7)
+    assert(Hits.lastIterations == 7)
   }
 }

@@ -94,6 +94,25 @@ class VideoShotHashSpec extends SparkSpec {
     assert(h.setMaxVideosPerShot(3).containmentJoin(hashed, "id").count() == 0)
   }
 
+  test("single-decode contract: containmentJoin decodes each video exactly once, cap on or off") {
+    import spark.implicits._
+    val df = (0 until 8).map(i => (i.toLong, mk(9L, Seq(0, 20 + i)))).toDF("id", "video")
+    val h = new VideoShotHasher().setInputCol("video").setOutputCol("shots")
+    // no caller-side checkpoint on purpose — the operator must
+    // materialize its slim projection itself
+    val hashed = h.transform(df).head
+
+    VideoShotHash.decodeInvocations.set(0L)
+    h.setMinOverlap(0.4).setMaxVideosPerShot(0).containmentJoin(hashed, "id").count()
+    assert(VideoShotHash.decodeInvocations.get() == 8L,
+      s"uncapped: self-join must not re-decode, got ${VideoShotHash.decodeInvocations.get()}")
+
+    VideoShotHash.decodeInvocations.set(0L)
+    h.setMaxVideosPerShot(3).containmentJoin(hashed, "id").count()
+    assert(VideoShotHash.decodeInvocations.get() == 8L,
+      s"capped: the hot-shot aggregation branch must not re-decode, got ${VideoShotHash.decodeInvocations.get()}")
+  }
+
   test("param save/load round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("vsh").toString
     new VideoShotHasher().setInputCol("v").setOutputCol("s")

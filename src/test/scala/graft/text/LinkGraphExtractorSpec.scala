@@ -27,10 +27,11 @@ class LinkGraphExtractorSpec extends SparkSpec {
         |<a href="">e</a></p>""".stripMargin)
     assert(got.toSet == Set(
       ("https://other.org/x", "https://other.org/x", "other.org", "other.org"),
-      // userinfo and port stripped from the base host; dir of /a/b/page.html is /a/b/
+      // userinfo stripped, PORT KEPT in the resolution base (the page's
+      // origin); lk_host strips the port; dir of /a/b/page.html is /a/b/
       ("//cdn.net/l.js", "https://cdn.net/l.js", "cdn.net", "cdn.net"),
-      ("/root.html", "https://www.news.example.co/root.html", "www.news.example.co", "example.co"),
-      ("img/p.html", "https://www.news.example.co/a/b/img/p.html", "www.news.example.co", "example.co")))
+      ("/root.html", "https://www.news.example.co:8443/root.html", "www.news.example.co", "example.co"),
+      ("img/p.html", "https://www.news.example.co:8443/a/b/img/p.html", "www.news.example.co", "example.co")))
   }
 
   test("single-quoted hrefs, attribute order, and case-insensitive tag all match") {
@@ -44,6 +45,16 @@ class LinkGraphExtractorSpec extends SparkSpec {
   test("path-less page URL resolves relative hrefs against '/'") {
     val got = extract("https://h.org", """<a href="p.html">p</a>""")
     assert(got == Seq(("p.html", "https://h.org/p.html", "h.org", "h.org")))
+  }
+
+  test("rule-6 '../' hrefs emit literal dot segments; UrlCanonicalizer composes them away") {
+    val got = extract("https://h.org/a/b/page.html", """<a href="../c/d.html">up</a>""")
+    assert(got == Seq(("../c/d.html", "https://h.org/a/b/../c/d.html", "h.org", "h.org")))
+    import spark.implicits._
+    val df = Seq("https://h.org/a/b/../c/d.html", "https://h.org/a/c/d.html").toDF("url")
+    val keys = new UrlCanonicalizer().setInputCol("url").setOutputCol("c")
+      .transform(df).head.select("c_url", "c_key").distinct().collect()
+    assert(keys.length == 1 && keys.head.getString(0) == "https://h.org/a/c/d.html")
   }
 
   test("non-hierarchical schemes and fragments drop (or survive with keepUnresolved)") {

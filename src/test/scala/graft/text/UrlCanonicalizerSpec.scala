@@ -53,6 +53,39 @@ class UrlCanonicalizerSpec extends SparkSpec {
     assert(unsorted == "https://h.org/p?b=2&a=1")
   }
 
+  test("dot segments: './' and '../' resolve; above-root '..' drops; deep nesting collapses") {
+    assert(canon("https://h.org/a/b/../c") == Seq("https://h.org/a/c"))
+    assert(canon("https://h.org/./x/./y") == Seq("https://h.org/x/y"))
+    assert(canon("https://h.org/../../p") == Seq("https://h.org/p"))
+    assert(canon("https://h.org/a/b/c/../../../d") == Seq("https://h.org/d"))
+    assert(canon("https://h.org/a/..") == Seq("https://h.org/"))
+    assert(canon("https://h.org/a/.") == Seq("https://h.org/a/"))
+    assert(canon("https://h.org/a/././b/../c/..") == Seq("https://h.org/a/"))
+    // dot-PREFIXED segments are ordinary segments, not dot segments
+    assert(canon("https://h.org/..foo/.bar/x") == Seq("https://h.org/..foo/.bar/x"))
+    assert(canon("https://h.org/..foo/../x") == Seq("https://h.org/x"))
+    // the two spellings the dedup key exists to merge
+    assert(canon("https://h.org/a/b/../c", "https://h.org/a/c").distinct.size == 1)
+  }
+
+  test("normalizeDotSegments=false keeps the literal spelling") {
+    import spark.implicits._
+    val got = new UrlCanonicalizer().setInputCol("url").setOutputCol("c")
+      .setNormalizeDotSegments(false)
+      .transform(Seq("https://h.org/a/b/../c").toDF("url")).head
+      .collect().head.getAs[String]("c_url")
+    assert(got == "https://h.org/a/b/../c")
+  }
+
+  test("a '?' first appearing inside the fragment never fabricates a query") {
+    // SPA hash route: fragment-only variants must collapse to the bare path
+    assert(canon("https://ex.com/app#/search?q=x") == Seq("https://ex.com/app"))
+    assert(canon("https://ex.com/app#/search?q=x", "https://ex.com/app")
+      .distinct.size == 1)
+    // a real query before the fragment still survives
+    assert(canon("https://ex.com/app?a=1#/search?q=x") == Seq("https://ex.com/app?a=1"))
+  }
+
   test("relative references and garbage canonicalize to null (resolve first)") {
     import spark.implicits._
     val df = Seq("/a/b", "no scheme here", "mailto:x@y.z", "").toDF("url")
@@ -65,9 +98,11 @@ class UrlCanonicalizerSpec extends SparkSpec {
   test("param save/load round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("urlcanon").toString
     new UrlCanonicalizer().setInputCol("u").setOutputCol("o")
-      .setDropParamsPattern("sid").setSortQuery(false).save(dir)
+      .setDropParamsPattern("sid").setSortQuery(false)
+      .setNormalizeDotSegments(false).save(dir)
     val loaded = UrlCanonicalizer.load(spark, dir)
     assert(loaded.getInputCol == "u" && loaded.getOutputCol == "o" &&
-      loaded.getDropParamsPattern == "sid" && !loaded.getSortQuery)
+      loaded.getDropParamsPattern == "sid" && !loaded.getSortQuery &&
+      !loaded.getNormalizeDotSegments)
   }
 }
