@@ -140,6 +140,7 @@ _STAGES = [
     "graft.text.NgramLm", "graft.text.NgramLmModel",
     "graft.text.PiiRedactor",
     "graft.text.RepetitionStats",
+    "graft.text.RobotsTxtParser", "graft.text.RobotsUrlFilter",
     "graft.text.SequencePacker",
     "graft.text.UrlParser",
     "graft.text.TextNormalizer",

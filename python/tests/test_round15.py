@@ -50,6 +50,30 @@ def test_url_canonicalizer_dot_segments(spark):
     assert len({r["cn_key"] for r in out[:4]}) == 1
 
 
+def test_robots_parse_and_filter(spark):
+    from graftml import RobotsTxtParser, RobotsUrlFilter
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok/"),
+         ("quiet.org", "User-agent: otherbot\nDisallow: /")],
+        ["host", "robots"])
+    rules = (RobotsTxtParser(spark=spark)
+             .setInputCol("robots").setOutputCol("r").transform(robots)[0])
+    got = {(r["host"], r["r_rule"], r["r_prefix"]) for r in rules.collect()}
+    assert got == {("h.com", "disallow", "/private/"),
+                   ("h.com", "allow", "/private/ok/")}
+    urls = spark.createDataFrame(
+        [("u1", "h.com", "/private/x"),
+         ("u2", "h.com", "/private/ok/x"),
+         ("u3", "quiet.org", "/anything")],
+        ["url", "host", "path"])
+    out = (RobotsUrlFilter(spark=spark)
+           .setIdCol("url").setOutputCol("v").transform(urls, rules)[0])
+    verdicts = {r["url"]: (r["v_allowed"], r["v_prefix"]) for r in out.collect()}
+    assert verdicts == {"u1": (False, "/private/"),
+                        "u2": (True, "/private/ok/"),
+                        "u3": (True, None)}
+
+
 def test_hits_tol_early_stop(spark):
     from graftml.functions import hits
     edges = spark.createDataFrame(

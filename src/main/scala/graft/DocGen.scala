@@ -80,6 +80,7 @@ object DocGen {
     "graft.text.HtmlExtractor", "graft.text.IntraDocDeduplicator",
     "graft.text.LinkGraphExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
+    "graft.text.RobotsTxtParser", "graft.text.RobotsUrlFilter",
     "graft.text.SequencePacker", "graft.text.TextNormalizer",
     "graft.text.UrlCanonicalizer", "graft.text.UrlParser",
     "graft.text.TextQualityScorer",

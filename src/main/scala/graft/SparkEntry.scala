@@ -2753,6 +2753,63 @@ object SparkEntry {
           col("cn_key").as("canon_key"))
     }),
 
+    // --- robots.txt parsing (round-15): one planted robots document
+    // class per mod-4 residue — a wildcard section with allow/disallow
+    // (m0), a named-agents section that must NOT apply to '*' plus a
+    // wildcard section that must (m1), a comment + empty Disallow that
+    // emits nothing (m2), a foreign-agent-only document (m3). The
+    // oracle spells the surviving rules closed-form. ---
+    "q_robots_rules" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val txt = when(m === 0,
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/"))
+        .when(m === 1,
+          lit("User-agent: googlebot\nUser-agent: bingbot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /tmp/"))
+        .when(m === 2, lit("# comment only\nUser-agent: *\nDisallow:"))
+        .otherwise(lit("User-agent: otherbot\nDisallow: /secret/"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), col("doc_id"), lit(".example.com")).as("host"))
+        .withColumn("robots", txt)
+        .drop("doc_id")
+      new graft.text.RobotsTxtParser().setInputCol("robots").setOutputCol("r")
+        .transform(docs).head
+        .select(col("host"), col("r_rule").as("rule"), col("r_prefix").as("prefix"))
+    }),
+
+    // --- robots URL filtering (round-15): the engine's two-input
+    // transform — three frontier URLs per host against the
+    // q_robots_rules rule table; longest prefix wins, allow beats
+    // disallow on the /private/ok/ override, no-rule hosts pass.
+    // Closed-form CASE oracle. ---
+    "q_robots_filter" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val txt = when(m === 0,
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/"))
+        .when(m === 1,
+          lit("User-agent: googlebot\nUser-agent: bingbot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /tmp/"))
+        .when(m === 2, lit("# comment only\nUser-agent: *\nDisallow:"))
+        .otherwise(lit("User-agent: otherbot\nDisallow: /secret/"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), col("doc_id"), lit(".example.com")).as("host"))
+      val rules = new graft.text.RobotsTxtParser()
+        .setInputCol("robots").setOutputCol("r")
+        .transform(docs.withColumn("robots", txt)).head
+      val urls = docs.select(col("doc_id"), col("host"),
+        explode(array(
+          concat(lit("/private/p"), col("doc_id")),
+          concat(lit("/private/ok/p"), col("doc_id")),
+          concat(lit("/tmp/p"), col("doc_id")))).as("path"))
+        .withColumn("url", concat(lit("https://"), col("host"), col("path")))
+      new graft.text.RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+        .transform(urls, rules).head
+        .select(col("doc_id"), col("path"), col("v_allowed").as("allowed"),
+          col("v_prefix").as("win_prefix"))
+    }),
+
     // --- Outlink extraction: pages with one anchor of every
     // resolution class (absolute / protocol-relative in SINGLE quotes
     // / root-relative / relative / mailto / fragment — the last two
@@ -2798,6 +2855,42 @@ object SparkEntry {
       graft.graph.PageRank.run(edges, "src_host", "dst_host",
           dampingFactor = 0.85, numIter = 3)
         .select(col("id").as("host"), round(col("pagerank"), 10).as("pagerank"))
+    }),
+
+    // --- URL-granularity PageRank (round-15): the other Common Crawl
+    // product next to q_host_rank — vertices are CANONICAL URLS
+    // (LinkGraphExtractor resolution → UrlCanonicalizer keys on BOTH
+    // edge ends). The absolute anchor is planted MESSY (case +
+    // default port + duplicate slash + tracking param) and the
+    // relative anchor carries a dot segment, so the canonical vertex
+    // set only matches the oracle's closed-form spellings if both
+    // normalizations hold. 3 iterations, q_pagerank CTE chain over
+    // string ids. ---
+    "q_url_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("/page.html")).as("url"),
+        concat(lit("<html><body><a href=\"HTTPS://OUT"), col("doc_id") % 5,
+          lit(".EXAMPLE.ORG:443/x//?utm_source=a\">a</a>"),
+          lit("<a class='c' href='//cdn.example.net/l.js'>c</a>"),
+          lit("<a href=\"/r/"), col("doc_id"),
+          lit("\">r</a><a href=\"sub/../sub2/p2.html\">s</a>"),
+          lit("<a href=\"mailto:u@example.com\">m</a><a href=\"#top\">t</a></body></html>"))
+          .as("html"))
+      val links = new graft.text.LinkGraphExtractor()
+        .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+        .transform(pages).head
+        .select(col("url").as("src_raw"), col("lk_url").as("dst_raw"))
+      val srcCanon = new graft.text.UrlCanonicalizer()
+        .setInputCol("src_raw").setOutputCol("s")
+      val dstCanon = new graft.text.UrlCanonicalizer()
+        .setInputCol("dst_raw").setOutputCol("d")
+      val edges = dstCanon.transform(srcCanon.transform(links).head).head
+        .select(col("s_url").as("src"), col("d_url").as("dst"))
+      graft.graph.PageRank.run(edges, "src", "dst",
+          dampingFactor = 0.85, numIter = 3)
+        .select(col("id").as("url"), round(col("pagerank"), 10).as("pagerank"))
     }),
 
     // --- Anchor-text aggregation over the same planted pages: "what
@@ -6283,6 +6376,33 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, canon_url, md5(canon_url) AS canon_key FROM c""",
 
+    // surviving rules spelled closed-form: the wildcard sections'
+    // allow/disallow rows; the named-agents section, the empty
+    // Disallow and the foreign-agent document emit nothing
+    "q_robots_rules" ->
+      """WITH d AS (SELECT doc_id, 'h' || doc_id || '.example.com' AS host FROM documents)
+         SELECT host, 'disallow' AS rule, '/private/' AS prefix FROM d WHERE doc_id % 4 = 0
+         UNION ALL SELECT host, 'allow', '/private/ok/' FROM d WHERE doc_id % 4 = 0
+         UNION ALL SELECT host, 'disallow', '/tmp/' FROM d WHERE doc_id % 4 = 1""",
+
+    // verdicts spelled closed-form per (residue, path class):
+    // /private/ blocks on m0 except the longer /private/ok/ allow;
+    // /tmp/ blocks on m1; everything else passes with no winning rule
+    "q_robots_filter" ->
+      """WITH u AS (
+           SELECT doc_id, '/private/p' || doc_id AS path, 1 AS cls FROM documents
+           UNION ALL SELECT doc_id, '/private/ok/p' || doc_id, 2 FROM documents
+           UNION ALL SELECT doc_id, '/tmp/p' || doc_id, 3 FROM documents)
+         SELECT doc_id, path,
+                CASE WHEN doc_id % 4 = 0 AND cls = 1 THEN FALSE
+                     WHEN doc_id % 4 = 1 AND cls = 3 THEN FALSE
+                     ELSE TRUE END AS allowed,
+                CASE WHEN doc_id % 4 = 0 AND cls = 1 THEN '/private/'
+                     WHEN doc_id % 4 = 0 AND cls = 2 THEN '/private/ok/'
+                     WHEN doc_id % 4 = 1 AND cls = 3 THEN '/tmp/'
+                     ELSE NULL END AS win_prefix
+         FROM u""",
+
     "q_url" ->
       """WITH urls AS (
            SELECT doc_id,
@@ -6404,6 +6524,53 @@ object SparkEntry {
                 FROM nodes CROSS JOIN nn CROSS JOIN d3
                 LEFT JOIN c3 ON nodes.id = c3.id)
          SELECT id AS host, ROUND(r, 10) AS pagerank FROM r3""",
+
+    // the URL-granularity edge list rebuilt closed-form in its
+    // CANONICAL spellings (messy absolute anchor -> lowercased,
+    // default port + tracking param + duplicate slash gone; relative
+    // anchor -> dot segment resolved), then the q_pagerank CTE chain
+    // verbatim over string URL ids
+    "q_url_rank" ->
+      """WITH pages AS (
+           SELECT doc_id,
+                  'https://www.' || source || '.example.com/docs/' || doc_id || '/page.html' AS p,
+                  'https://www.' || source || '.example.com' AS h
+           FROM documents),
+         e0 AS (
+           SELECT p AS src, 'https://out' || (doc_id % 5) || '.example.org/x/' AS dst FROM pages
+           UNION ALL SELECT p, 'https://cdn.example.net/l.js' FROM pages
+           UNION ALL SELECT p, h || '/r/' || doc_id FROM pages
+           UNION ALL SELECT p, h || '/docs/' || doc_id || '/sub2/p2.html' FROM pages),
+         e AS (SELECT src, dst, COUNT(*) * 1.0 AS w FROM e0 GROUP BY 1, 2),
+         outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / o.outw AS share
+                FROM e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+         r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r0 r JOIN dang USING (id)),
+         c1 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r0 r ON sh.src = r.id GROUP BY 1),
+         r1 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON nodes.id = c1.id),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r1 r JOIN dang USING (id)),
+         c2 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r1 r ON sh.src = r.id GROUP BY 1),
+         r2 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON nodes.id = c2.id),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r2 r JOIN dang USING (id)),
+         c3 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r2 r ON sh.src = r.id GROUP BY 1),
+         r3 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d3
+                LEFT JOIN c3 ON nodes.id = c3.id)
+         SELECT id AS url, ROUND(r, 10) AS pagerank FROM r3""",
 
     "q_stream_anomaly" ->
       """WITH slim AS (SELECT CAST(user_id AS VARCHAR) AS key,

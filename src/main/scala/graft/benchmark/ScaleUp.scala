@@ -1326,7 +1326,9 @@ object ScaleUp {
         .setInputCol("payload").setOutputCol("shots").setMinOverlap(0.45)
       // no caller-side persist of the hashed table: containmentJoin
       // checkpoints its slim projection internally (single-decode
-      // contract, pinned by VideoShotHashSpec's invocation counter)
+      // contract, pinned by VideoShotHashSpec's invocation counter and
+      // re-counted here at 200k)
+      graft.multimodal.VideoShotHash.decodeInvocations.set(0L)
       val hashed = hasher.transform(payloads).head.select("id", "shots")
       val pairs = hasher.containmentJoin(hashed, "id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1336,9 +1338,11 @@ object ScaleUp {
       val accidental = pairs.count() - planted
       pairs.unpersist(blocking = false)
       val expected = (nVid / 4) * 3
+      val decodes = graft.multimodal.VideoShotHash.decodeInvocations.get()
       println(s"""{"video_shot_pairs":$planted,"video_shot_expected":$expected,""" +
         s""""video_shot_recall":${if (planted == expected) 1.0 else planted.toDouble / expected},""" +
-        s""""video_shot_accidental":$accidental}""")
+        s""""video_shot_accidental":$accidental,"video_shot_decodes":$decodes}""")
+      require(decodes == nVid, s"single-decode contract broke at scale: $decodes != $nVid")
       require(planted == expected, s"planted shot-dup recall broke: $planted != $expected")
       require(accidental <= 25, s"accidental shot collisions past bound: $accidental")
       planted + accidental
@@ -1965,10 +1969,14 @@ object ScaleUp {
         .setInputCol("html").setUrlCol("url").setOutputCol("lk")
         .transform(pages).head
         .select(col("url").as("src_raw"), col("lk_url").as("dst_raw"))
-      val canon = new graft.text.UrlCanonicalizer()
-      val edges = canon.setInputCol("dst_raw").setOutputCol("d")
-        .transform(canon.setInputCol("src_raw").setOutputCol("s")
-          .transform(links).head).head
+      // two instances: a stage's params are mutable, so reusing one
+      // across the src and dst passes would overwrite the first
+      // pass's columns
+      val srcCanon = new graft.text.UrlCanonicalizer()
+        .setInputCol("src_raw").setOutputCol("s")
+      val dstCanon = new graft.text.UrlCanonicalizer()
+        .setInputCol("dst_raw").setOutputCol("d")
+      val edges = dstCanon.transform(srcCanon.transform(links).head).head
         .select(col("s_url").as("src"), col("d_url").as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val total = edges.count()
@@ -2079,6 +2087,56 @@ object ScaleUp {
       require(distinct == numDocs / 2,
         s"two spellings per resource must collapse: $distinct != ${numDocs / 2}")
       distinct
+    }
+
+    // robots.txt compliance at scale (round-15): 500k per-host robots
+    // documents parsed to a rules table (window-sectioned line parse,
+    // parallel per host), then a 1.5M-URL frontier filtered under
+    // RFC 9309 longest-prefix matching. Closed-form: residue classes
+    // plant exactly one blocked path per m0 host (/private/, with the
+    // longer /private/ok/ allow overriding one of them) and one per
+    // m1 host (/tmp/), so blocked count and rule count are exact.
+    stage("robots_filter") {
+      val nHosts = numDocs
+      val m = col("id") % 4
+      val txt = when(m === 0,
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/"))
+        .when(m === 1,
+          lit("User-agent: googlebot\nUser-agent: bingbot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /tmp/"))
+        .when(m === 2, lit("# comment only\nUser-agent: *\nDisallow:"))
+        .otherwise(lit("User-agent: otherbot\nDisallow: /secret/"))
+      val hosts = spark.range(0, nHosts, 1, cpus.toInt).select(
+        col("id"), concat(lit("h"), col("id"), lit(".example.com")).as("host"))
+      val rules = new graft.text.RobotsTxtParser()
+        .setInputCol("robots").setOutputCol("r")
+        .transform(hosts.withColumn("robots", txt)).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nRules = rules.count()
+      val urls = hosts.select(col("id"), col("host"),
+        explode(array(
+          concat(lit("/private/p"), col("id")),
+          concat(lit("/private/ok/p"), col("id")),
+          concat(lit("/tmp/p"), col("id")))).as("path"))
+        .withColumn("url", concat(lit("https://"), col("host"), col("path")))
+      val out = new graft.text.RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+        .transform(urls, rules).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = out.count()
+      val blocked = out.where(!col("v_allowed")).count()
+      val allowOverride = out.where(col("v_allowed") &&
+        col("v_prefix") === "/private/ok/").count()
+      rules.unpersist(blocking = false)
+      out.unpersist(blocking = false)
+      println(s"""{"robots_rules":$nRules,"robots_urls":$total,""" +
+        s""""robots_blocked":$blocked,"robots_allow_override":$allowOverride}""")
+      require(nRules == (nHosts / 4) * 3,
+        s"rule count broke: $nRules != ${(nHosts / 4) * 3}")
+      require(blocked == (nHosts / 4) * 2,
+        s"blocked count broke: $blocked != ${(nHosts / 4) * 2}")
+      require(allowOverride == nHosts / 4,
+        s"allow-override count broke: $allowOverride != ${nHosts / 4}")
+      total
     }
 
     // One-pass profiling at scale: every column's null/distinct/

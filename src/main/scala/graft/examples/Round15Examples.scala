@@ -44,6 +44,41 @@ object AnchorTextRollupExample {
   }
 }
 
+/** robots.txt compliance end to end: per-host robots documents parse
+  * into a flat rules table (RobotsTxtParser), then the frontier is
+  * filtered under RFC 9309 longest-prefix matching — allow beats
+  * disallow on ties, un-ruled hosts pass (RobotsUrlFilter, the
+  * engine's two-input transform). */
+object RobotsExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("RobotsExample")
+    import spark.implicits._
+
+    val robots = Seq(
+      ("shop.example",
+        "User-agent: *\nDisallow: /cart/\nAllow: /cart/shared/\nDisallow: /admin/"),
+      ("blog.example", "User-agent: otherbot\nDisallow: /")
+    ).toDF("host", "robots")
+    val rules = new graft.text.RobotsTxtParser()
+      .setInputCol("robots").setOutputCol("r")
+      .transform(robots).head
+    rules.show(false) // blog.example emits nothing for '*'
+
+    val frontier = Seq(
+      ("shop.example", "/cart/item1"),
+      ("shop.example", "/cart/shared/list7"),
+      ("shop.example", "/catalog/p2"),
+      ("blog.example", "/posts/1.html")
+    ).toDF("host", "path")
+      .withColumn("url", concat(lit("https://"), col("host"), col("path")))
+    new graft.text.RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+      .transform(frontier, rules).head
+      .select("url", "v_allowed", "v_prefix")
+      .show(false) // only /cart/item1 blocks; /cart/shared/ overrides
+    spark.stop()
+  }
+}
+
 /** Dot-segment canonicalization closes the crawl dedup loop:
   * LinkGraphExtractor resolves `../sibling` hrefs verbatim (literal
   * `..` in the URL), and UrlCanonicalizer's default dot-segment

@@ -142,10 +142,16 @@ class VideoShotHasher extends Transformer[VideoShotHasher]
     * bytes. */
   def containmentJoin(df: DataFrame, idCol: String): DataFrame = {
     val out = getOutputCol
-    val slim = df.where(col(out).isNotNull && size(col(out)) > 0)
-      .select(col(idCol).as("id"), col(out).as("shots"),
-        size(col(out)).as("n"))
+    // the checkpointed projection references the hash column exactly
+    // ONCE: filtering on it or deriving size() in the same plan as the
+    // UDF evaluates the (deterministic) UDF per reference on the
+    // codegen path — measured 3× the all-frames decode at 200k videos
+    // when the where/size sat below the checkpoint
+    val hashedOnce = df.select(col(idCol).as("id"), col(out).as("shots"))
       .localCheckpoint(true)
+    val slim = hashedOnce
+      .where(col("shots").isNotNull && size(col("shots")) > 0)
+      .select(col("id"), col("shots"), size(col("shots")).as("n"))
     val exploded = slim.select(col("id"), col("n"),
       explode(col("shots")).as("shot"))
     val ex =

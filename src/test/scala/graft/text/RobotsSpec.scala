@@ -1,0 +1,113 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RobotsSpec extends SparkSpec {
+
+  private val robots =
+    """# site rules
+      |User-agent: googlebot
+      |User-agent: bingbot
+      |Disallow: /
+      |Allow: /public/
+      |
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Disallow:
+      |disallow: /tmp/
+      |""".stripMargin
+
+  private def rules(agent: String): Set[(String, String)] = {
+    import spark.implicits._
+    val df = Seq(("h.com", robots)).toDF("host", "txt")
+    new RobotsTxtParser().setInputCol("txt").setOutputCol("r").setUserAgent(agent)
+      .transform(df).head
+      .collect().map(r => (r.getAs[String]("r_rule"), r.getAs[String]("r_prefix"))).toSet
+  }
+
+  test("sections, shared user-agent headers, comments, empty Disallow, case-insensitive directives") {
+    // default agent '*': only the wildcard section applies; the empty
+    // Disallow emits nothing; 'disallow:' parses case-insensitively
+    assert(rules("*") == Set(
+      ("disallow", "/private/"), ("allow", "/private/ok/"), ("disallow", "/tmp/")))
+    // googlebot and bingbot share the two-header section AND get the
+    // wildcard section
+    assert(rules("GoogleBot") == Set(
+      ("disallow", "/"), ("allow", "/public/"),
+      ("disallow", "/private/"), ("allow", "/private/ok/"), ("disallow", "/tmp/")))
+    assert(rules("bingbot") == rules("googlebot"))
+    // an agent named nowhere gets only the wildcard section
+    assert(rules("duckbot") == rules("*"))
+  }
+
+  test("hosts without applicable sections or with null/empty robots emit no rules") {
+    import spark.implicits._
+    val df = Seq(
+      ("a.com", "User-agent: googlebot\nDisallow: /x/"),
+      ("b.com", null.asInstanceOf[String]),
+      ("c.com", "")).toDF("host", "txt")
+    val out = new RobotsTxtParser().setInputCol("txt").setOutputCol("r")
+      .transform(df).head
+    assert(out.count() == 0)
+  }
+
+  test("RobotsUrlFilter: longest prefix wins, allow wins ties, no-rule hosts allowed") {
+    import spark.implicits._
+    val rulesDf = Seq(
+      ("h.com", "disallow", "/private/"),
+      ("h.com", "allow", "/private/ok/"),
+      ("h.com", "disallow", "/tmp/"),
+      // a tie at equal length: allow must win
+      ("h.com", "disallow", "/same/"),
+      ("h.com", "allow", "/same2"),
+      ("h.com", "disallow", "/same2")).toDF("host", "r_rule", "r_prefix")
+    val urls = Seq(
+      ("u1", "h.com", "/private/doc.html"),
+      ("u2", "h.com", "/private/ok/doc.html"),
+      ("u3", "h.com", "/tmp/x"),
+      ("u4", "h.com", "/public/x"),
+      ("u5", "h.com", "/same2/x"),
+      ("u6", "other.org", "/private/x")).toDF("url", "host", "path")
+    val got = new RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+      .transform(urls, rulesDf).head
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[Boolean]("v_allowed"), r.getAs[String]("v_prefix"))).toMap
+    assert(got("u1") == (false, "/private/"))
+    assert(got("u2") == (true, "/private/ok/")) // longest prefix overrides
+    assert(got("u3") == (false, "/tmp/"))
+    assert(got("u4") == (true, null)) // no rule matched
+    assert(got("u5") == (true, "/same2")) // equal-length tie -> allow
+    assert(got("u6") == (true, null)) // host without rules
+  }
+
+  test("parser feeds filter end-to-end; Disallow: / blocks everything for the named agent") {
+    import spark.implicits._
+    val docs = Seq(("h.com", robots)).toDF("host", "txt")
+    val ruleTable = new RobotsTxtParser().setInputCol("txt").setOutputCol("r")
+      .setUserAgent("googlebot").transform(docs).head
+    val urls = Seq(
+      ("a", "h.com", "/anything"),
+      ("b", "h.com", "/public/page.html")).toDF("url", "host", "path")
+    val got = new RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+      .transform(urls, ruleTable).head
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Boolean]("v_allowed")).toMap
+    assert(got == Map("a" -> false, "b" -> true))
+  }
+
+  test("param save/load round-trips for both stages") {
+    val d1 = java.nio.file.Files.createTempDirectory("robotsp").toString
+    new RobotsTxtParser().setInputCol("t").setHostCol("h").setOutputCol("o")
+      .setUserAgent("mybot").save(d1)
+    val p = RobotsTxtParser.load(spark, d1)
+    assert(p.getInputCol == "t" && p.getHostCol == "h" &&
+      p.getOutputCol == "o" && p.getUserAgent == "mybot")
+    val d2 = java.nio.file.Files.createTempDirectory("robotsf").toString
+    new RobotsUrlFilter().setIdCol("i").setHostCol("h").setPathCol("p")
+      .setRuleCol("rr").setPrefixCol("rp").setOutputCol("o").save(d2)
+    val f = RobotsUrlFilter.load(spark, d2)
+    assert(f.getIdCol == "i" && f.getHostCol == "h" && f.getPathCol == "p" &&
+      f.getRuleCol == "rr" && f.getPrefixCol == "rp" && f.getOutputCol == "o")
+  }
+}
