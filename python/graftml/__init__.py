@@ -142,6 +142,7 @@ _STAGES = [
     "graft.text.RepetitionStats",
     "graft.text.RobotsTxtParser", "graft.text.RobotsUrlFilter",
     "graft.text.SequencePacker",
+    "graft.text.SitemapExtractor",
     "graft.text.UrlParser",
     "graft.text.TextNormalizer",
     "graft.text.TextQualityScorer",

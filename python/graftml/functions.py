@@ -132,6 +132,23 @@ def hits(edges, src="src", dst="dst", num_iter=20, tol=0.0, weight_col="",
     return DataFrame(jdf, spark)
 
 
+def bfs(edges, seeds, src="src", dst="dst", seed_col="id", max_iter=20,
+        undirected=False, id_out="id", dist_out="distance"):
+    """Multi-source BFS hop distances over an unweighted edge list:
+    returns one row per REACHED vertex (id_out, dist_out), d(seed)=0,
+    minimum hops from any seed. Directed by default; undirected=True
+    symmetrizes once up front. Unreached vertices emit no row (left
+    join + coalesce for a sentinel). Delegates to graft.graph.Bfs:
+    the edge table is partitioned once, each round expands only the
+    frontier, so total join work is O(edges) across the whole run."""
+    from pyspark.sql import DataFrame
+    spark = edges.sparkSession
+    jdf = spark._jvm.graft.graph.Bfs.run(
+        edges._jdf, seeds._jdf, src, dst, seed_col, int(max_iter),
+        bool(undirected), id_out, dist_out)
+    return DataFrame(jdf, spark)
+
+
 def host_edges(pages, url_col="url", html_col="html"):
     """Crawl link-graph extraction: one (src_host, dst_host) row per
     anchor href in ``html_col``, resolved against the page URL in

@@ -74,6 +74,37 @@ def test_robots_parse_and_filter(spark):
                         "u3": (True, None)}
 
 
+def test_sitemap_extractor(spark):
+    from graftml import SitemapExtractor
+    xml = ("<urlset><url><loc> https://e.com/a </loc>"
+           "<lastmod>2026-01-05</lastmod><priority>0.8</priority></url>"
+           "<url><lastmod>2026-02-02</lastmod></url></urlset>"
+           "<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame([(xml,)], ["xml"])
+    rows = (SitemapExtractor(spark=spark)
+            .setInputCol("xml").setOutputCol("sm").transform(df)[0].collect())
+    got = [(r["sm_kind"], r["sm_loc"], r["sm_lastmod"], r["sm_priority"])
+           for r in rows]
+    # the loc-less url entry drops; loc whitespace trims
+    assert got == [("url", "https://e.com/a", "2026-01-05", 0.8),
+                   ("sitemap", "https://e.com/s1.xml", None, None)]
+
+
+def test_bfs_distances(spark):
+    from graftml.functions import bfs
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (7, 8)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {r["id"]: r["distance"] for r in bfs(edges, seeds).collect()}
+    # 2 is one hop via the 0->2 shortcut; 7/8 unreached emit no row
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+    und = {r["id"]: r["distance"]
+           for r in bfs(edges, spark.createDataFrame([(8,)], ["id"]),
+                        undirected=True).collect()}
+    assert und == {8: 0, 7: 1}
+
+
 def test_hits_tol_early_stop(spark):
     from graftml.functions import hits
     edges = spark.createDataFrame(

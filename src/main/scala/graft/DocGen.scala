@@ -81,7 +81,8 @@ object DocGen {
     "graft.text.LinkGraphExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.RobotsTxtParser", "graft.text.RobotsUrlFilter",
-    "graft.text.SequencePacker", "graft.text.TextNormalizer",
+    "graft.text.SequencePacker", "graft.text.SitemapExtractor",
+    "graft.text.TextNormalizer",
     "graft.text.UrlCanonicalizer", "graft.text.UrlParser",
     "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",
@@ -120,6 +121,14 @@ object DocGen {
       Seq(
         "run(edges, srcCol, dstCol, numIter, tol, weightCol, idOut, hubOut, authOut)" ->
           "Returns (idOut, hubOut, authOut), one row per vertex. weightCol=\"\" = unweighted (parallel edges accumulate); tol > 0 adds an L1 early stop on the hub vector (same contract as PageRank); vertices without in-edges get authority 0, without out-edges hub 0; self-loops legal. Result is an eager localCheckpoint — no unpersist contract.")),
+    ("graft.graph.Bfs",
+      "Multi-source BFS hop distances over an unweighted edge list — crawl depth from a " +
+        "seed whitelist, or distance-from-gold on any entity graph; the edge table is " +
+        "partitioned once and each round expands only the frontier, so total join work " +
+        "is O(E) across the whole run.",
+      Seq(
+        "run(edges, seeds, srcCol, dstCol, seedCol, maxIter, undirected, idOut, distOut)" ->
+          "Returns one row per REACHED vertex (idOut, distOut); d(seed) = 0, integer minimum-hop distances (exactly SQL-replayable). Directed by default, undirected=true symmetrizes up front; unreached vertices emit no row; early-stops when the frontier empties.")),
     ("graft.graph.LabelPropagation",
       "Synchronous label propagation (Raghavan et al. 2007) community detection: " +
         "deterministic, exactly replayable — argmax votes with min-label ties, " +

@@ -2810,6 +2810,50 @@ object SparkEntry {
           col("v_prefix").as("win_prefix"))
     }),
 
+    // --- Sitemap extraction (round-15): per doc a urlset with a
+    // fully-populated entry, a loc-only entry, a loc-LESS entry that
+    // must drop, plus one sitemap-index entry — fields spelled
+    // closed-form in the oracle. ---
+    "q_sitemap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> https://www."),
+        col("source"), lit(".example.com/p/"), col("doc_id"),
+        lit(" </loc><lastmod>2026-01-"), col("doc_id") % 19 + 10,
+        lit("</lastmod><priority>0.8</priority></url>"),
+        lit("<url><loc>https://www."), col("source"),
+        lit(".example.com/q/"), col("doc_id"), lit("</loc></url>"),
+        lit("<url><lastmod>2026-02-02</lastmod></url>"),
+        lit("<sitemap><loc>https://www."), col("source"),
+        lit(".example.com/sitemap-"), col("doc_id") % 10,
+        lit(".xml</loc></sitemap></urlset>"))
+      val pages = docs.select(col("doc_id"), col("source")).withColumn("xml", xml)
+      new graft.text.SitemapExtractor().setInputCol("xml").setOutputCol("sm")
+        .transform(pages).head
+        .select(col("doc_id"), col("sm_kind").as("kind"), col("sm_loc").as("loc"),
+          col("sm_lastmod").as("lastmod"), col("sm_priority").as("priority"))
+    }),
+
+    // --- Multi-source BFS hop distances (round-15): within each
+    // 8-block a forward chain (off < 7) plus a 2-hop shortcut
+    // (off < 6), seeds at every block start — the min-path distance is
+    // the closed form (off + 1) / 2 for every document, shortcut
+    // halving included; edge targets capped at max(doc_id) so a
+    // trailing partial block adds no phantom vertex. ---
+    "q_bfs_depth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val off = col("doc_id") % 8
+      val chain = docs.where(off < 7 && col("doc_id") + 1 <= maxId)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val shortcut = docs.where(off < 6 && col("doc_id") + 2 <= maxId)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+      val seeds = docs.where(off === 0).select(col("doc_id").as("id"))
+      graft.graph.Bfs.run(chain.union(shortcut), seeds, maxIter = 10)
+        .select(col("id").as("doc_id"),
+          col("distance").cast("long").as("distance"))
+    }),
+
     // --- Outlink extraction: pages with one anchor of every
     // resolution class (absolute / protocol-relative in SINGLE quotes
     // / root-relative / relative / mailto / fragment — the last two
@@ -6402,6 +6446,31 @@ object SparkEntry {
                      WHEN doc_id % 4 = 1 AND cls = 3 THEN '/tmp/'
                      ELSE NULL END AS win_prefix
          FROM u""",
+
+    // planted sitemap entries spelled closed-form: the loc-less url
+    // block is absent; the sitemap-index row carries kind='sitemap'
+    "q_sitemap" ->
+      """SELECT doc_id, 'url' AS kind,
+                'https://www.' || source || '.example.com/p/' || doc_id AS loc,
+                '2026-01-' || (doc_id % 19 + 10) AS lastmod,
+                CAST(0.8 AS DOUBLE) AS priority
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 'url',
+                'https://www.' || source || '.example.com/q/' || doc_id,
+                NULL, NULL
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 'sitemap',
+                'https://www.' || source || '.example.com/sitemap-' || (doc_id % 10) || '.xml',
+                NULL, NULL
+         FROM documents""",
+
+    // the closed-form min-path distance of the chain+shortcut blocks:
+    // integer BFS replays exactly (the LPA integer-replay precedent)
+    "q_bfs_depth" ->
+      """SELECT doc_id, CAST((doc_id % 8 + 1) // 2 AS BIGINT) AS distance
+         FROM documents""",
 
     "q_url" ->
       """WITH urls AS (

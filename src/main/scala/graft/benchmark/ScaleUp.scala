@@ -2139,6 +2139,69 @@ object ScaleUp {
       total
     }
 
+    // Sitemap extraction at scale (round-15): 500k sitemap documents
+    // × (20 url entries + 1 index entry) → 10.5M extracted rows, all
+    // counts closed-form (the loc-less entry per doc must drop);
+    // scan-shaped in-row regexp math + one explode, zero UDF.
+    stage("sitemap") {
+      val nDocs = numDocs
+      val entries = (0 until 20).map { k =>
+        concat(lit("<url><loc>https://s"), col("id") % 1000,
+          lit(".example.com/p/"), col("id") * 20 + lit(k),
+          lit(s"</loc><priority>0.${k % 10}</priority></url>"))
+      }.reduce((a, b) => concat(a, b))
+      val xml = spark.range(0, nDocs, 1, cpus.toInt).select(
+        concat(lit("<urlset>"), entries,
+          lit("<url><lastmod>2026-01-01</lastmod></url>"),
+          concat(lit("<sitemap><loc>https://s"), col("id") % 1000,
+            lit(".example.com/sm-"), col("id"), lit(".xml</loc></sitemap>")),
+          lit("</urlset>")).as("xml"))
+      val out = new graft.text.SitemapExtractor()
+        .setInputCol("xml").setOutputCol("sm")
+        .transform(xml).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = out.count()
+      val index = out.where(col("sm_kind") === "sitemap").count()
+      val parsedPriority = out.where(col("sm_priority").isNotNull).count()
+      out.unpersist(blocking = false)
+      println(s"""{"sitemap_rows":$total,"sitemap_index_rows":$index,""" +
+        s""""sitemap_priorities":$parsedPriority}""")
+      require(total == nDocs * 21, s"entry count broke: $total != ${nDocs * 21}")
+      require(index == nDocs, s"index-entry count broke: $index")
+      require(parsedPriority == nDocs * 20, s"priority parse broke: $parsedPriority")
+      total
+    }
+
+    // Multi-source BFS at scale (round-15): a 5M-vertex binary tree
+    // (i -> 2i+1, 2i+2) from seed 0 — depth(v) = len(bin(v+1)) - 1
+    // EXACTLY, so every one of the 5M distances is checkable in one
+    // column comparison; 23 frontier rounds, each expanding only the
+    // newly settled level, total join work O(E).
+    stage("bfs") {
+      val n = 5000000L
+      val ids = spark.range(0, n, 1, cpus.toInt)
+      val edges = ids.select(col("id").as("src"), (col("id") * 2 + 1).as("dst"))
+        .union(ids.select(col("id").as("src"), (col("id") * 2 + 2).as("dst")))
+        .where(col("dst") < n)
+      val seeds = spark.range(0, 1).select(col("id"))
+      val t0 = System.nanoTime()
+      val out = graft.graph.Bfs.run(edges, seeds, maxIter = 30)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val reached = out.count()
+      val wrong = out.where(
+        col("distance") =!= (length(bin(col("id") + 1)) - 1)).count()
+      val maxD = out.agg(max("distance")).head.getInt(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      out.unpersist(blocking = false)
+      println(s"""{"bfs_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""bfs_reached":$reached,"bfs_wrong":$wrong,"bfs_max_depth":$maxD,""" +
+        s""""bfs_rounds":${graft.graph.Bfs.lastRounds}}""")
+      require(reached == n, s"every tree vertex must settle: $reached != $n")
+      require(wrong == 0, s"closed-form depth mismatch on $wrong vertices")
+      require(maxD == 22, s"5M-vertex binary tree depth must be 22, got $maxD")
+      reached
+    }
+
     // One-pass profiling at scale: every column's null/distinct/
     // moment/length stats in ONE scan + one global HLL aggregation —
     // shuffle bytes must stay O(columns), never O(rows).

@@ -79,6 +79,40 @@ object RobotsExample {
   }
 }
 
+/** Sitemap + BFS close the crawl-frontier loop: sitemaps feed the
+  * frontier the URLs a site asks to have crawled, and multi-source
+  * BFS scores every page's hop distance from the seed whitelist —
+  * the crawl-depth quality prior. */
+object SitemapBfsExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("SitemapBfsExample")
+    import spark.implicits._
+
+    val sitemaps = Seq(
+      ("""<urlset>
+         |<url><loc>https://a.example/</loc><lastmod>2026-03-01</lastmod><priority>1.0</priority></url>
+         |<url><loc>https://a.example/docs</loc></url>
+         |</urlset>
+         |<sitemapindex><sitemap><loc>https://a.example/sitemap-news.xml</loc></sitemap></sitemapindex>""".stripMargin)
+    ).toDF("xml")
+    new graft.text.SitemapExtractor().setInputCol("xml").setOutputCol("sm")
+      .transform(sitemaps).head
+      .select("sm_kind", "sm_loc", "sm_lastmod", "sm_priority")
+      .show(false)
+
+    // crawl depth from a trusted seed over the link graph
+    val edges = Seq(
+      ("seed.example", "a.example"), ("a.example", "b.example"),
+      ("b.example", "spamfarm.biz"), ("a.example", "c.example")
+    ).toDF("src", "dst")
+    val seeds = Seq("seed.example").toDF("id")
+    graft.graph.Bfs.run(edges, seeds)
+      .orderBy("distance", "id")
+      .show(false) // spamfarm.biz sits 3 hops from trust
+    spark.stop()
+  }
+}
+
 /** Dot-segment canonicalization closes the crawl dedup loop:
   * LinkGraphExtractor resolves `../sibling` hrefs verbatim (literal
   * `..` in the URL), and UrlCanonicalizer's default dot-segment
