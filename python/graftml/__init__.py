@@ -144,6 +144,7 @@ _STAGES = [
     "graft.text.SequencePacker",
     "graft.text.SitemapExtractor",
     "graft.text.UrlParser",
+    "graft.text.WarcParser",
     "graft.text.TextNormalizer",
     "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",

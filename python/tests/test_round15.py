@@ -105,6 +105,24 @@ def test_bfs_distances(spark):
     assert und == {8: 0, 7: 1}
 
 
+def test_warc_parser(spark):
+    from graftml import WarcParser
+    crlf = "\r\n"
+    warc = ("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+            "WARC-Target-URI: <https://e.com/a>" + crlf + crlf +
+            "HTTP/1.1 200 OK" + crlf + crlf +
+            "<html>hi</html>" + crlf + crlf +
+            "WARC/1.0" + crlf + "WARC-Type: metadata" + crlf + crlf +
+            "k: v" + crlf + crlf)
+    df = spark.createDataFrame([(warc,)], ["warc"])
+    rows = (WarcParser(spark=spark)
+            .setInputCol("warc").setOutputCol("w").transform(df)[0]
+            .orderBy("w_pos").collect())
+    got = [(r["w_pos"], r["w_type"], r["w_uri"], r["w_body"]) for r in rows]
+    assert got == [(1, "response", "https://e.com/a", "<html>hi</html>"),
+                   (2, "metadata", None, "k: v")]
+
+
 def test_hits_tol_early_stop(spark):
     from graftml.functions import hits
     edges = spark.createDataFrame(

@@ -84,6 +84,7 @@ object DocGen {
     "graft.text.SequencePacker", "graft.text.SitemapExtractor",
     "graft.text.TextNormalizer",
     "graft.text.UrlCanonicalizer", "graft.text.UrlParser",
+    "graft.text.WarcParser",
     "graft.text.TextQualityScorer",
     "graft.text.TokenCounter",
     "graft.ann.BruteForceCosineKnn", "graft.ann.CosineLshKnn",

@@ -2810,6 +2810,31 @@ object SparkEntry {
           col("v_prefix").as("win_prefix"))
     }),
 
+    // --- WARC record extraction (round-15): per doc a 2-record
+    // archive — an HTTP response (angle-bracketed target URI, HTML
+    // entity body behind the HTTP header block) and a metadata record
+    // — both spelled closed-form in the oracle. ---
+    "q_warc" -> ((s, dir) => {
+      val crlf = "\r\n"
+      val docs = t(s, dir, "documents")
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: <https://www."),
+        col("source"), lit(".example.com/w/"), col("doc_id"),
+        lit(">" + crlf + crlf + "HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html" + crlf + crlf +
+          "<html><a href=\"/l/"), col("doc_id"),
+        lit("\">x</a></html>" + crlf + crlf +
+          "WARC/1.0" + crlf + "WARC-Type: metadata" + crlf + crlf +
+          "fetch: "), col("doc_id"), lit(crlf + crlf))
+      val files = docs.select(col("doc_id"), col("source")).withColumn("warc", warc)
+      new graft.text.WarcParser().setInputCol("warc").setOutputCol("w")
+        .transform(files).head
+        .select(col("doc_id"), col("w_pos").cast("long").as("rec_pos"),
+          col("w_type").as("rec_type"), col("w_uri").as("uri"),
+          col("w_body").as("body"))
+    }),
+
     // --- Sitemap extraction (round-15): per doc a urlset with a
     // fully-populated entry, a loc-only entry, a loc-LESS entry that
     // must drop, plus one sitemap-index entry — fields spelled
@@ -6446,6 +6471,18 @@ object SparkEntry {
                      WHEN doc_id % 4 = 1 AND cls = 3 THEN '/tmp/'
                      ELSE NULL END AS win_prefix
          FROM u""",
+
+    // planted WARC records spelled closed-form: the response row's
+    // body is the HTML behind the HTTP headers, the metadata row's
+    // body is its raw payload, angle brackets gone from the URI
+    "q_warc" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos, 'response' AS rec_type,
+                'https://www.' || source || '.example.com/w/' || doc_id AS uri,
+                '<html><a href="/l/' || doc_id || '">x</a></html>' AS body
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(2 AS BIGINT), 'metadata', NULL, 'fetch: ' || doc_id
+         FROM documents""",
 
     // planted sitemap entries spelled closed-form: the loc-less url
     // block is absent; the sitemap-index row carries kind='sitemap'

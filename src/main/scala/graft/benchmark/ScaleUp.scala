@@ -2172,6 +2172,47 @@ object ScaleUp {
       total
     }
 
+    // WARC ingest at scale (round-15): 500k archives × 5 records
+    // (3 HTTP responses carrying one anchor each + warcinfo +
+    // metadata) → 2.5M records, then the response bodies feed
+    // LinkGraphExtractor — the Common Crawl ingest composition end to
+    // end. Counts closed-form: 2.5M records, 1.5M responses, 1.5M
+    // extracted anchors. The parse is scan-shaped (split + posexplode
+    // + in-row regexps, zero shuffle, zero UDF).
+    stage("warc") {
+      val nFiles = numDocs
+      val crlf = "\r\n"
+      val resp = (0 until 3).map { k =>
+        concat(lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://s"), col("id") % 1000,
+          lit(s".example.com/p/$k/"), col("id"),
+          lit(crlf + crlf + "HTTP/1.1 200 OK" + crlf + crlf +
+            "<html><a href=\"https://h"), (col("id") + lit(k)) % 20000,
+          lit(".example.org/\">a</a></html>" + crlf + crlf))
+      }.reduce((a, b) => concat(a, b))
+      val files = spark.range(0, nFiles, 1, cpus.toInt).select(concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf + crlf +
+          "software: graft" + crlf + crlf),
+        resp,
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf + crlf +
+          "outlinks: 3" + crlf + crlf)).as("warc"))
+      val recs = new graft.text.WarcParser()
+        .setInputCol("warc").setOutputCol("w")
+        .transform(files).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = recs.count()
+      val responses = recs.where(col("w_type") === "response")
+        .select(col("w_uri").as("url"), col("w_body").as("html"))
+      val anchors = new graft.text.LinkGraphExtractor()
+        .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+        .transform(responses).head.count()
+      recs.unpersist(blocking = false)
+      println(s"""{"warc_records":$total,"warc_anchors":$anchors}""")
+      require(total == nFiles * 5, s"record count broke: $total != ${nFiles * 5}")
+      require(anchors == nFiles * 3, s"anchor count broke: $anchors != ${nFiles * 3}")
+      total
+    }
+
     // Multi-source BFS at scale (round-15): a 5M-vertex binary tree
     // (i -> 2i+1, 2i+2) from seed 0 — depth(v) = len(bin(v+1)) - 1
     // EXACTLY, so every one of the 5M distances is checkable in one

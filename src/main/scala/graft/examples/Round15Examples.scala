@@ -79,6 +79,39 @@ object RobotsExample {
   }
 }
 
+/** WARC ingest end to end: a Common Crawl-shaped archive string
+  * becomes per-record rows, the HTTP response bodies feed
+  * LinkGraphExtractor, and the host edges feed PageRank — raw crawl
+  * bytes to host ranks without leaving the engine. */
+object WarcIngestExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("WarcIngestExample")
+    import spark.implicits._
+    val crlf = "\r\n"
+    val warc =
+      "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf + crlf +
+        "software: graft" + crlf + crlf +
+        "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: https://a.example/" + crlf + crlf +
+        "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf +
+        "<html><a href=\"https://b.example/\">b</a>" +
+        "<a href=\"/about\">about</a></html>" + crlf + crlf
+
+    val recs = new graft.text.WarcParser()
+      .setInputCol("warc").setOutputCol("w")
+      .transform(Seq(warc).toDF("warc")).head
+    recs.select("w_pos", "w_type", "w_uri").show(false)
+
+    val pages = recs.where(col("w_type") === "response")
+      .select(col("w_uri").as("url"), col("w_body").as("html"))
+    val edges = graft.text.LinkGraphExtractor.hostEdges(pages)
+    val ranks = graft.graph.PageRank.run(edges, "src_host", "dst_host", 0.85, 5)
+    ranks.orderBy(desc("pagerank")).show(false)
+    ranks.unpersist()
+    spark.stop()
+  }
+}
+
 /** Sitemap + BFS close the crawl-frontier loop: sitemaps feed the
   * frontier the URLs a site asks to have crawled, and multi-source
   * BFS scores every page's hop distance from the seed whitelist —
