@@ -134,7 +134,9 @@ _STAGES = [
     "graft.text.HtmlExtractor",
     "graft.text.IntraDocDeduplicator",
     "graft.text.LanguageDetector",
+    "graft.text.FrontierBuilder", "graft.text.FrontierModel",
     "graft.text.LinkGraphExtractor",
+    "graft.text.MainContentExtractor",
     "graft.text.UrlCanonicalizer",
     "graft.text.LineDeduplicator",
     "graft.text.NgramLm", "graft.text.NgramLmModel",

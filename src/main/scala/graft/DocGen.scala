@@ -77,8 +77,9 @@ object DocGen {
     "graft.text.LanguageDetector", "graft.text.LineDeduplicator",
     "graft.text.FrequentNgrams", "graft.text.GopherFilter",
     "graft.text.ImportanceScorer",
+    "graft.text.FrontierBuilder",
     "graft.text.HtmlExtractor", "graft.text.IntraDocDeduplicator",
-    "graft.text.LinkGraphExtractor",
+    "graft.text.LinkGraphExtractor", "graft.text.MainContentExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.RobotsTxtParser", "graft.text.RobotsUrlFilter",
     "graft.text.SequencePacker", "graft.text.SitemapExtractor",

@@ -2810,6 +2810,175 @@ object SparkEntry {
           col("v_prefix").as("win_prefix"))
     }),
 
+    // --- robots wildcards (round-16, RFC 9309 §2.2.3): every host
+    // carries the same wildcard rule set; six planted path classes
+    // per doc exercise '*' runs, trailing-'$' anchors, the longer
+    // allow override and metachar escaping. Closed-form CASE oracle. ---
+    "q_robots_wildcards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), col("doc_id"), lit(".example.com")).as("host"))
+      val rules = new graft.text.RobotsTxtParser()
+        .setInputCol("robots").setOutputCol("r")
+        .transform(docs.withColumn("robots",
+          lit("User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n" +
+            "Disallow: /a/*/c\nDisallow: /exact$"))).head
+      val urls = docs.select(col("doc_id"), col("host"),
+        explode(array(
+          concat(lit("/files/r"), col("doc_id"), lit(".pdf")),
+          concat(lit("/pub/r"), col("doc_id"), lit(".pdf")),
+          concat(lit("/files/r"), col("doc_id"), lit(".pdf.html")),
+          concat(lit("/a/x"), col("doc_id"), lit("/c/d")),
+          lit("/exact"),
+          lit("/exactly"))).as("path"))
+        .withColumn("url", concat(lit("https://"), col("host"), col("path")))
+      new graft.text.RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+        .transform(urls, rules).head
+        .select(col("doc_id"), col("path"), col("v_allowed").as("allowed"),
+          col("v_prefix").as("win_prefix"))
+    }),
+
+    // --- robots group selection (round-16, RFC 9309 §2.2.1): one
+    // planted document class per mod-4 residue — specific group beats
+    // the '*' fallback (m0), fallback applies when the agent is
+    // unnamed (m1), duplicate-token sections merge (m2), a
+    // foreign-agent-only document emits nothing (m3). Parsed for
+    // userAgent=googlebot; closed-form oracle. ---
+    "q_robots_groups" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val txt = when(m === 0,
+          lit("User-agent: googlebot\nAllow: /\n\nUser-agent: *\nDisallow: /x"))
+        .when(m === 1, lit("User-agent: *\nDisallow: /y"))
+        .when(m === 2,
+          lit("User-agent: googlebot\nDisallow: /a\n\n" +
+            "User-agent: googlebot\nDisallow: /b"))
+        .otherwise(lit("User-agent: otherbot\nDisallow: /z"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("h"), col("doc_id"), lit(".example.com")).as("host"))
+        .withColumn("robots", txt)
+        .drop("doc_id")
+      new graft.text.RobotsTxtParser().setInputCol("robots").setOutputCol("r")
+        .setUserAgent("googlebot")
+        .transform(docs).head
+        .select(col("host"), col("r_rule").as("rule"), col("r_prefix").as("prefix"))
+    }),
+
+    // --- incremental crawl frontier (round-16): sitemap locs + a
+    // messy-spelled link feed + a second link feed unified against an
+    // already-crawled key index — spellings collapse through the
+    // canonicalizer (the utm-tagged link lands ON the sitemap loc's
+    // key), even doc_ids' /p/ pages are already crawled and must not
+    // re-enqueue. Closed-form urls/refs/sources per class. ---
+    "q_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val pUrl = concat(lit("https://www."), col("source"),
+        lit(".example.com/p/"), col("doc_id"))
+      val sitemap = docs.select(pUrl.as("url"))
+      val links = docs.select(
+        concat(pUrl, lit("?utm_source=x")).as("url"))
+      val extra = docs.select(concat(lit("https://www."), col("source"),
+        lit(".example.com/q/"), col("doc_id")).as("url"))
+      val crawled = docs.where(col("doc_id") % 2 === 0).select(pUrl.as("url"))
+      val model = new graft.text.FrontierBuilder()
+        .setUrlCol("url").setOutputCol("f").fit(crawled)
+      model.transform(sitemap, links, extra).head
+        .select(col("f_url").as("url"), col("f_key").as("key"),
+          col("f_refs").as("refs"), col("f_sources").as("sources"))
+    }),
+
+    // --- crawl-tier capstone (round-16): the composition a Common
+    // Crawl user actually runs, as ONE query pinning the tier's
+    // column contracts against each other — WARC ingest →
+    // LinkGraphExtractor (dot-segment relative + messy absolute
+    // anchors) → RobotsTxtParser/RobotsUrlFilter gate (planted
+    // /private/ links must die BEFORE ranking) → UrlCanonicalizer on
+    // both edge ends → 3-iteration PageRank over canonical URL ids.
+    // The oracle rebuilds the surviving canonical edge list
+    // closed-form and replays the power iteration as CTEs. ---
+    "q_crawl_pipeline" -> ((s, dir) => {
+      val crlf = "\r\n"
+      val docs = t(s, dir, "documents")
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: <https://www."),
+        col("source"), lit(".example.com/docs/"), col("doc_id"),
+        lit(">" + crlf + crlf + "HTTP/1.1 200 OK" + crlf + crlf +
+          "<html><a href=\"x/../r"), col("doc_id"),
+        lit("\">rel</a><a href=\"HTTPS://WWW."), upper(col("source")),
+        lit(".EXAMPLE.COM:443//hub?utm_source=x\">hub</a>" +
+          "<a href=\"/private/s"), col("doc_id"),
+        lit("\">blocked</a></html>" + crlf + crlf))
+      val files = docs.select(col("doc_id"), col("source"))
+        .withColumn("warc", warc)
+      val recs = new graft.text.WarcParser()
+        .setInputCol("warc").setOutputCol("w").transform(files).head
+        .where(col("w_type") === "response")
+        .select(col("w_uri").as("url"), col("w_body").as("html"))
+      val links = new graft.text.LinkGraphExtractor()
+        .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+        .transform(recs).head
+        .select(col("url").as("src_raw"), col("lk_url").as("dst_raw"))
+      // robots gate: one robots.txt per HOST (hosts are per-source),
+      // matched on the raw dst host/path — the canonical step comes
+      // AFTER politeness, like a real crawler
+      val rules = new graft.text.RobotsTxtParser()
+        .setInputCol("robots").setOutputCol("r")
+        .transform(docs.select(col("source")).distinct()
+          .select(concat(lit("www."), col("source"), lit(".example.com")).as("host"),
+            lit("User-agent: *\nDisallow: /private/").as("robots"))).head
+      val cands = links.withColumn("host",
+          regexp_extract(col("dst_raw"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+        .withColumn("path",
+          regexp_extract(col("dst_raw"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      val allowed = new graft.text.RobotsUrlFilter()
+        .setIdCol("dst_raw").setOutputCol("v")
+        .transform(cands, rules).head
+        .where(col("v_allowed"))
+        .select(col("src_raw"), col("dst_raw"))
+      val srcCanon = new graft.text.UrlCanonicalizer()
+        .setInputCol("src_raw").setOutputCol("s")
+      val dstCanon = new graft.text.UrlCanonicalizer()
+        .setInputCol("dst_raw").setOutputCol("d")
+      // eager checkpoint before PageRank's multi-read setup (the
+      // q_url_rank lesson)
+      val edges = dstCanon.transform(srcCanon.transform(allowed).head).head
+        .select(col("s_url").as("src"), col("d_url").as("dst"))
+        .localCheckpoint(true)
+      graft.graph.PageRank.run(edges, "src", "dst",
+          dampingFactor = 0.85, numIter = 3)
+        .select(col("id").as("url"), round(col("pagerank"), 10).as("pagerank"))
+    }),
+
+    // --- main-content extraction (round-16): the jusText-shaped
+    // boilerplate separator — one planted page frame per mod-4
+    // residue (nav/footer link farms, a short headline, good
+    // paragraphs, a short teaser that is kept only BETWEEN goods, a
+    // crumb-only page). Closed-form expected text per residue. ---
+    "q_main_content" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val nav = lit("<div><a href=\"/a\">Home</a> <a href=\"/b\">About</a> " +
+        "<a href=\"/c\">Contact</a></div>")
+      val footer = lit("<div><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div>")
+      val h1 = concat(lit("<h1>Doc "), col("doc_id"), lit(" title</h1>"))
+      val p1 = concat(lit("<p>Paragraph one about document "), col("doc_id"),
+        lit(" which continues with enough plain prose to clear the good threshold easily.</p>"))
+      val p2 = concat(lit("<p>Paragraph two about document "), col("doc_id"),
+        lit(" adds further commentary that is also comfortably past the threshold length.</p>"))
+      val teaser = concat(lit("<p>A short aside on "), col("doc_id"), lit(".</p>"))
+      val crumb = concat(lit("<p>t "), col("doc_id"), lit("</p>"))
+      val html = when(m === 0, concat(nav, h1, p1, teaser, footer))
+        .when(m === 1, concat(nav, h1, p1, teaser, p2, footer))
+        .when(m === 2, concat(nav, crumb, footer))
+        .otherwise(concat(h1, p1, p2))
+      val docs = t(s, dir, "documents").select(col("doc_id")).withColumn("html", html)
+      new graft.text.MainContentExtractor().setIdCol("doc_id")
+        .setInputCol("html").setOutputCol("mc")
+        .transform(docs).head
+        .select(col("doc_id"), col("mc_text").as("text"),
+          col("mc_kept").as("kept"), col("mc_blocks").as("blocks"))
+    }),
+
     // --- WARC record extraction (round-15): per doc a 2-record
     // archive — an HTTP response (angle-bracketed target URI, HTML
     // entity body behind the HTTP header block) and a metadata record
@@ -6477,6 +6646,113 @@ object SparkEntry {
                      ELSE NULL END AS win_prefix
          FROM u""",
 
+    // wildcard verdicts spelled closed-form per path class: the
+    // anchored /*.pdf$ blocks class 1 but not the .pdf.html class,
+    // the longer /pub allow overrides, /a/*/c spans the id segment,
+    // /exact$ blocks /exact but not /exactly
+    "q_robots_wildcards" ->
+      """WITH u AS (
+           SELECT doc_id, '/files/r' || doc_id || '.pdf' AS path, 1 AS cls FROM documents
+           UNION ALL SELECT doc_id, '/pub/r' || doc_id || '.pdf', 2 FROM documents
+           UNION ALL SELECT doc_id, '/files/r' || doc_id || '.pdf.html', 3 FROM documents
+           UNION ALL SELECT doc_id, '/a/x' || doc_id || '/c/d', 4 FROM documents
+           UNION ALL SELECT doc_id, '/exact', 5 FROM documents
+           UNION ALL SELECT doc_id, '/exactly', 6 FROM documents)
+         SELECT doc_id, path,
+                CASE WHEN cls IN (1, 4, 5) THEN FALSE ELSE TRUE END AS allowed,
+                CASE cls WHEN 1 THEN '/*.pdf$' WHEN 2 THEN '/pub/*.pdf$'
+                         WHEN 4 THEN '/a/*/c' WHEN 5 THEN '/exact$' END AS win_prefix
+         FROM u""",
+
+    // group-selection rules spelled closed-form: the named group's
+    // rows on m0/m2 (wildcard section suppressed on m0, duplicate
+    // sections merged on m2), the '*' fallback on m1, nothing on m3
+    "q_robots_groups" ->
+      """WITH d AS (SELECT doc_id, 'h' || doc_id || '.example.com' AS host FROM documents)
+         SELECT host, 'allow' AS rule, '/' AS prefix FROM d WHERE doc_id % 4 = 0
+         UNION ALL SELECT host, 'disallow', '/y' FROM d WHERE doc_id % 4 = 1
+         UNION ALL SELECT host, 'disallow', '/a' FROM d WHERE doc_id % 4 = 2
+         UNION ALL SELECT host, 'disallow', '/b' FROM d WHERE doc_id % 4 = 2""",
+
+    // the capstone's surviving canonical edge list rebuilt
+    // closed-form (the blocked /private/ edge is GONE, the messy hub
+    // anchor lands on its canonical spelling, the dot-segment
+    // relative resolves), then the q_pagerank 3-iteration CTE chain
+    // verbatim over string URL ids
+    "q_crawl_pipeline" ->
+      """WITH pages AS (
+           SELECT doc_id, 'https://www.' || lower(source) || '.example.com' AS h
+           FROM documents),
+         e0 AS (
+           SELECT h || '/docs/' || doc_id AS src, h || '/docs/r' || doc_id AS dst FROM pages
+           UNION ALL SELECT h || '/docs/' || doc_id, h || '/hub' FROM pages),
+         e AS (SELECT src, dst, COUNT(*) * 1.0 AS w FROM e0 GROUP BY 1, 2),
+         outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / o.outw AS share
+                FROM e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+         r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r0 r JOIN dang USING (id)),
+         c1 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r0 r ON sh.src = r.id GROUP BY 1),
+         r1 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c1.c, 0.0) + d1.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON nodes.id = c1.id),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r1 r JOIN dang USING (id)),
+         c2 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r1 r ON sh.src = r.id GROUP BY 1),
+         r2 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c2.c, 0.0) + d2.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON nodes.id = c2.id),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0.0) AS dm FROM r2 r JOIN dang USING (id)),
+         c3 AS (SELECT sh.dst AS id, SUM(sh.share * r.r) AS c
+                FROM sh JOIN r2 r ON sh.src = r.id GROUP BY 1),
+         r3 AS (SELECT nodes.id,
+                       (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c3.c, 0.0) + d3.dm / nn.n) AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN d3
+                LEFT JOIN c3 ON nodes.id = c3.id)
+         SELECT id AS url, ROUND(r, 10) AS pagerank FROM r3""",
+
+    // frontier rows spelled closed-form: odd /p/ pages survive with
+    // the sitemap+link pair collapsed (refs 2, sources "0,1"), /q/
+    // pages always new from the third feed; md5 replays the canonical
+    // key exactly (q_url precedent)
+    "q_frontier" ->
+      """WITH p AS (SELECT 'https://www.' || lower(source) || '.example.com/p/' || doc_id AS url
+                    FROM documents WHERE doc_id % 2 = 1),
+            q AS (SELECT 'https://www.' || lower(source) || '.example.com/q/' || doc_id AS url
+                  FROM documents)
+         SELECT url, md5(url) AS key, CAST(2 AS BIGINT) AS refs, '0,1' AS sources FROM p
+         UNION ALL
+         SELECT url, md5(url), CAST(1 AS BIGINT), '2' FROM q""",
+
+    // expected main content spelled closed-form per residue: the good
+    // paragraphs always survive, the teaser only between two goods
+    // (m1), the headline/footer/crumb frames never
+    "q_main_content" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  'Paragraph one about document ' || doc_id ||
+                  ' which continues with enough plain prose to clear the good threshold easily.' AS p1,
+                  'Paragraph two about document ' || doc_id ||
+                  ' adds further commentary that is also comfortably past the threshold length.' AS p2,
+                  'A short aside on ' || doc_id || '.' AS t
+           FROM documents)
+         SELECT doc_id,
+                CASE doc_id % 4 WHEN 0 THEN p1
+                     WHEN 1 THEN p1 || chr(10) || t || chr(10) || p2
+                     WHEN 2 THEN ''
+                     ELSE p1 || chr(10) || p2 END AS text,
+                CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                     WHEN 2 THEN 0 ELSE 2 END AS BIGINT) AS kept,
+                CAST(CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 6
+                     ELSE 3 END AS BIGINT) AS blocks
+         FROM b""",
+
     // planted WARC records spelled closed-form: the response row's
     // body is the HTML behind the HTTP headers, the metadata row's
     // body is its raw payload, angle brackets gone from the URI
@@ -6644,8 +6920,8 @@ object SparkEntry {
     "q_url_rank" ->
       """WITH pages AS (
            SELECT doc_id,
-                  'https://www.' || source || '.example.com/docs/' || doc_id || '/page.html' AS p,
-                  'https://www.' || source || '.example.com' AS h
+                  'https://www.' || lower(source) || '.example.com/docs/' || doc_id || '/page.html' AS p,
+                  'https://www.' || lower(source) || '.example.com' AS h
            FROM documents),
          e0 AS (
            SELECT p AS src, 'https://out' || (doc_id % 5) || '.example.org/x/' AS dst FROM pages

@@ -1342,7 +1342,13 @@ object ScaleUp {
       println(s"""{"video_shot_pairs":$planted,"video_shot_expected":$expected,""" +
         s""""video_shot_recall":${if (planted == expected) 1.0 else planted.toDouble / expected},""" +
         s""""video_shot_accidental":$accidental,"video_shot_decodes":$decodes}""")
-      require(decodes == nVid, s"single-decode contract broke at scale: $decodes != $nVid")
+      // tolerance, not equality: a task retry / speculative attempt /
+      // partition recompute legitimately re-invokes the UDF (the JVM
+      // counter is local-mode bookkeeping) — only systematic
+      // re-evaluation (2-3x per row, the codegen-path bug class)
+      // should abort; the exact count is published in the JSON above
+      require(decodes >= nVid && decodes <= nVid + nVid / 100 + 1,
+        s"single-decode contract broke at scale: $decodes vs $nVid rows")
       require(planted == expected, s"planted shot-dup recall broke: $planted != $expected")
       require(accidental <= 25, s"accidental shot collisions past bound: $accidental")
       planted + accidental
@@ -2139,6 +2145,144 @@ object ScaleUp {
       total
     }
 
+    // Incremental crawl frontier at scale (round-16): 3 batches of
+    // 2×500k candidate URLs (two feeds per batch — the second a
+    // utm-tagged respelling that must COLLAPSE onto the first), each
+    // batch's id window sliding by half so exactly half of every
+    // later batch is already crawled. Closed-form: batch 0 yields
+    // nDocs new frontier rows, batches 1-2 yield nDocs/2 each, every
+    // row has refs=2 sources="0,1", and a replay of the last batch
+    // yields ZERO (the addCrawled growth actually sticks).
+    stage("frontier") {
+      val nDocs = numDocs
+      val half = nDocs / 2
+      var model = new graft.text.FrontierBuilder()
+        .setUrlCol("url").setOutputCol("f")
+        .fit(spark.range(0).select(concat(lit("https://x/"), col("id")).as("url")))
+      var totalNew = 0L
+      var lastOut: org.apache.spark.sql.DataFrame = null
+      (0 until 3).foreach { b =>
+        val ids = spark.range(b * half, b * half + nDocs, 1, cpus.toInt)
+        val feedA = ids.select(concat(lit("https://www.crawl.example.com/p/"),
+          col("id")).as("url"))
+        val feedB = ids.select(concat(lit("HTTPS://WWW.CRAWL.EXAMPLE.COM/p/"),
+          col("id"), lit("?utm_source=feed")).as("url"))
+        val out = model.transform(feedA, feedB).head
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = out.count()
+        val badRefs = out.where(col("f_refs") =!= 2 || col("f_sources") =!= "0,1").count()
+        val expected = if (b == 0) nDocs.toLong else half.toLong
+        require(n == expected, s"batch $b new-url count broke: $n != $expected")
+        require(badRefs == 0, s"batch $b refs/provenance broke on $badRefs rows")
+        model = model.addCrawled(out.select(col("f_url").as("url")))
+        totalNew += n
+        if (lastOut != null) lastOut.unpersist(blocking = false)
+        lastOut = out
+      }
+      val replay = model.transform(
+        spark.range(2 * half, 2 * half + nDocs, 1, cpus.toInt)
+          .select(concat(lit("https://www.crawl.example.com/p/"), col("id")).as("url"))).head.count()
+      require(replay == 0, s"replay of a crawled batch must yield nothing: $replay")
+      if (lastOut != null) lastOut.unpersist(blocking = false)
+      println(s"""{"frontier_new":$totalNew,"frontier_replay":$replay}""")
+      totalNew
+    }
+
+    // main-content extraction at scale (round-16): 500k planted page
+    // frames (nav/footer link farms, short headline, good paragraphs,
+    // a teaser kept only between goods, a crumb-only page) → block
+    // classification + context windows + rollup. Every output TEXT is
+    // checked against its closed-form expectation, not just counts —
+    // any drift in the block split, entity decode, link-density math
+    // or the neighbor rule flips at least one residue class.
+    stage("main_content") {
+      val nDocs = numDocs
+      val ids = spark.range(0, nDocs, 1, cpus.toInt)
+      val m = col("id") % 4
+      val nav = lit("<div><a href=\"/a\">Home</a> <a href=\"/b\">About</a> " +
+        "<a href=\"/c\">Contact</a></div>")
+      val footer = lit("<div><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div>")
+      val h1 = concat(lit("<h1>Doc "), col("id"), lit(" title</h1>"))
+      val p1b = concat(lit("Paragraph one about document "), col("id"),
+        lit(" which continues with enough plain prose to clear the good threshold easily."))
+      val p2b = concat(lit("Paragraph two about document "), col("id"),
+        lit(" adds further commentary that is also comfortably past the threshold length."))
+      val tb = concat(lit("A short aside on "), col("id"), lit("."))
+      def p(b: org.apache.spark.sql.Column) = concat(lit("<p>"), b, lit("</p>"))
+      val html = when(m === 0, concat(nav, h1, p(p1b), p(tb), footer))
+        .when(m === 1, concat(nav, h1, p(p1b), p(tb), p(p2b), footer))
+        .when(m === 2, concat(nav, p(concat(lit("t "), col("id"))), footer))
+        .otherwise(concat(h1, p(p1b), p(p2b)))
+      val docs = ids.select(col("id"), html.as("html"))
+      val out = new graft.text.MainContentExtractor().setIdCol("id")
+        .setInputCol("html").setOutputCol("mc")
+        .transform(docs).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = out.count()
+      val kept = out.agg(sum("mc_kept")).head.getLong(0)
+      val blocks = out.agg(sum("mc_blocks")).head.getLong(0)
+      val expected = when(m === 0, p1b)
+        .when(m === 1, concat_ws("\n", p1b, tb, p2b))
+        .when(m === 2, lit(""))
+        .otherwise(concat_ws("\n", p1b, p2b))
+      val wrong = out.where(col("mc_text") =!= expected).count()
+      out.unpersist(blocking = false)
+      println(s"""{"mc_docs":$total,"mc_kept":$kept,"mc_blocks":$blocks,"mc_wrong_text":$wrong}""")
+      require(total == nDocs, s"doc count broke: $total != $nDocs")
+      require(kept == (nDocs / 4) * 6,
+        s"kept-block count broke: $kept != ${(nDocs / 4) * 6}")
+      require(blocks == (nDocs / 4) * 17,
+        s"block count broke: $blocks != ${(nDocs / 4) * 17}")
+      require(wrong == 0, s"closed-form text mismatch on $wrong docs")
+      total
+    }
+
+    // robots wildcards at scale (round-16, RFC 9309 §2.2.3): every
+    // host carries the same 4-rule wildcard set (anchored /*.pdf$,
+    // the longer /pub/*.pdf$ allow, a mid-path /a/*/c, an /exact$
+    // anchor); 6 planted path classes per host → closed-form verdict
+    // counts. The wildcard rules ride the regexp_like branch (pattern
+    // built once on the rules side; candidate fan-out bounded by the
+    // per-host rule count), the plain classes stay on startsWith.
+    stage("robots_wildcards") {
+      val nHosts = numDocs
+      val hosts = spark.range(0, nHosts, 1, cpus.toInt).select(
+        col("id"), concat(lit("h"), col("id"), lit(".example.com")).as("host"))
+      val rules = new graft.text.RobotsTxtParser()
+        .setInputCol("robots").setOutputCol("r")
+        .transform(hosts.withColumn("robots",
+          lit("User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n" +
+            "Disallow: /a/*/c\nDisallow: /exact$"))).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nRules = rules.count()
+      val urls = hosts.select(col("id"), col("host"),
+        explode(array(
+          concat(lit("/files/r"), col("id"), lit(".pdf")),
+          concat(lit("/pub/r"), col("id"), lit(".pdf")),
+          concat(lit("/files/r"), col("id"), lit(".pdf.html")),
+          concat(lit("/a/x"), col("id"), lit("/c/d")),
+          lit("/exact"),
+          lit("/exactly"))).as("path"))
+        .withColumn("url", concat(lit("https://"), col("host"), col("path")))
+      val out = new graft.text.RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+        .transform(urls, rules).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = out.count()
+      val blocked = out.where(!col("v_allowed")).count()
+      val pubAllow = out.where(col("v_allowed") &&
+        col("v_prefix") === "/pub/*.pdf$").count()
+      rules.unpersist(blocking = false)
+      out.unpersist(blocking = false)
+      println(s"""{"robots_wild_rules":$nRules,"robots_wild_urls":$total,""" +
+        s""""robots_wild_blocked":$blocked,"robots_wild_pub_allow":$pubAllow}""")
+      require(nRules == nHosts * 4, s"rule count broke: $nRules != ${nHosts * 4}")
+      require(blocked == nHosts * 3,
+        s"blocked count broke: $blocked != ${nHosts * 3} (cls 1/4/5 per host)")
+      require(pubAllow == nHosts,
+        s"longer-allow override broke: $pubAllow != $nHosts")
+      total
+    }
+
     // Sitemap extraction at scale (round-15): 500k sitemap documents
     // × (20 url entries + 1 index entry) → 10.5M extracted rows, all
     // counts closed-form (the loc-less entry per doc must drop);
@@ -2240,6 +2384,51 @@ object ScaleUp {
       require(reached == n, s"every tree vertex must settle: $reached != $n")
       require(wrong == 0, s"closed-form depth mismatch on $wrong vertices")
       require(maxD == 22, s"5M-vertex binary tree depth must be 22, got $maxD")
+      reached
+    }
+
+    // Deep BFS at scale (round-16): the unfriendly case the binary
+    // tree hides — a planted 1,000-hop chain hanging off a 500k-leaf
+    // star. Round 1 settles all 500k leaves; rounds 2..1000 each
+    // settle ONE chain vertex. With the old per-round settled rewrite
+    // this would re-materialize the 500k-row visited set ~1,000 times
+    // (O(V*depth) checkpoint writes); frontier-only checkpointing
+    // writes each vertex once plus a compaction every 32 rounds, so
+    // per-round cost is flat in depth and dominated by the fixed
+    // per-round dataflow overhead (3 tiny jobs), not by V. Distances
+    // closed-form: leaves d=1, chain vertex i d=i.
+    stage("bfs_chain") {
+      val nLeaves = 500000L
+      val hops = 1000L
+      val leaves = spark.range(1, nLeaves + 1, 1, cpus.toInt)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      // chain vertices live above the leaf id space: c_i = base + i
+      val base = nLeaves + 1
+      val chain = spark.range(0, hops, 1, cpus.toInt).select(
+        when(col("id") === 0, lit(0L)).otherwise(col("id") + base - 1).as("src"),
+        (col("id") + base).as("dst"))
+      val seeds = spark.range(0, 1).select(col("id"))
+      val t0 = System.nanoTime()
+      val out = graft.graph.Bfs.run(leaves.union(chain), seeds,
+        maxIter = hops.toInt + 5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val reached = out.count()
+      val wrongLeaves = out.where(col("id").between(1, nLeaves) &&
+        col("distance") =!= 1).count()
+      val wrongChain = out.where(col("id") >= base &&
+        col("distance") =!= (col("id") - base + 1)).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      out.unpersist(blocking = false)
+      println(s"""{"bfs_chain_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))},""" +
+        s""""bfs_chain_reached":$reached,"bfs_chain_wrong":${wrongLeaves + wrongChain},""" +
+        s""""bfs_chain_rounds":${graft.graph.Bfs.lastRounds},""" +
+        s""""bfs_chain_sec_per_round":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(sec / graft.graph.Bfs.lastRounds))}}""")
+      require(reached == nLeaves + hops + 1,
+        s"reached broke: $reached != ${nLeaves + hops + 1}")
+      require(wrongLeaves == 0 && wrongChain == 0,
+        s"closed-form depth mismatch: $wrongLeaves leaves, $wrongChain chain")
+      require(graft.graph.Bfs.lastRounds == hops.toInt,
+        s"rounds broke: ${graft.graph.Bfs.lastRounds} != $hops")
       reached
     }
 

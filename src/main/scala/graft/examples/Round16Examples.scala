@@ -1,0 +1,164 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-16 batch: main-content extraction, RFC 9309 robots wildcards
+ * and group selection, the incremental crawl frontier, and the
+ * crawl-tier capstone (WARC → links → robots gate → canonical URLs →
+ * PageRank in one flow).
+ */
+
+/** Boilerplate separation: a page's nav/footer link farms and short
+  * edge blocks drop, the article body (and short connective text
+  * BETWEEN paragraphs) survives — the jusText-shaped step between
+  * HtmlExtractor and the quality filters. */
+object MainContentExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("MainContentExample")
+    import spark.implicits._
+
+    val body1 = "The actual article starts here and keeps going long " +
+      "enough that the extractor scores it as content."
+    val body2 = "A second paragraph of genuine prose follows, also " +
+      "comfortably past the good-length threshold."
+    val pages = Seq(
+      (1L,
+        s"""<div id="nav"><a href="/">Home</a> <a href="/shop">Shop</a> <a href="/faq">FAQ</a></div>
+           |<h1>Headline</h1>
+           |<p>$body1</p>
+           |<p>In short.</p>
+           |<p>$body2</p>
+           |<div id="footer"><a href="/tos">Terms</a> <a href="/priv">Privacy</a></div>
+           |""".stripMargin),
+      (2L, """<div><a href="/a">just</a> <a href="/b">links</a></div>""")
+    ).toDF("id", "html")
+
+    new graft.text.MainContentExtractor().setIdCol("id")
+      .setInputCol("html").setOutputCol("mc")
+      .transform(pages).head
+      .select("id", "mc_text", "mc_kept", "mc_blocks")
+      // page 1 keeps both paragraphs plus "In short." (between goods);
+      // page 2 keeps nothing — kept/blocks = 0/1 is itself a spam tell
+      .show(false)
+    spark.stop()
+  }
+}
+
+/** RFC 9309 in full: '*' sections are a FALLBACK (not a union) per
+  * §2.2.1, and §2.2.3 wildcard rules — '*' spans, trailing '$'
+  * anchors — gate the frontier with longest-rule-wins precedence. */
+object RobotsWildcardExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("RobotsWildcardExample")
+    import spark.implicits._
+
+    val robots = Seq(
+      ("media.example",
+        "User-agent: mybot\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n\n" +
+          "User-agent: *\nDisallow: /")
+    ).toDF("host", "robots")
+    // mybot gets ITS section only — the wildcard Disallow:/ does not
+    // leak into its group
+    val rules = new graft.text.RobotsTxtParser()
+      .setInputCol("robots").setOutputCol("r").setUserAgent("mybot")
+      .transform(robots).head
+
+    val frontier = Seq(
+      ("u1", "media.example", "/report.pdf"),       // blocked: /*.pdf$
+      ("u2", "media.example", "/report.pdf.html"),  // allowed: $ anchors
+      ("u3", "media.example", "/pub/report.pdf"),   // allowed: longer rule
+      ("u4", "media.example", "/about")             // allowed: no match
+    ).toDF("url", "host", "path")
+
+    new graft.text.RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+      .transform(frontier, rules).head
+      .select("url", "path", "v_allowed", "v_prefix")
+      .show(false)
+    spark.stop()
+  }
+}
+
+/** The crawl loop closed: sitemap locs and extracted links unify into
+  * one deduplicated frontier of NOT-yet-crawled canonical URLs; after
+  * each fetch batch, addCrawled grows the persisted key index so the
+  * next cycle is incremental (and save/load survives a restart). */
+object FrontierExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("FrontierExample")
+    import spark.implicits._
+
+    val crawled = Seq("https://news.example/home").toDF("url")
+    var model = new graft.text.FrontierBuilder()
+      .setUrlCol("url").setOutputCol("f").fit(crawled)
+
+    val sitemap = Seq("https://news.example/a1",
+      "https://news.example/home").toDF("url")
+    val links = Seq("HTTPS://NEWS.EXAMPLE/a1?utm_source=rss",
+      "https://news.example/a2").toDF("url")
+    val batch1 = model.transform(sitemap, links).head
+    batch1.show(false) // a1 (refs 2, both feeds), a2 — home is history
+
+    model = model.addCrawled(batch1.select(col("f_url").as("url")))
+    val batch2 = Seq("https://news.example/a1",
+      "https://news.example/a3").toDF("url")
+    model.transform(batch2).head.show(false) // only a3 is new
+    spark.stop()
+  }
+}
+
+/** End-to-end crawl capstone: WARC archive → response bodies → link
+  * graph (relative + messy absolute anchors) → robots politeness gate
+  * → canonical URLs on both edge ends → PageRank. Exactly the
+  * composition q_crawl_pipeline pins against the DuckDB oracle. */
+object CrawlPipelineExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("CrawlPipelineExample")
+    import spark.implicits._
+    val crlf = "\r\n"
+
+    val warc = Seq((1L,
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: <https://site.example/docs/1>" + crlf + crlf +
+        "HTTP/1.1 200 OK" + crlf + crlf +
+        "<html><a href=\"x/../guide\">guide</a>" +
+        "<a href=\"HTTPS://SITE.EXAMPLE:443//hub?utm_source=x\">hub</a>" +
+        "<a href=\"/private/raw\">secret</a></html>" + crlf + crlf))
+      .toDF("doc_id", "warc")
+
+    val pages = new graft.text.WarcParser()
+      .setInputCol("warc").setOutputCol("w").transform(warc).head
+      .where(col("w_type") === "response")
+      .select(col("w_uri").as("url"), col("w_body").as("html"))
+    val links = new graft.text.LinkGraphExtractor()
+      .setInputCol("html").setUrlCol("url").setOutputCol("lk")
+      .transform(pages).head
+      .select(col("url").as("src_raw"), col("lk_url").as("dst_raw"))
+
+    val rules = new graft.text.RobotsTxtParser()
+      .setInputCol("robots").setOutputCol("r")
+      .transform(Seq(("site.example", "User-agent: *\nDisallow: /private/"))
+        .toDF("host", "robots")).head
+    val allowed = new graft.text.RobotsUrlFilter()
+      .setIdCol("dst_raw").setOutputCol("v")
+      .transform(links
+        .withColumn("host", regexp_extract(col("dst_raw"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+        .withColumn("path", regexp_extract(col("dst_raw"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)), rules).head
+      .where(col("v_allowed")).select("src_raw", "dst_raw")
+
+    val srcCanon = new graft.text.UrlCanonicalizer()
+      .setInputCol("src_raw").setOutputCol("s")
+    val dstCanon = new graft.text.UrlCanonicalizer()
+      .setInputCol("dst_raw").setOutputCol("d")
+    val edges = dstCanon.transform(srcCanon.transform(allowed).head).head
+      .select(col("s_url").as("src"), col("d_url").as("dst"))
+      .localCheckpoint(true)
+
+    graft.graph.PageRank.run(edges, "src", "dst", numIter = 3)
+      .orderBy(desc("pagerank"))
+      .show(false) // /private/ never entered the graph
+    spark.stop()
+  }
+}

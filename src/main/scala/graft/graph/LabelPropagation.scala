@@ -84,14 +84,20 @@ object LabelPropagation {
       idOut: String = "id", labelOut: String = "label"): DataFrame = {
     require(numIter > 0, s"numIter must be positive, got $numIter")
 
+    // the guard tests the CASTED value for null, so a non-numeric
+    // string weight raises like a non-positive one instead of casting
+    // to null and silently dropping the edge inside sum()
     val w =
       if (weightCol.isEmpty) lit(1.0)
-      else when(col(weightCol).cast("double") <= 0.0 || col(weightCol).isNull,
-          raise_error(concat(
-            lit(s"LabelPropagation: non-positive/null weight in '$weightCol' on edge "),
-            col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
-            .cast("double"))
-        .otherwise(col(weightCol).cast("double"))
+      else {
+        val wd = col(weightCol).cast("double")
+        when(wd.isNull || wd <= 0.0,
+            raise_error(concat(
+              lit(s"LabelPropagation: non-positive/null/non-numeric weight in '$weightCol' on edge "),
+              col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
+              .cast("double"))
+          .otherwise(wd)
+      }
     val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .where(col("src") =!= col("dst")) // self-votes would freeze the start state
     val sym =

@@ -112,13 +112,19 @@ object PageRank {
     require(numIter > 0, s"numIter must be positive, got $numIter")
     val d = dampingFactor
 
+    // the guard tests the CASTED value for null, so a non-numeric
+    // string weight raises like a non-positive one instead of casting
+    // to null and silently dropping the edge inside sum()
     val w =
       if (weightCol.isEmpty) lit(1.0)
-      else when(col(weightCol).cast("double") <= 0.0 || col(weightCol).isNull,
-          raise_error(concat(lit(s"PageRank: non-positive/null weight in '$weightCol' on edge "),
-            col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
-            .cast("double"))
-        .otherwise(col(weightCol).cast("double"))
+      else {
+        val wd = col(weightCol).cast("double")
+        when(wd.isNull || wd <= 0.0,
+            raise_error(concat(lit(s"PageRank: non-positive/null/non-numeric weight in '$weightCol' on edge "),
+              col(srcCol).cast("string"), lit(" -> "), col(dstCol).cast("string")))
+              .cast("double"))
+          .otherwise(wd)
+      }
 
     // (src, dst, share) with share = w / out(src); parallel edges keep
     // their multiplicity through the weight sum. Partitioned on src so

@@ -19,15 +19,19 @@ import graft.util.ReadWrite
  *
  * Output: one row per applicable rule —
  *  - `<o>_rule`: "allow" | "disallow";
- *  - `<o>_prefix`: the path prefix as written (percent-decoding and
- *    `*`/`$` wildcards documented out of scope — RFC 9309 §2.2.3
- *    wildcard support is optional; prefixes are matched verbatim by
- *    [[RobotsUrlFilter]]);
- * with the host column carried through under its input name. A
- * section applies when it names `*` or `userAgent` (case-insensitive
- * EXACT product token, not substring — documented trade). Rules with
- * an empty value (`Disallow:` = "no restriction") emit nothing: no
- * matching rule already means allowed. Sections whose agents all
+ *  - `<o>_prefix`: the path pattern as written (percent-decoding
+ *    documented out of scope; `*`/`$` wildcards per RFC 9309 §2.2.3
+ *    are interpreted by [[RobotsUrlFilter]] at match time, so the
+ *    parser emits them verbatim);
+ * with the host column carried through under its input name. Group
+ * selection per RFC 9309 §2.2.1: sections naming `userAgent`
+ * (case-insensitive EXACT product token, not substring — documented
+ * trade) apply; the `*` sections apply ONLY when no section in the
+ * document names the agent exactly (they are the fallback group, not
+ * a union — all matching specific sections still merge, per the
+ * RFC's "combine into one group" rule for duplicate tokens). Rules
+ * with an empty value (`Disallow:` = "no restriction") emit nothing:
+ * no matching rule already means allowed. Sections whose agents all
  * miss emit nothing. Comments (`#`) and blank lines are stripped;
  * directives are case-insensitive.
  *
@@ -81,13 +85,21 @@ class RobotsTxtParser extends Transformer[RobotsTxtParser]
           coalesce(lag(col("__ua"), 1).over(byDoc), lit(0)) === 0, 1).otherwise(0))
       .withColumn("__sec", sum(col("__start")).over(byDoc))
 
-    // does section `__sec` of this document name our agent (or '*')?
+    // RFC 9309 §2.2.1 group selection: a section naming the agent
+    // EXACTLY always applies; '*' sections are the FALLBACK group and
+    // apply only when no section in the whole document names the
+    // agent (per-document `__has_exact` via a host-partition window)
+    val byHost = Window.partitionBy(col("__h2"))
     val applicable = sectioned
       .where(col("__dir") === "user-agent")
       .groupBy(col(h).as("__h2"), col("__sec").as("__sec2"))
-      .agg(max(when(lower(col("__val")) === agent || col("__val") === "*", 1)
-        .otherwise(0)).as("__applies"))
-      .where(col("__applies") === 1)
+      .agg(
+        max(when(lower(col("__val")) === agent, 1).otherwise(0)).as("__exact"),
+        max(when(col("__val") === "*", 1).otherwise(0)).as("__star"))
+      .withColumn("__has_exact", max(col("__exact")).over(byHost))
+      .where(col("__exact") === 1 ||
+        (col("__has_exact") === 0 && col("__star") === 1))
+      .select(col("__h2"), col("__sec2"))
 
     val rules = sectioned
       .where(col("__dir").isin("allow", "disallow") && col("__val") =!= "")
@@ -108,10 +120,21 @@ object RobotsTxtParser extends StageLoader[RobotsTxtParser] {
  * and the engine's first genuinely TWO-input transform (the
  * reference's varargs `transform(Table...)` signature, exercised):
  * `transform(urls, rules)` marks every URL row allowed or blocked
- * under RFC 9309 matching — among the host's rule prefixes that
- * prefix-match the URL's path, the LONGEST wins; a length tie goes
- * to `allow`; a URL with no matching rule (or no rules at all for
- * its host) is allowed.
+ * under RFC 9309 matching — among the host's rules that match the
+ * URL's path, the LONGEST rule as written wins (the §2.2.2
+ * most-octets precedence, wildcards counted as their own octets per
+ * the Google reference parser); a length tie goes to `allow`; a URL
+ * with no matching rule (or no rules at all for its host) is
+ * allowed.
+ *
+ * §2.2.3 wildcards: `*` in a rule matches any run of characters and
+ * a TRAILING `$` anchors the rule at the end of the path (a `$`
+ * anywhere else is a literal octet, matching the Google parser).
+ * Rules without either special stay on the plain `startsWith` fast
+ * path; wildcard rules are translated ONCE, on the (tiny) rules
+ * table before the join, into an anchored RE2 pattern
+ * (metacharacters escaped, `*` → `.*`) so the per-candidate work is
+ * a regex match, never a per-row pattern build from scratch.
  *
  * Output: the url table plus
  *  - `<o>_allowed`: boolean verdict;
@@ -164,13 +187,32 @@ class RobotsUrlFilter extends AlgoOperator[RobotsUrlFilter]
 
     val slim = urls.select(col(getIdCol).as("__id"),
       col(getHostCol).as("__h"), col(getPathCol).as("__p"))
+
+    // RFC 9309 §2.2.3: translate wildcard rules to anchored RE2 on
+    // the rules side (tiny) — a trailing '$' anchors, any other '$'
+    // is literal; '*' matches any run; everything else is escaped.
+    val anchored = col("__prefix").endsWith("$")
+    val body = when(anchored,
+      expr("substring(__prefix, 1, length(__prefix) - 1)"))
+      .otherwise(col("__prefix"))
+    val rx = concat(lit("^"),
+      regexp_replace(
+        regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1"),
+        "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
     val r = rules.select(col(getHostCol).as("__rh"),
       col(getRuleCol).as("__rule"), col(getPrefixCol).as("__prefix"))
+      .withColumn("__wild",
+        col("__prefix").contains("*") || col("__prefix").endsWith("$"))
+      .withColumn("__rx", when(col("__wild"), rx))
 
-    // candidates: same host AND the prefix matches; the argmax struct
-    // orders by (prefix length, allow-beats-disallow-on-ties)
+    // candidates: same host AND the rule matches — plain prefixes on
+    // the startsWith fast path, wildcard rules via regexp_like; the
+    // argmax struct orders by (rule length, allow-beats-disallow)
+    val matches = when(col("__wild"), regexp_like(col("__p"), col("__rx")))
+      .otherwise(col("__p").startsWith(col("__prefix")))
     val verdicts = slim
-      .join(r, col("__h") === col("__rh") && col("__p").startsWith(col("__prefix")))
+      .join(r, col("__h") === col("__rh") && matches)
       .groupBy("__id")
       .agg(max(struct(length(col("__prefix")).as("l"),
         (col("__rule") === "allow").as("a"),

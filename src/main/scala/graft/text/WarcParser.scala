@@ -53,9 +53,12 @@ class WarcParser extends Transformer[WarcParser]
     // before the first marker — empty for a well-formed file) drops,
     // and the position index numbers records in file order from 1
     val recs = split(x, "(?m)^WARC/1\\.[0-9]+\\r?\\n")
+    // a truncated archive ending on a bare marker line leaves a
+    // trailing EMPTY element (split keeps it) — drop it alongside
+    // the pre-marker preamble so no phantom record row is emitted
     val out = inputs.head
       .select(col("*"), posexplode(recs).as(Seq(s"${o}_pos", "__rec")))
-      .where(col(s"${o}_pos") > 0)
+      .where(col(s"${o}_pos") > 0 && col("__rec") =!= "")
 
     // WARC headers live strictly before the record's first blank line
     // — extraction scopes there so a payload embedding "WARC-Type:"

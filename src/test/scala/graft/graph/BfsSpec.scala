@@ -70,6 +70,16 @@ class BfsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("deep chain crosses the settled-compaction boundary exactly") {
+    import spark.implicits._
+    // 40 hops > compactEvery (32): distances must stay exact through
+    // the lazy-union legs AND the periodic compaction checkpoint
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = dists(Bfs.run(chain, Seq(0L).toDF("id"), maxIter = 64))
+    assert(got == (0L to 40L).map(i => i -> i.toInt).toMap)
+    assert(Bfs.lastRounds == 40)
+  }
+
   test("guards: maxIter must be positive") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

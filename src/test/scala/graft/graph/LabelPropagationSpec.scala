@@ -80,6 +80,13 @@ class LabelPropagationSpec extends SparkSpec {
     def causes(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
     assert(causes(e).exists(_.contains("non-positive")), causes(e).mkString(" | "))
+    // a string weight that doesn't parse must RAISE (ANSI cast error
+    // or the guard's own message), not cast to null and silently drop
+    // the edge inside sum()
+    intercept[Exception] {
+      LabelPropagation.run(Seq((0L, 1L, "oops")).toDF("src", "dst", "w"),
+        numIter = 1, weightCol = "w").collect()
+    }
   }
 
   /** In-memory reference: same semantics, dense maps. */

@@ -119,6 +119,13 @@ class PageRankSpec extends SparkSpec {
     def causes(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
     assert(causes(e).exists(_.contains("non-positive")), causes(e).mkString(" | "))
+    // a string weight that doesn't parse must RAISE (ANSI cast error
+    // or the guard's own message), not cast to null and silently drop
+    // the edge inside sum()
+    intercept[Exception] {
+      PageRank.run(Seq((1L, 2L, "oops")).toDF("src", "dst", "w"),
+        weightCol = "w", numIter = 2).collect()
+    }
   }
 
   /** Dense reference PERSONALIZED power iteration: r0 = p,

@@ -32,14 +32,33 @@ class RobotsSpec extends SparkSpec {
     // Disallow emits nothing; 'disallow:' parses case-insensitively
     assert(rules("*") == Set(
       ("disallow", "/private/"), ("allow", "/private/ok/"), ("disallow", "/tmp/")))
-    // googlebot and bingbot share the two-header section AND get the
-    // wildcard section
+    // googlebot and bingbot share the two-header section; per RFC 9309
+    // §2.2.1 the '*' group is a FALLBACK, so a named agent does NOT
+    // also inherit the wildcard section
     assert(rules("GoogleBot") == Set(
-      ("disallow", "/"), ("allow", "/public/"),
-      ("disallow", "/private/"), ("allow", "/private/ok/"), ("disallow", "/tmp/")))
+      ("disallow", "/"), ("allow", "/public/")))
     assert(rules("bingbot") == rules("googlebot"))
-    // an agent named nowhere gets only the wildcard section
+    // an agent named nowhere falls back to the wildcard section
     assert(rules("duckbot") == rules("*"))
+  }
+
+  test("RFC 9309 §2.2.1: wildcard rules cannot flip a named agent's verdict") {
+    import spark.implicits._
+    // specific group allows everything; wildcard group blocks /x — a
+    // union would wrongly block /x for googlebot
+    val txt = "User-agent: googlebot\nAllow: /\n\nUser-agent: *\nDisallow: /x"
+    val df = Seq(("h.com", txt)).toDF("host", "txt")
+    val got = new RobotsTxtParser().setInputCol("txt").setOutputCol("r")
+      .setUserAgent("googlebot").transform(df).head
+      .collect().map(r => (r.getAs[String]("r_rule"), r.getAs[String]("r_prefix"))).toSet
+    assert(got == Set(("allow", "/")))
+    // two sections naming the same agent still merge (duplicate-token
+    // combine rule): the fallback exclusion only drops '*' sections
+    val txt2 = "User-agent: googlebot\nDisallow: /a\n\nUser-agent: googlebot\nDisallow: /b"
+    val got2 = new RobotsTxtParser().setInputCol("txt").setOutputCol("r")
+      .setUserAgent("googlebot").transform(Seq(("h.com", txt2)).toDF("host", "txt")).head
+      .collect().map(r => (r.getAs[String]("r_rule"), r.getAs[String]("r_prefix"))).toSet
+    assert(got2 == Set(("disallow", "/a"), ("disallow", "/b")))
   }
 
   test("hosts without applicable sections or with null/empty robots emit no rules") {
@@ -80,6 +99,39 @@ class RobotsSpec extends SparkSpec {
     assert(got("u4") == (true, null)) // no rule matched
     assert(got("u5") == (true, "/same2")) // equal-length tie -> allow
     assert(got("u6") == (true, null)) // host without rules
+  }
+
+  test("RFC 9309 §2.2.3 wildcards: '*' spans path runs, trailing '$' anchors, literals escape") {
+    import spark.implicits._
+    val rulesDf = Seq(
+      ("h.com", "disallow", "/*.pdf$"),     // any .pdf, anchored
+      ("h.com", "allow", "/pub/*.pdf$"),    // longer rule wins for /pub
+      ("h.com", "disallow", "/a/*/c"),      // mid-path wildcard
+      ("h.com", "disallow", "/exact$"),     // anchor: /exact only, not /exactly
+      ("h.com", "disallow", "/dot.seg/"),   // '.' must match literally, not any char
+      ("h.com", "disallow", "/pa$th/")      // mid-pattern '$' is a literal octet
+    ).toDF("host", "r_rule", "r_prefix")
+    val urls = Seq(
+      ("p1", "h.com", "/files/report.pdf"),   // blocked by /*.pdf$
+      ("p2", "h.com", "/files/report.pdf.html"), // $ anchor -> allowed
+      ("p3", "h.com", "/pub/report.pdf"),     // allow rule longer -> allowed
+      ("m1", "h.com", "/a/b/c/d"),            // blocked by /a/*/c
+      ("m2", "h.com", "/a/c"),                // '*' may match empty? RFC: any run incl. empty -> /a//c no; path lacks /c after /a/ -> allowed
+      ("x1", "h.com", "/exact"),              // blocked
+      ("x2", "h.com", "/exactly"),            // allowed ($ anchor)
+      ("d1", "h.com", "/dotXseg/y"),          // allowed: '.' escaped
+      ("d2", "h.com", "/dot.seg/y"),          // blocked
+      ("s1", "h.com", "/pa$th/z")             // blocked: literal mid '$'
+    ).toDF("url", "host", "path")
+    val got = new RobotsUrlFilter().setIdCol("url").setOutputCol("v")
+      .transform(urls, rulesDf).head
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Boolean]("v_allowed")).toMap
+    assert(got == Map(
+      "p1" -> false, "p2" -> true, "p3" -> true,
+      "m1" -> false, "m2" -> true,
+      "x1" -> false, "x2" -> true,
+      "d1" -> true, "d2" -> false,
+      "s1" -> false))
   }
 
   test("parser feeds filter end-to-end; Disallow: / blocks everything for the named agent") {
