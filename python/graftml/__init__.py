@@ -143,6 +143,8 @@ _STAGES = [
     "graft.text.PiiRedactor",
     "graft.text.RepetitionStats",
     "graft.text.RobotsTxtParser", "graft.text.RobotsUrlFilter",
+    "graft.text.RobotsDirectives",
+    "graft.text.CrawlScheduler",
     "graft.text.SequencePacker",
     "graft.text.SitemapExtractor",
     "graft.text.UrlParser",

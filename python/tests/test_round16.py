@@ -64,6 +64,51 @@ def test_robots_group_selection(spark):
     assert {(r["r_rule"], r["r_prefix"]) for r in rules} == {("allow", "/")}
 
 
+def test_robots_directives(spark):
+    from graftml import RobotsDirectives
+    txt = ("Sitemap: https://h.com/s.xml\n"
+           "User-agent: graftbot\nCrawl-delay: 2.5\n"
+           "User-agent: *\nCrawl-delay: 99")
+    df = spark.createDataFrame([("h.com", txt)], ["host", "robots"])
+    out = (RobotsDirectives(spark=spark)
+           .setInputCol("robots").setOutputCol("rd").setUserAgent("graftbot")
+           .transform(df)[0].collect())
+    got = {(r["rd_kind"], r["rd_value"], r["rd_delay"]) for r in out}
+    # sitemap is document-scoped; the named group's delay wins and the
+    # wildcard group's 99 does not leak
+    assert got == {("sitemap", "https://h.com/s.xml", None),
+                   ("crawl-delay", "2.5", 2.5)}
+
+
+def test_crawl_scheduler(spark):
+    from graftml import CrawlScheduler
+    frontier = spark.createDataFrame(
+        [("https://h1/a", "h1", 5.0), ("https://h1/b", "h1", 9.0),
+         ("https://h1/c", "h1", 7.0), ("https://h2/x", "h2", 3.0)],
+        ["url", "host", "priority"])
+    delays = spark.createDataFrame([("h1", 50.0)], ["host", "delay"])
+    out = (CrawlScheduler(spark=spark)
+           .setOutputCol("cs").setBudgetPerHost(2).setHorizonSec(90.0)
+           .transform(frontier, delays)[0].collect())
+    got = {r["url"]: r["cs_rank"] for r in out}
+    # h1's 50 s delay under a 90 s horizon tightens its budget to 1;
+    # h2 has no delay row and keeps the flat budget
+    assert got == {"https://h1/b": 1, "https://h2/x": 1}
+
+
+def test_warc_http_gate(spark):
+    from graftml import WarcParser
+    warc = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+            "HTTP/1.1 301 Moved Permanently\r\n"
+            "Content-Type: TEXT/HTML; charset=utf-8\r\n\r\n"
+            "<html></html>\r\n\r\n")
+    df = spark.createDataFrame([(warc,)], ["warc"])
+    out = (WarcParser(spark=spark)
+           .setInputCol("warc").setOutputCol("w").transform(df)[0].collect())
+    assert len(out) == 1
+    assert out[0]["w_status"] == 301 and out[0]["w_mime"] == "text/html"
+
+
 def test_robots_wildcards(spark):
     from graftml import RobotsTxtParser, RobotsUrlFilter
     txt = "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$"

@@ -82,6 +82,7 @@ object DocGen {
     "graft.text.LinkGraphExtractor", "graft.text.MainContentExtractor",
     "graft.text.NgramLm", "graft.text.PiiRedactor", "graft.text.RepetitionStats",
     "graft.text.RobotsTxtParser", "graft.text.RobotsUrlFilter",
+    "graft.text.RobotsDirectives", "graft.text.CrawlScheduler",
     "graft.text.SequencePacker", "graft.text.SitemapExtractor",
     "graft.text.TextNormalizer",
     "graft.text.UrlCanonicalizer", "graft.text.UrlParser",

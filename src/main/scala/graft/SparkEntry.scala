@@ -2979,6 +2979,156 @@ object SparkEntry {
           col("mc_kept").as("kept"), col("mc_blocks").as("blocks"))
     }),
 
+    // --- WARC HTTP gate (round-16): status code + media type off
+    // the payload's HTTP header block — the keep-200s/keep-text-html
+    // filter every Common Crawl pipeline applies first. One status /
+    // Content-Type class per mod-4 residue (incl. a params-stripped
+    // uppercase type and a missing header), plus a metadata record
+    // that must yield nulls. ---
+    "q_warc_http" -> ((s, dir) => {
+      val crlf = "\r\n"
+      val m = col("doc_id") % 4
+      val statusLine = when(m === 0, lit("200 OK"))
+        .when(m === 1, lit("301 Moved Permanently"))
+        .when(m === 2, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val ctLine = when(m === 0, lit("Content-Type: TEXT/HTML; charset=utf-8" + crlf))
+        .when(m === 1, lit("Content-Type: text/html" + crlf))
+        .when(m === 2, lit("Content-Type: application/pdf" + crlf))
+        .otherwise(lit("")) // residue 3: no Content-Type header at all
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf + crlf + "HTTP/1.1 "),
+        statusLine, lit(crlf), ctLine,
+        lit(crlf + "<html>doc "), col("doc_id"),
+        lit(" Content-Type: body/fake</html>" + crlf + crlf +
+          "WARC/1.0" + crlf + "WARC-Type: metadata" + crlf + crlf +
+          "fetch: "), col("doc_id"), lit(crlf + crlf))
+      val files = t(s, dir, "documents").select(col("doc_id")).withColumn("warc", warc)
+      new graft.text.WarcParser().setInputCol("warc").setOutputCol("w")
+        .transform(files).head
+        .select(col("doc_id"), col("w_pos").cast("long").as("rec_pos"),
+          col("w_status").as("status"), col("w_mime").as("mime"),
+          coalesce(col("w_status") === 200 && col("w_mime") === "text/html",
+            lit(false)).as("keep"))
+    }),
+
+    // --- robots.txt non-rule directives (round-16): Sitemap lines
+    // are document-scoped (emit regardless of groups), Crawl-delay is
+    // group-scoped with §2.2.1 selection (named group beats the '*'
+    // fallback), a delay before any group drops, garbage delays keep
+    // the value but cast to null. One class per mod-3 residue. ---
+    "q_robots_directives" -> ((s, dir) => {
+      val m = col("doc_id") % 3
+      val host = concat(lit("h"), col("doc_id"), lit(".example.com"))
+      val robots = when(m === 0, concat(
+          lit("Sitemap: https://h"), col("doc_id"), lit(".example.com/s.xml\n" +
+            "User-agent: graftbot\nCrawl-delay: "), col("doc_id") % 7 + 1,
+          lit("\nUser-agent: *\nCrawl-delay: 99")))
+        .when(m === 1, concat(
+          lit("User-agent: *\nCrawl-delay: 0.5\nSitemap: https://h"), col("doc_id"),
+          lit(".example.com/a.xml\nSitemap: https://h"), col("doc_id"),
+          lit(".example.com/b.xml")))
+        .otherwise(lit("Crawl-delay: 9\nUser-agent: other\nCrawl-delay: fast\n# note"))
+      val docs = t(s, dir, "documents")
+        .select(host.as("host"), robots.as("robots"))
+      new graft.text.RobotsDirectives()
+        .setInputCol("robots").setOutputCol("rd").setUserAgent("graftbot")
+        .transform(docs).head
+        .select(regexp_extract(col("host"), "^h(\\d+)\\.", 1).cast("long").as("doc_id"),
+          col("rd_kind").as("kind"),
+          // named "secs", not "delay": the driver's row sort leads with
+          // the alphabetically-first column, and a null-bearing FLOAT
+          // there sorts nondeterministically (NaN breaks tuple order)
+          col("rd_value").as("value"), col("rd_delay").as("secs"))
+    }),
+
+    // --- crawl-round scheduling (round-16): RobotsDirectives-parsed
+    // Crawl-delays tighten per-host budgets under a 90 s horizon
+    // (delay classes 20/40/60 s + a garbage delay that keeps the flat
+    // budget), top-3 per host by planted priority with the salted
+    // pre-pass armed — the oracle replays selection as a window over
+    // the same closed-form budgets. ---
+    "q_crawl_schedule" -> ((s, dir) => {
+      val hn = col("doc_id") % 50
+      val host = concat(lit("h"), hn, lit(".example.com"))
+      val frontier = t(s, dir, "documents").select(
+        concat(lit("https://h"), hn, lit(".example.com/p/"), col("doc_id")).as("url"),
+        host.as("host"),
+        (col("doc_id") % 11).cast("double").as("priority"))
+      val hn2 = regexp_extract(col("host"), "^h(\\d+)\\.", 1).cast("long")
+      val delayTxt = when(hn2 % 4 === 0, lit("none"))
+        .otherwise((hn2 % 4 * 20).cast("string"))
+      val robots = frontier.select(col("host")).distinct()
+        .withColumn("robots",
+          concat(lit("User-agent: *\nCrawl-delay: "), delayTxt))
+      val delays = new graft.text.RobotsDirectives()
+        .setInputCol("robots").setOutputCol("rd")
+        .transform(robots).head
+      new graft.text.CrawlScheduler()
+        .setOutputCol("cs").setBudgetPerHost(3).setHorizonSec(90.0)
+        .setDelayCol("rd_delay").setSaltBuckets(4)
+        .transform(frontier, delays).head
+        .select(col("url"), col("host"), col("priority"),
+          col("cs_rank").as("rank"))
+    }),
+
+    // --- FineWeb-shaped curation capstone (round-16): the LLM-data
+    // composition a training pipeline actually runs, as ONE oracle
+    // query pinning the tier's column contracts — WARC ingest → HTTP
+    // status/mime gate (residue-2 pages 404 out) → main-content
+    // boilerplate separation → exact dedup on the extracted text
+    // (residue 3 duplicates residue 0's text and must drop) → PII
+    // redaction → language ID → token budget. Survivors and every
+    // output column are closed-form. ---
+    "q_fineweb_pipeline" -> ((s, dir) => {
+      val crlf = "\r\n"
+      val m = col("doc_id") % 4
+      val g = col("doc_id") - m
+      val pTxt = concat(lit("Contact admin@ex"), g, lit(".org for document "), g,
+        lit(" which continues with enough plain prose to clear the good threshold easily."))
+      val qTxt = concat(lit("Paragraph two about document "), g,
+        lit(" adds further commentary that is also comfortably past the threshold length."))
+      val nav = lit("<div><a href=\"/a\">Home</a> <a href=\"/b\">About</a></div>")
+      val footer = lit("<div><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div>")
+      val h1 = concat(lit("<h1>Doc "), g, lit(" title</h1>"))
+      def p(b: org.apache.spark.sql.Column) = concat(lit("<p>"), b, lit("</p>"))
+      val html = when(m === 0, concat(nav, h1, p(pTxt), footer))
+        .when(m === 1, concat(h1, p(pTxt), p(qTxt)))
+        .when(m === 2, concat(nav, p(concat(lit("t "), col("doc_id"))), footer))
+        .otherwise(concat(nav, p(pTxt), footer))
+      val status = when(m === 2, lit("404 Not Found")).otherwise(lit("200 OK"))
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: <https://www.s.example.com/d/"), col("doc_id"),
+        lit(">" + crlf + crlf + "HTTP/1.1 "), status,
+        lit(crlf + "Content-Type: text/html; charset=utf-8" + crlf + crlf),
+        html, lit(crlf + crlf))
+      val files = t(s, dir, "documents").select(col("doc_id")).withColumn("warc", warc)
+      val fetched = new graft.text.WarcParser()
+        .setInputCol("warc").setOutputCol("w").transform(files).head
+        .where(col("w_status") === 200 && col("w_mime") === "text/html")
+        .select(col("doc_id"), col("w_body").as("html"))
+      val mc = new graft.text.MainContentExtractor().setIdCol("doc_id")
+        .setInputCol("html").setOutputCol("mc")
+        .transform(fetched).head
+        .select(col("doc_id"), col("mc_text"))
+      val kept = new graft.text.ExactDeduplicator()
+        .setIdCol("doc_id").setInputCol("mc_text")
+        .transform(mc).head
+        .where(!col("is_exact_duplicate"))
+        .select(col("doc_id"), col("mc_text"))
+      val redacted = new graft.text.PiiRedactor()
+        .setInputCol("mc_text").setOutputCol("text")
+        .transform(kept).head
+      val lang = new graft.text.LanguageDetector()
+        .setInputCol("text").setLangCol("lang")
+        .transform(redacted).head
+      new graft.text.TokenCounter().setInputCol("text")
+        .transform(lang).head
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("n_ws_tokens").as("tokens"), col("n_emails").as("pii_hits"))
+    }),
+
     // --- WARC record extraction (round-15): per doc a 2-record
     // archive — an HTTP response (angle-bracketed target URI, HTML
     // entity body behind the HTTP header block) and a metadata record
@@ -6752,6 +6902,95 @@ object SparkEntry {
                 CAST(CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 6
                      ELSE 3 END AS BIGINT) AS blocks
          FROM b""",
+
+    // planted status/Content-Type classes spelled closed-form: the
+    // uppercase parameterized type lowercases and drops its charset,
+    // the headerless residue yields a null mime (the body's fake
+    // "Content-Type:" must NOT leak into the header scope), metadata
+    // records carry nulls and never pass the gate
+    "q_warc_http" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS rec_pos,
+                CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                     WHEN 2 THEN 404 ELSE 200 END AS INTEGER) AS status,
+                CASE doc_id % 4 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+                     WHEN 2 THEN 'application/pdf' ELSE NULL END AS mime,
+                (doc_id % 4 = 0) AS keep
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(2 AS BIGINT), NULL, NULL, false
+         FROM documents""",
+
+    // sitemap lines emit document-scoped for every residue that has
+    // them; the named group's delay beats the '*' fallback (residue
+    // 0), the fallback applies when no group names the agent (residue
+    // 1), a delay before any group and a foreign group's rows drop
+    // entirely (residue 2); garbage never appears because residue 2's
+    // 'fast' sits in the non-applicable group
+    "q_robots_directives" ->
+      """SELECT doc_id, 'sitemap' AS kind,
+                'https://h' || doc_id || '.example.com/s.xml' AS value,
+                CAST(NULL AS DOUBLE) AS secs
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, 'crawl-delay', CAST(doc_id % 7 + 1 AS VARCHAR),
+                CAST(doc_id % 7 + 1 AS DOUBLE)
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, 'sitemap',
+                'https://h' || doc_id || '.example.com/a.xml', NULL
+         FROM documents WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT doc_id, 'sitemap',
+                'https://h' || doc_id || '.example.com/b.xml', NULL
+         FROM documents WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT doc_id, 'crawl-delay', '0.5', CAST(0.5 AS DOUBLE)
+         FROM documents WHERE doc_id % 3 = 1""",
+
+    // the schedule replayed as a window over closed-form budgets:
+    // host class h%4 = 0 keeps the flat budget (its delay is garbage),
+    // 20 s/40 s/60 s delays under the 90 s horizon tighten to
+    // min(3, floor(90/delay)) = 3/2/1
+    "q_crawl_schedule" ->
+      """WITH f AS (
+           SELECT 'https://h' || (doc_id % 50) || '.example.com/p/' || doc_id AS url,
+                  'h' || (doc_id % 50) || '.example.com' AS host,
+                  CAST(doc_id % 11 AS DOUBLE) AS priority,
+                  CASE (doc_id % 50) % 4 WHEN 0 THEN 3 WHEN 1 THEN 3
+                       WHEN 2 THEN 2 ELSE 1 END AS budget
+           FROM documents),
+         r AS (
+           SELECT url, host, priority, budget,
+                  ROW_NUMBER() OVER (PARTITION BY host
+                    ORDER BY priority DESC, url ASC) AS rank
+           FROM f)
+         SELECT url, host, priority, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= budget""",
+
+    // the curation capstone spelled closed-form: residue 2 is gated
+    // at HTTP (404), residue 3's main text duplicates residue 0's and
+    // drops at dedup, survivors carry the redacted email sentinel,
+    // 'en', exact whitespace token counts and one PII hit each
+    "q_fineweb_pipeline" ->
+      """WITH s AS (SELECT doc_id, doc_id - doc_id % 4 AS g
+                    FROM documents WHERE doc_id % 4 IN (0, 1)),
+         txt AS (
+           SELECT doc_id,
+                  CASE doc_id % 4 WHEN 0 THEN
+                    'Contact <EMAIL> for document ' || g ||
+                    ' which continues with enough plain prose to clear the good threshold easily.'
+                  ELSE
+                    'Contact <EMAIL> for document ' || g ||
+                    ' which continues with enough plain prose to clear the good threshold easily.' ||
+                    chr(10) ||
+                    'Paragraph two about document ' || g ||
+                    ' adds further commentary that is also comfortably past the threshold length.'
+                  END AS text,
+                  CASE doc_id % 4 WHEN 0 THEN 17 ELSE 33 END AS n
+           FROM s)
+         SELECT doc_id, text, 'en' AS lang, CAST(n AS BIGINT) AS tokens,
+                CAST(1 AS BIGINT) AS pii_hits
+         FROM txt""",
 
     // planted WARC records spelled closed-form: the response row's
     // body is the HTML behind the HTTP headers, the metadata row's

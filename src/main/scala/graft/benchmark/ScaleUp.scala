@@ -2330,7 +2330,8 @@ object ScaleUp {
         concat(lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
           "WARC-Target-URI: https://s"), col("id") % 1000,
           lit(s".example.com/p/$k/"), col("id"),
-          lit(crlf + crlf + "HTTP/1.1 200 OK" + crlf + crlf +
+          lit(crlf + crlf + "HTTP/1.1 200 OK" + crlf +
+            "Content-Type: text/html; charset=utf-8" + crlf + crlf +
             "<html><a href=\"https://h"), (col("id") + lit(k)) % 20000,
           lit(".example.org/\">a</a></html>" + crlf + crlf))
       }.reduce((a, b) => concat(a, b))
@@ -2345,15 +2346,109 @@ object ScaleUp {
         .transform(files).head
         .persist(StorageLevel.MEMORY_AND_DISK)
       val total = recs.count()
+      // HTTP gate columns (round-16): every response parses 200 +
+      // text/html (charset param dropped), every non-HTTP record nulls
+      val httpOk = recs.where(col("w_status") === 200 &&
+        col("w_mime") === "text/html").count()
+      val nonHttpNull = recs.where(col("w_type").isin("warcinfo", "metadata") &&
+        col("w_status").isNull && col("w_mime").isNull).count()
       val responses = recs.where(col("w_type") === "response")
         .select(col("w_uri").as("url"), col("w_body").as("html"))
       val anchors = new graft.text.LinkGraphExtractor()
         .setInputCol("html").setUrlCol("url").setOutputCol("lk")
         .transform(responses).head.count()
       recs.unpersist(blocking = false)
-      println(s"""{"warc_records":$total,"warc_anchors":$anchors}""")
+      println(s"""{"warc_records":$total,"warc_anchors":$anchors,""" +
+        s""""warc_http_ok":$httpOk,"warc_non_http_null":$nonHttpNull}""")
       require(total == nFiles * 5, s"record count broke: $total != ${nFiles * 5}")
       require(anchors == nFiles * 3, s"anchor count broke: $anchors != ${nFiles * 3}")
+      require(httpOk == nFiles * 3, s"HTTP gate broke: $httpOk != ${nFiles * 3}")
+      require(nonHttpNull == nFiles * 2, s"non-HTTP nulls broke: $nonHttpNull != ${nFiles * 2}")
+      total
+    }
+
+    // robots non-rule directives at scale (round-16): every host's
+    // robots.txt carries 2 sitemap announcements, a named-group
+    // Crawl-delay (id % 60 + 1) and a wildcard-group delay of 99 that
+    // must NOT leak (the agent is named, so '*' is not the fallback).
+    // All four outputs are closed-form exact.
+    stage("robots_directives") {
+      val nHosts = numDocs
+      val hosts = spark.range(0, nHosts, 1, cpus.toInt).select(col("id"),
+        concat(lit("h"), col("id"), lit(".example.com")).as("host"))
+      val robots = concat(
+        lit("Sitemap: https://h"), col("id"), lit(".example.com/a.xml\n" +
+          "Sitemap: https://h"), col("id"), lit(".example.com/b.xml\n" +
+          "User-agent: graftbot\nCrawl-delay: "), col("id") % 60 + 1,
+        lit("\nUser-agent: *\nCrawl-delay: 99"))
+      val out = new graft.text.RobotsDirectives()
+        .setInputCol("robots").setOutputCol("rd").setUserAgent("graftbot")
+        .transform(hosts.withColumn("robots", robots)).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = out.count()
+      val sitemaps = out.where(col("rd_kind") === "sitemap").count()
+      val wrongDelay = out.join(hosts, "host")
+        .where(col("rd_kind") === "crawl-delay" &&
+          col("rd_delay") =!= (col("id") % 60 + 1).cast("double")).count()
+      val leaked = out.where(col("rd_delay") === 99.0).count()
+      out.unpersist(blocking = false)
+      println(s"""{"robots_dir_rows":$total,"robots_dir_sitemaps":$sitemaps,""" +
+        s""""robots_dir_wrong_delay":$wrongDelay,"robots_dir_leaked":$leaked}""")
+      require(total == nHosts * 3, s"row count broke: $total != ${nHosts * 3}")
+      require(sitemaps == nHosts * 2, s"sitemap count broke: $sitemaps")
+      require(wrongDelay == 0, s"delay values broke on $wrongDelay hosts")
+      require(leaked == 0, s"wildcard-group delay leaked into $leaked rows")
+      total
+    }
+
+    // crawl-round scheduling at scale (round-16): a 6M-URL frontier —
+    // 100k normal hosts x 50 URLs with priority = position j, plus ONE
+    // mega-host with 1M unique-priority URLs (the spam shape the
+    // salted pre-pass exists for). Even hosts carry a 30 s Crawl-delay
+    // under a 90 s horizon (budget 5 -> 3); the EXACT selected set is
+    // closed-form: j >= 47 / j >= 45 / k >= 999995.
+    stage("crawl_schedule") {
+      val nHosts = 100000L
+      val perHost = 50L
+      val nNormal = nHosts * perHost
+      val megaN = 1000000L
+      val ids = spark.range(0, nNormal, 1, cpus.toInt)
+      val hn = col("id") % nHosts
+      val j = floor(col("id") / nHosts).cast("long")
+      val normal = ids.select(
+        concat(lit("https://h"), hn, lit(".example.com/p/"), col("id")).as("url"),
+        concat(lit("h"), hn, lit(".example.com")).as("host"),
+        j.cast("double").as("priority"))
+      val mega = spark.range(0, megaN, 1, cpus.toInt).select(
+        concat(lit("https://mega.example.com/p/"), col("id")).as("url"),
+        lit("mega.example.com").as("host"),
+        col("id").cast("double").as("priority"))
+      val frontier = normal.union(mega)
+      val delays = spark.range(0, nHosts, 2, cpus.toInt) // step 2: even hosts
+        .select(concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+          lit(30.0).as("delay"))
+      val out = new graft.text.CrawlScheduler()
+        .setOutputCol("cs").setBudgetPerHost(5).setHorizonSec(90.0)
+        .setSaltBuckets(16)
+        .transform(frontier, delays).head
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = out.count()
+      val isMega = col("host") === "mega.example.com"
+      val hostNum = regexp_extract(col("host"), "^h(\\d+)\\.", 1).cast("long")
+      val wrongNormal = out.where(!isMega &&
+        col("priority") < when(hostNum % 2 === 0, 47.0).otherwise(45.0)).count()
+      val wrongMega = out.where(isMega && col("priority") < 999995.0).count()
+      // rank is deterministic: the top-priority URL ranks 1
+      val wrongRank = out.where(!isMega &&
+        col("cs_rank") =!= (lit(50.0) - col("priority")).cast("int")).count()
+      out.unpersist(blocking = false)
+      val expected = (nHosts / 2) * 3 + (nHosts / 2) * 5 + 5
+      println(s"""{"crawl_sched_selected":$total,"crawl_sched_wrong_normal":$wrongNormal,""" +
+        s""""crawl_sched_wrong_mega":$wrongMega,"crawl_sched_wrong_rank":$wrongRank}""")
+      require(total == expected, s"selected count broke: $total != $expected")
+      require(wrongNormal == 0 && wrongMega == 0,
+        s"selection broke: $wrongNormal normal, $wrongMega mega")
+      require(wrongRank == 0, s"rank broke on $wrongRank rows")
       total
     }
 

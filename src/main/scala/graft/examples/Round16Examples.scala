@@ -162,3 +162,85 @@ object CrawlPipelineExample {
     spark.stop()
   }
 }
+
+/** Politeness-budgeted crawl scheduling: robots.txt Sitemap and
+  * Crawl-delay directives ([[graft.text.RobotsDirectives]]) feed the
+  * per-host round budget — a 30 s delay under a 60 s horizon means at
+  * most 2 polite fetches however deep the host's frontier is. */
+object CrawlScheduleExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("CrawlScheduleExample")
+    import spark.implicits._
+
+    val robots = Seq(
+      ("slow.example", "User-agent: *\nCrawl-delay: 30\nSitemap: https://slow.example/s.xml"),
+      ("fast.example", "Sitemap: https://fast.example/s.xml")
+    ).toDF("host", "robots")
+    val directives = new graft.text.RobotsDirectives()
+      .setInputCol("robots").setOutputCol("rd")
+      .transform(robots).head
+    directives.show(false) // 2 sitemaps + slow.example's delay
+
+    val frontier = Seq(
+      ("https://slow.example/p1", "slow.example", 9.0),
+      ("https://slow.example/p2", "slow.example", 7.0),
+      ("https://slow.example/p3", "slow.example", 5.0),
+      ("https://fast.example/q1", "fast.example", 2.0),
+      ("https://fast.example/q2", "fast.example", 1.0)
+    ).toDF("url", "host", "priority")
+    new graft.text.CrawlScheduler()
+      .setOutputCol("cs").setBudgetPerHost(3).setHorizonSec(60.0)
+      .setDelayCol("rd_delay")
+      .transform(frontier, directives).head
+      .orderBy("host", "cs_rank")
+      // slow.example: floor(60/30) = 2 fetches; fast.example: all 3
+      .show(false)
+    spark.stop()
+  }
+}
+
+/** FineWeb-shaped curation in one flow: WARC ingest → HTTP status /
+  * media-type gate → main-content extraction → exact dedup → PII
+  * redaction → language ID → token budget. Exactly the composition
+  * q_fineweb_pipeline pins against the DuckDB oracle. */
+object FinewebPipelineExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("FinewebPipelineExample")
+    import spark.implicits._
+    val crlf = "\r\n"
+
+    def warc(status: String, html: String) =
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf + crlf +
+        "HTTP/1.1 " + status + crlf +
+        "Content-Type: text/html; charset=utf-8" + crlf + crlf +
+        html + crlf + crlf
+    val body = "Reach admin@corp.example for the dataset which ships " +
+      "with enough prose to clear the extractor's good threshold."
+    val files = Seq(
+      (1L, warc("200 OK", s"<div><a href='/n'>Nav</a></div><p>$body</p>")),
+      (2L, warc("200 OK", s"<p>$body</p>")), // duplicate body of 1
+      (3L, warc("404 Not Found", "<p>gone</p>"))
+    ).toDF("doc_id", "warc")
+
+    val fetched = new graft.text.WarcParser()
+      .setInputCol("warc").setOutputCol("w").transform(files).head
+      .where(col("w_status") === 200 && col("w_mime") === "text/html")
+      .select(col("doc_id"), col("w_body").as("html"))
+    val mc = new graft.text.MainContentExtractor().setIdCol("doc_id")
+      .setInputCol("html").setOutputCol("mc").transform(fetched).head
+      .select(col("doc_id"), col("mc_text"))
+    val kept = new graft.text.ExactDeduplicator()
+      .setIdCol("doc_id").setInputCol("mc_text").transform(mc).head
+      .where(!col("is_exact_duplicate"))
+    val redacted = new graft.text.PiiRedactor()
+      .setInputCol("mc_text").setOutputCol("text").transform(kept).head
+    val lang = new graft.text.LanguageDetector()
+      .setInputCol("text").setLangCol("lang").transform(redacted).head
+    new graft.text.TokenCounter().setInputCol("text").transform(lang).head
+      // doc 3 fell at the HTTP gate, doc 2 at dedup; doc 1 survives
+      // with the email redacted, lang=en and its token budget counted
+      .select("doc_id", "text", "lang", "n_ws_tokens", "n_emails")
+      .show(false)
+    spark.stop()
+  }
+}

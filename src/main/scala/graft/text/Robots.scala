@@ -33,7 +33,10 @@ import graft.util.ReadWrite
  * with an empty value (`Disallow:` = "no restriction") emit nothing:
  * no matching rule already means allowed. Sections whose agents all
  * miss emit nothing. Comments (`#`) and blank lines are stripped;
- * directives are case-insensitive.
+ * directives are case-insensitive. Non-rule directives (`Sitemap:`,
+ * `Crawl-delay:` — surfaced by [[RobotsDirectives]]) are recognized
+ * by the section model (they end a run of consecutive `User-agent:`
+ * lines per the RFC grammar) but emit no rule rows here.
  *
  * Shape: the parse is pure column math over posexploded lines plus
  * two per-document window passes (section assignment = running count
@@ -65,41 +68,8 @@ class RobotsTxtParser extends Transformer[RobotsTxtParser]
     val o = getOutputCol
     val agent = getUserAgent.toLowerCase(java.util.Locale.ROOT)
 
-    // line-split, comment-strip, directive/value decomposition
-    val lines = inputs.head
-      .select(col(h), posexplode(split(coalesce(col(getInputCol), lit("")), "\r?\n"))
-        .as(Seq("__ln", "__raw")))
-      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
-      .where(col("__line") =!= "")
-      .withColumn("__dir", lower(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1)))
-      .withColumn("__val", trim(regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
-      .where(col("__dir").isin("user-agent", "allow", "disallow"))
-
-    // section id = running count of section STARTS (a user-agent line
-    // not directly preceded by another user-agent line)
-    val byDoc = Window.partitionBy(col(h)).orderBy(col("__ln"))
-    val sectioned = lines
-      .withColumn("__ua", (col("__dir") === "user-agent").cast("int"))
-      .withColumn("__start",
-        when(col("__ua") === 1 &&
-          coalesce(lag(col("__ua"), 1).over(byDoc), lit(0)) === 0, 1).otherwise(0))
-      .withColumn("__sec", sum(col("__start")).over(byDoc))
-
-    // RFC 9309 §2.2.1 group selection: a section naming the agent
-    // EXACTLY always applies; '*' sections are the FALLBACK group and
-    // apply only when no section in the whole document names the
-    // agent (per-document `__has_exact` via a host-partition window)
-    val byHost = Window.partitionBy(col("__h2"))
-    val applicable = sectioned
-      .where(col("__dir") === "user-agent")
-      .groupBy(col(h).as("__h2"), col("__sec").as("__sec2"))
-      .agg(
-        max(when(lower(col("__val")) === agent, 1).otherwise(0)).as("__exact"),
-        max(when(col("__val") === "*", 1).otherwise(0)).as("__star"))
-      .withColumn("__has_exact", max(col("__exact")).over(byHost))
-      .where(col("__exact") === 1 ||
-        (col("__has_exact") === 0 && col("__star") === 1))
-      .select(col("__h2"), col("__sec2"))
+    val sectioned = RobotsParse.sectionedLines(inputs.head, getInputCol, h)
+    val applicable = RobotsParse.applicableSections(sectioned, h, agent)
 
     val rules = sectioned
       .where(col("__dir").isin("allow", "disallow") && col("__val") =!= "")
@@ -108,6 +78,145 @@ class RobotsTxtParser extends Transformer[RobotsTxtParser]
       .select(col(h), col("__dir").as(s"${o}_rule"), col("__val").as(s"${o}_prefix"))
     Array(rules)
   }
+}
+
+/**
+ * Shared robots.txt parse machinery for [[RobotsTxtParser]] and
+ * [[RobotsDirectives]]: the line walk and RFC 9309 section model are
+ * ONE implementation so the two surfaces can never drift apart on
+ * group boundaries or agent selection.
+ */
+private[text] object RobotsParse {
+
+  /** Directives the section model recognizes — any of these lines
+   * ends a run of consecutive `User-agent:` lines, so
+   * `User-agent: a / Crawl-delay: 5 / User-agent: b` puts a and b in
+   * SEPARATE groups per the RFC 9309 grammar (startgroupline+ then
+   * grouplines; unrecognized junk lines stay invisible). */
+  private val Recognized = Seq("user-agent", "allow", "disallow", "crawl-delay", "sitemap")
+
+  /** Line-split, comment-strip, directive/value decomposition and
+   * section assignment: one row per recognized directive line with
+   * `__ln` (file position), `__dir` (lowercased name), `__val`
+   * (trimmed value) and `__sec` (1-based section id — the running
+   * count of section starts, a user-agent line not directly preceded
+   * by another user-agent line). */
+  def sectionedLines(df: DataFrame, inputCol: String, hostCol: String): DataFrame = {
+    val lines = df
+      .select(col(hostCol), posexplode(split(coalesce(col(inputCol), lit("")), "\r?\n"))
+        .as(Seq("__ln", "__raw")))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .where(col("__line") =!= "")
+      .withColumn("__dir", lower(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("__val", trim(regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
+      .where(col("__dir").isin(Recognized: _*))
+
+    val byDoc = Window.partitionBy(col(hostCol)).orderBy(col("__ln"))
+    lines
+      .withColumn("__ua", (col("__dir") === "user-agent").cast("int"))
+      .withColumn("__start",
+        when(col("__ua") === 1 &&
+          coalesce(lag(col("__ua"), 1).over(byDoc), lit(0)) === 0, 1).otherwise(0))
+      .withColumn("__sec", sum(col("__start")).over(byDoc))
+  }
+
+  /** RFC 9309 §2.2.1 group selection: a section naming the agent
+   * EXACTLY always applies; '*' sections are the FALLBACK group and
+   * apply only when no section in the whole document names the agent
+   * (per-document `__has_exact` via a host-partition window). Returns
+   * the applicable (`__h2`, `__sec2`) pairs. */
+  def applicableSections(sectioned: DataFrame, hostCol: String, agent: String): DataFrame = {
+    val byHost = Window.partitionBy(col("__h2"))
+    sectioned
+      .where(col("__dir") === "user-agent")
+      .groupBy(col(hostCol).as("__h2"), col("__sec").as("__sec2"))
+      .agg(
+        max(when(lower(col("__val")) === agent, 1).otherwise(0)).as("__exact"),
+        max(when(col("__val") === "*", 1).otherwise(0)).as("__star"))
+      .withColumn("__has_exact", max(col("__exact")).over(byHost))
+      .where(col("__exact") === 1 ||
+        (col("__has_exact") === 0 && col("__star") === 1))
+      .select(col("__h2"), col("__sec2"))
+  }
+}
+
+/**
+ * robots.txt non-rule directives — the two crawl-control signals a
+ * robots.txt carries BESIDES allow/disallow rules:
+ *
+ *  - `Sitemap:` (sitemaps.org cross-protocol discovery): the standard
+ *    way a site announces its sitemap URLs. DOCUMENT-scoped per the
+ *    sitemaps.org protocol — a Sitemap line applies regardless of
+ *    which User-agent group surrounds it, so every such line emits.
+ *    Feed the values into [[SitemapExtractor]] (after fetching) and
+ *    the extracted locs into [[FrontierBuilder]] — this operator is
+ *    the missing discovery hop between robots and the frontier.
+ *  - `Crawl-delay:` (non-standard but honored by Bing/Yandex):
+ *    GROUP-scoped like allow/disallow — the same RFC 9309 §2.2.1
+ *    selection as [[RobotsTxtParser]] (exact-token sections win, `*`
+ *    sections are the fallback). A delay outside any User-agent
+ *    group is undefined and drops. Feed the parsed delays into
+ *    [[CrawlScheduler]] as the per-host politeness budget.
+ *
+ * Output: one row per surviving directive —
+ *  - `<o>_kind`: "sitemap" | "crawl-delay";
+ *  - `<o>_value`: the value as written (a URL / the seconds text);
+ *  - `<o>_delay`: the value as a double for crawl-delay rows
+ *    (try_cast — garbage parses to null), null for sitemap rows;
+ * with the host column carried through under its input name.
+ *
+ * Same shape as the rule parse (shared [[RobotsParse]] machinery):
+ * posexploded lines + per-document windows + one (doc, section)
+ * equi-join for the delay rows — RE2/window-deterministic, oracle-
+ * replayable, parallelism per document, tasks bounded by the 500 KiB
+ * robots.txt cap.
+ */
+class RobotsDirectives extends Transformer[RobotsDirectives]
+    with HasInputCol[RobotsDirectives] with HasOutputCol[RobotsDirectives] {
+
+  final val hostCol: Param[String] = param[String](
+    "hostCol", "Column identifying the robots.txt's host.", "host")
+  def getHostCol: String = get(hostCol)
+  def setHostCol(v: String): RobotsDirectives = set(hostCol, v)
+
+  final val userAgent: Param[String] = param[String](
+    "userAgent",
+    "Product token whose Crawl-delay applies, next to '*' (case-insensitive exact match).",
+    "*")
+  def getUserAgent: String = get(userAgent)
+  def setUserAgent(v: String): RobotsDirectives = set(userAgent, v)
+
+  override def transform(inputs: DataFrame*): Array[DataFrame] = {
+    require(inputs.size == 1)
+    val h = getHostCol
+    val o = getOutputCol
+    val agent = getUserAgent.toLowerCase(java.util.Locale.ROOT)
+
+    val sectioned = RobotsParse.sectionedLines(inputs.head, getInputCol, h)
+
+    // Sitemap: document-scoped — every non-empty line emits
+    val sitemaps = sectioned
+      .where(col("__dir") === "sitemap" && col("__val") =!= "")
+      .select(col(h), lit("sitemap").as(s"${o}_kind"), col("__val").as(s"${o}_value"))
+
+    // Crawl-delay: group-scoped — the rule-table selection applies
+    val applicable = RobotsParse.applicableSections(sectioned, h, agent)
+    val delays = sectioned
+      .where(col("__dir") === "crawl-delay" && col("__val") =!= "")
+      .join(applicable,
+        col(h) === col("__h2") && col("__sec") === col("__sec2"))
+      .select(col(h), lit("crawl-delay").as(s"${o}_kind"), col("__val").as(s"${o}_value"))
+
+    Array(sitemaps.unionByName(delays)
+      .withColumn(s"${o}_delay",
+        when(col(s"${o}_kind") === "crawl-delay",
+          expr(s"try_cast(${o}_value AS double)"))))
+  }
+}
+
+object RobotsDirectives extends StageLoader[RobotsDirectives] {
+  def load(spark: SparkSession, path: String): RobotsDirectives =
+    ReadWrite.applyParams(new RobotsDirectives, path)
 }
 
 object RobotsTxtParser extends StageLoader[RobotsTxtParser] {

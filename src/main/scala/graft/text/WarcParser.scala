@@ -24,7 +24,16 @@ import graft.util.ReadWrite
  *  - `<o>_body`: for HTTP response/request payloads (an HTTP status
  *    or request line followed by HTTP headers), the entity body after
  *    the first blank line — i.e. the HTML a response carried; equal to
- *    the payload when no HTTP header block is present.
+ *    the payload when no HTTP header block is present;
+ *  - `<o>_status`: the HTTP status code off a response payload's
+ *    status line (200, 301, 404, ...); null for non-HTTP payloads —
+ *    with `<o>_mime` this is the keep-200s/keep-text-html gate a
+ *    crawl pipeline applies before anything downstream decodes;
+ *  - `<o>_mime`: the Content-Type header's media type, lowercased,
+ *    parameters after ';' dropped (`text/html; charset=utf-8` →
+ *    `text/html`), scoped to the payload's HTTP header block so a
+ *    body mentioning "Content-Type:" cannot shadow it; null when
+ *    absent.
  *
  * Scope (documented trades, same stance as the other regex
  * extractors): a REGEX record walk, not a spec-complete WARC reader —
@@ -92,8 +101,29 @@ class WarcParser extends Transformer[WarcParser]
     val body = when(p.rlike("^HTTP/"), httpBody)
       .when(p.rlike("^[A-Z]+ \\S+ HTTP/"), reqBody)
       .otherwise(p)
+    // HTTP status + media type — the gate a crawl pipeline applies
+    // before anything decodes (keep 200s, keep text/html; Common
+    // Crawl's own index carries exactly these two fields). The status
+    // code comes off a response payload's status line; the media type
+    // off the Content-Type header, scoped to the payload's HTTP
+    // header block (the contiguous non-blank lines opening the
+    // payload) so an HTML body that MENTIONS "Content-Type:" cannot
+    // shadow it; parameters after ';' (charset=...) drop and the type
+    // lowercases per RFC 9110 §8.3's case-insensitive media types.
+    // Null for non-HTTP payloads and when the header is absent.
+    val statusStr = regexp_extract(p, "^HTTP/[0-9.]+[ \\t]+([0-9]{3})", 1)
+    val status = when(statusStr === "", lit(null).cast("int"))
+      .otherwise(statusStr.cast("int"))
+    val httpHdr = when(
+      p.rlike("^HTTP/") || p.rlike("^[A-Z]+ \\S+ HTTP/"),
+      regexp_extract(p, "(?s)^([^\\r\\n]*(?:\\r?\\n[^\\r\\n]+)*)", 1))
+    val ctValue = trim(regexp_extract(httpHdr,
+      "(?mi)^content-type[ \\t]*:[ \\t]*([^\\r\\n]*)", 1))
+    val mime = lower(trim(regexp_extract(ctValue, "^([^;]*)", 1)))
     Array(headered
       .withColumn(s"${o}_body", body)
+      .withColumn(s"${o}_status", status)
+      .withColumn(s"${o}_mime", when(mime === "", lit(null).cast("string")).otherwise(mime))
       .drop("__rec"))
   }
 }

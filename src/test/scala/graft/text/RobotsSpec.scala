@@ -148,6 +148,69 @@ class RobotsSpec extends SparkSpec {
     assert(got == Map("a" -> false, "b" -> true))
   }
 
+  test("RobotsDirectives: sitemap document-scoped, crawl-delay group-scoped") {
+    import spark.implicits._
+    val txt =
+      """Sitemap: https://h.com/top.xml
+        |User-agent: googlebot
+        |Crawl-delay: 2.5
+        |Sitemap: https://h.com/inner.xml
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Crawl-delay: fast
+        |""".stripMargin
+    def run(agent: String) = new RobotsDirectives()
+      .setInputCol("txt").setOutputCol("rd").setUserAgent(agent)
+      .transform(Seq(("h.com", txt)).toDF("host", "txt")).head
+      .collect().map(r => (r.getAs[String]("rd_kind"), r.getAs[String]("rd_value"),
+        Option(r.getAs[java.lang.Double]("rd_delay")).map(_.toDouble))).toSet
+    // named agent: both sitemap lines (document scope), ONLY its
+    // group's delay; the wildcard group's delays don't union in
+    assert(run("googlebot") == Set(
+      ("sitemap", "https://h.com/top.xml", None),
+      ("sitemap", "https://h.com/inner.xml", None),
+      ("crawl-delay", "2.5", Some(2.5))))
+    // unnamed agent: wildcard group's delays, garbage casts to null
+    assert(run("otherbot") == Set(
+      ("sitemap", "https://h.com/top.xml", None),
+      ("sitemap", "https://h.com/inner.xml", None),
+      ("crawl-delay", "10", Some(10.0)),
+      ("crawl-delay", "fast", None)))
+  }
+
+  test("a recognized directive ends a consecutive User-agent run (RFC grammar)") {
+    import spark.implicits._
+    val txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x"
+    val df = Seq(("h.com", txt)).toDF("host", "txt")
+    // the Disallow belongs to b's group only — a's group closed at
+    // the Crawl-delay line, so a and b are NOT one shared section
+    val rulesA = new RobotsTxtParser().setInputCol("txt").setOutputCol("r")
+      .setUserAgent("a").transform(df).head.count()
+    val rulesB = new RobotsTxtParser().setInputCol("txt").setOutputCol("r")
+      .setUserAgent("b").transform(df).head
+      .collect().map(r => (r.getAs[String]("r_rule"), r.getAs[String]("r_prefix"))).toSet
+    assert(rulesA == 0)
+    assert(rulesB == Set(("disallow", "/x")))
+    // and the delay belongs to a's group only
+    val delayA = new RobotsDirectives().setInputCol("txt").setOutputCol("rd")
+      .setUserAgent("a").transform(df).head
+      .collect().map(_.getAs[String]("rd_value")).toSeq
+    val delayB = new RobotsDirectives().setInputCol("txt").setOutputCol("rd")
+      .setUserAgent("b").transform(df).head.count()
+    assert(delayA == Seq("5") && delayB == 0)
+  }
+
+  test("RobotsDirectives: empty docs and delay outside any group emit nothing") {
+    import spark.implicits._
+    val df = Seq(
+      ("a.com", "Crawl-delay: 7\nsome junk"), // delay before any group: drops
+      ("b.com", null.asInstanceOf[String]),
+      ("c.com", "")).toDF("host", "txt")
+    assert(new RobotsDirectives().setInputCol("txt").setOutputCol("rd")
+      .transform(df).head.count() == 0)
+  }
+
   test("param save/load round-trips for both stages") {
     val d1 = java.nio.file.Files.createTempDirectory("robotsp").toString
     new RobotsTxtParser().setInputCol("t").setHostCol("h").setOutputCol("o")
@@ -161,5 +224,11 @@ class RobotsSpec extends SparkSpec {
     val f = RobotsUrlFilter.load(spark, d2)
     assert(f.getIdCol == "i" && f.getHostCol == "h" && f.getPathCol == "p" &&
       f.getRuleCol == "rr" && f.getPrefixCol == "rp" && f.getOutputCol == "o")
+    val d3 = java.nio.file.Files.createTempDirectory("robotsd").toString
+    new RobotsDirectives().setInputCol("t").setHostCol("h").setOutputCol("o")
+      .setUserAgent("mybot").save(d3)
+    val dd = RobotsDirectives.load(spark, d3)
+    assert(dd.getInputCol == "t" && dd.getHostCol == "h" &&
+      dd.getOutputCol == "o" && dd.getUserAgent == "mybot")
   }
 }

@@ -73,6 +73,33 @@ class WarcParserSpec extends SparkSpec {
     assert(parse(lower) == Seq((1, "response", null, null, "x", "x")))
   }
 
+  test("HTTP status and media type: extracted, scoped to the header block") {
+    import spark.implicits._
+    val x =
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf + crlf +
+        "HTTP/1.1 301 Moved Permanently" + crlf +
+        "Content-Type: TEXT/HTML; charset=UTF-8" + crlf + crlf +
+        "<html>Content-Type: application/x-fake</html>" + crlf + crlf +
+        "WARC/1.0" + crlf + "WARC-Type: response" + crlf + crlf +
+        // headerless status line: body extraction works, no mime
+        "HTTP/1.1 200" + crlf + crlf + "Content-Type: body text" + crlf + crlf +
+        "WARC/1.0" + crlf + "WARC-Type: metadata" + crlf + crlf +
+        "fetch: x" + crlf + crlf
+    val got = new WarcParser().setInputCol("warc").setOutputCol("w")
+      .transform(Seq(x).toDF("warc")).head
+      .orderBy("w_pos")
+      .select("w_status", "w_mime")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getString(1)))
+      .toSeq
+    // record 1: status + params-stripped lowercased mime; the body's
+    // fake Content-Type does NOT shadow (header block scope)
+    // record 2: status parses, no Content-Type header -> null mime
+    // (the payload's "Content-Type:" line is BODY, not header)
+    // record 3: non-HTTP payload -> both null
+    assert(got == Seq((301, "text/html"), (200, null), (-1, null)))
+  }
+
   test("param save/load round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("warc").toString
     new WarcParser().setInputCol("x").setOutputCol("o").save(dir)
