@@ -3129,6 +3129,38 @@ object SparkEntry {
           col("n_ws_tokens").as("tokens"), col("n_emails").as("pii_hits"))
     }),
 
+    // --- model-based quality filtering (round-16): the DCLM /
+    // FineWeb-Edu shape — train a logistic classifier on HEURISTIC
+    // labels (GopherFilter's rule bundle), featurize with
+    // TextQualityScorer's exact-integer-division ratios, score every
+    // document. The oracle replays the 3-iteration full-batch GD as
+    // the q_logreg_train CTE chain over the same features/labels and
+    // scores each row with the trained weights. ---
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = new graft.text.TextQualityScorer()
+        .setInputCol("text").transform(docs).head
+      // minWords 30 / stopword-hits 1 — the q_gopher calibration for
+      // this corpus (defaults would label every row 0 and the trained
+      // separator would be vacuous)
+      val labeled = new graft.text.GopherFilter()
+        .setInputCol("text").setMinWords(30).setMinStopwordHits(1)
+        .transform(stats).head
+        .withColumn("label", col("gopher_keep").cast("double"))
+      val feat = new graft.feature.VectorAssembler()
+        .setInputCols("stopword_ratio", "alpha_ratio").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(labeled).head
+      val model = new graft.classification.LogisticRegression()
+        .setMaxIter(3).setGlobalBatchSize(1 << 22).fit(feat)
+      model.transform(feat).head
+        .select(col("doc_id"), col("label"), col("prediction"),
+          round(org.apache.spark.ml.functions.vector_to_array(col("rawPrediction"))
+            .getItem(1), 4).as("score"),
+          round(col("stopword_ratio"), 6).as("x0"),
+          round(col("alpha_ratio"), 6).as("x1"))
+    }),
+
     // --- WARC record extraction (round-15): per doc a 2-record
     // archive — an HTTP response (angle-bracketed target URI, HTML
     // entity body behind the HTTP header block) and a metadata record
@@ -3668,6 +3700,103 @@ object SparkEntry {
    * totalWeight = n). Step 1 is exact (exp(0) = 1); later steps'
    * exp() ulp differences vanish under ROUND(4).
    */
+  /**
+   * Oracle for q_quality_classifier — the model-based quality filter
+   * (the DCLM/FineWeb-Edu shape: train a classifier on heuristic
+   * labels, score the corpus): features are TextQualityScorer's
+   * stopword/alpha ratios (exact integer divisions — bit-identical
+   * across engines), labels are GopherFilter's rule bundle (boolean —
+   * exact), and the 3-iteration full-batch logistic GD replays as the
+   * q_logreg_train CTE chain. Scoring rounds to 4: the trained
+   * weights carry ~1e-12 exp/sum-order noise, far below the grid.
+   */
+  private def qualityClassifierOracleSql: String = {
+    val iters = 3
+    val lr = 0.1
+    val sb = new StringBuilder
+    sb.append(
+      """WITH s AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |              t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                         'that','for','on','with','as','was','at','by','be','this')))
+        |              AS DOUBLE)
+        |           / len(string_split_regex(trim(text), '\s+')) AS x0,
+        |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |           / length(text) AS x1
+        |  FROM documents),
+        |gw AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(text), '\s+') END AS words,
+        |         string_split(text, chr(10)) AS lines,
+        |         ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS padded
+        |  FROM documents),
+        |gm AS (
+        |  SELECT doc_id,
+        |         len(words) AS nw,
+        |         CASE WHEN len(words) > 0
+        |              THEN CAST(list_sum([len(x) FOR x IN words]) AS DOUBLE) / len(words) END AS mean_len,
+        |         CASE WHEN len(words) > 0 THEN
+        |           CAST((len(text) - len(replace(text, '#', '')))
+        |                + (len(text) - len(replace(text, '...', ''))) // 3
+        |                + (len(text) - len(replace(text, '…', ''))) AS DOUBLE) / len(words)
+        |         END AS symbol_ratio,
+        |         CASE WHEN len(lines) > 0 THEN
+        |           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣◦]'))) AS DOUBLE)
+        |             / len(lines) END AS bullet_ratio,
+        |         CASE WHEN len(lines) > 0 THEN
+        |           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |             / len(lines) END AS ellipsis_ratio,
+        |         CASE WHEN len(words) > 0 THEN
+        |           CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |             / len(words) END AS alpha_ratio,
+        |         (CASE WHEN position(' the ' IN padded) > 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN position(' be ' IN padded) > 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN position(' to ' IN padded) > 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN position(' of ' IN padded) > 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN position(' and ' IN padded) > 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN position(' that ' IN padded) > 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN position(' have ' IN padded) > 0 THEN 1 ELSE 0 END
+        |          + CASE WHEN position(' with ' IN padded) > 0 THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM gw),
+        |gr AS (
+        |  SELECT doc_id,
+        |         (nw BETWEEN 30 AND 100000)
+        |           AND COALESCE(mean_len BETWEEN 3.0 AND 10.0, FALSE)
+        |           AND COALESCE(symbol_ratio <= 0.1, FALSE)
+        |           AND COALESCE(bullet_ratio <= 0.9, FALSE)
+        |           AND COALESCE(ellipsis_ratio <= 0.3, FALSE)
+        |           AND COALESCE(alpha_ratio >= 0.8, FALSE)
+        |           AND stop_hits >= 1 AS gopher_keep
+        |  FROM gm),
+        |d AS MATERIALIZED (
+        |  SELECT s.doc_id, s.x0, s.x1,
+        |         CASE WHEN gr.gopher_keep THEN 1.0 ELSE -1.0 END AS ls
+        |  FROM s JOIN gr USING (doc_id)),
+        |w0 AS (SELECT 0.0 AS a, 0.0 AS b),
+        |""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s"""g$t AS (SELECT SUM((-d.ls / (exp((w.a * d.x0 + w.b * d.x1) * d.ls) + 1)) * d.x0) AS ga,
+           |         SUM((-d.ls / (exp((w.a * d.x0 + w.b * d.x1) * d.ls) + 1)) * d.x1) AS gb,
+           |         CAST(COUNT(*) AS DOUBLE) AS n, MAX(w.a) AS a, MAX(w.b) AS b
+           |       FROM d CROSS JOIN w${t - 1} w),
+           |w$t AS (SELECT a - $lr * ga / n AS a, b - $lr * gb / n AS b FROM g$t),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""scored AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.ls > 0 THEN 1.0 ELSE 0.0 END AS label,
+         |         CASE WHEN w.a * d.x0 + w.b * d.x1 >= 0 THEN 1.0 ELSE 0.0 END AS prediction,
+         |         ROUND(1.0 - 1.0 / (1.0 + EXP(w.a * d.x0 + w.b * d.x1)), 4) AS score,
+         |         ROUND(d.x0, 6) AS x0, ROUND(d.x1, 6) AS x1
+         |  FROM d CROSS JOIN w$iters w)
+         |SELECT doc_id, label, prediction, score, x0, x1 FROM scored""".stripMargin)
+    sb.toString
+  }
+
   private def logregTrainOracleSql: String = {
     val iters = 3
     val lr = 0.1
@@ -3788,6 +3917,7 @@ object SparkEntry {
     "q_kbins_kmeans" -> kbinsKmeansOracleSql,
 
     "q_logreg_train" -> logregTrainOracleSql,
+    "q_quality_classifier" -> qualityClassifierOracleSql,
 
     "q_embedding_dedup" -> embeddingDedupOracleSql,
 

@@ -2452,6 +2452,61 @@ object ScaleUp {
       total
     }
 
+    // model-based quality filtering at scale (round-16): the DCLM /
+    // FineWeb-Edu shape end-to-end — heuristic Gopher labels →
+    // 3-iteration full-batch logistic GD on two exact-ratio features
+    // → score all 500k documents. The corpus plants two classes
+    // (stopword-rich prose vs digit soup that fails the alpha-words
+    // rule — the generator corpus is uniform 50-token soup, so labels
+    // are planted rather than sampled), making the validation EXACT:
+    // 250k/250k labels and STRICT score separation — every prose doc
+    // outscores every soup doc after training. The trained weights
+    // themselves are oracle-pinned at sf0.01 by q_quality_classifier.
+    stage("quality_classifier") {
+      val prose = "the data and the text of this corpus is kept with " +
+        "care for every line that we hold to be clear and useful in time"
+      val soup = (1 to 25).map(k => s"${k}00${k} ${k}9${k}").mkString(" ")
+      val planted = spark.range(0, numDocs, 1, cpus.toInt).select(
+        col("id").as("doc_id"),
+        when(col("id") % 2 === 0, concat(lit(prose + " item"), col("id")))
+          .otherwise(concat(lit(soup + " item"), col("id"))).as("text"))
+      val stats = new graft.text.TextQualityScorer()
+        .setInputCol("text").transform(planted).head
+      val labeled = new graft.text.GopherFilter()
+        .setInputCol("text").setMinWords(20).setMinStopwordHits(1)
+        .transform(stats).head
+        .withColumn("label", col("gopher_keep").cast("double"))
+      val feat = new graft.feature.VectorAssembler()
+        .setInputCols("stopword_ratio", "alpha_ratio").setOutputCol("features")
+        .setInputSizes(1, 1)
+        .transform(labeled).head
+        .select("doc_id", "label", "features")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = feat.count()
+      val model = new graft.classification.LogisticRegression()
+        .setMaxIter(3).setGlobalBatchSize(1 << 22).fit(feat)
+      val scored = model.transform(feat).head.select(col("label"),
+        org.apache.spark.ml.functions.vector_to_array(col("rawPrediction"))
+          .getItem(1).as("score"))
+      val byClass = scored.groupBy("label")
+        .agg(min("score").as("lo"), max("score").as("hi"), count(lit(1)).as("c"))
+        .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+      feat.unpersist(blocking = false)
+      val (keepLo, keepHi, cKeep) = byClass(1.0)
+      val (dropLo, dropHi, cDrop) = byClass(0.0)
+      println(s"""{"qc_docs":$n,"qc_keep":$cKeep,"qc_drop":$cDrop,""" +
+        s""""qc_keep_scores":[${String.format(java.util.Locale.ROOT, "%.6f", Double.box(keepLo))},""" +
+        s"""${String.format(java.util.Locale.ROOT, "%.6f", Double.box(keepHi))}],""" +
+        s""""qc_drop_scores":[${String.format(java.util.Locale.ROOT, "%.6f", Double.box(dropLo))},""" +
+        s"""${String.format(java.util.Locale.ROOT, "%.6f", Double.box(dropHi))}]}""")
+      require(n == numDocs, s"doc count broke: $n != $numDocs")
+      require(cKeep == numDocs / 2 && cDrop == numDocs - numDocs / 2,
+        s"planted labels broke: $cKeep/$cDrop")
+      require(keepLo > dropHi,
+        s"strict separation failed: min keep $keepLo <= max drop $dropHi")
+      n
+    }
+
     // Multi-source BFS at scale (round-15): a 5M-vertex binary tree
     // (i -> 2i+1, 2i+2) from seed 0 — depth(v) = len(bin(v+1)) - 1
     // EXACTLY, so every one of the 5M distances is checkable in one

@@ -244,3 +244,44 @@ object FinewebPipelineExample {
     spark.stop()
   }
 }
+
+/** Model-based quality filtering (the DCLM / FineWeb-Edu recipe):
+  * heuristic Gopher rules label a seed of the corpus, a logistic
+  * classifier trains on those labels over cheap quality-stat
+  * features, and every document gets a model score — the filter
+  * becomes a tunable threshold instead of a hard rule bundle. */
+object QualityClassifierExample {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("QualityClassifierExample")
+    import spark.implicits._
+
+    val prose = "The quick study of language and data is one of the " +
+      "things that we have come to value with time and care in equal measure."
+    val soup = "asdf qwer zxcv tyui ghjk bnml 1234 5678 9012 3456 " +
+      "wert sdfg xcvb yuio hjkl nm12 34qw 56er 78ty 90ui"
+    val docs = (1 to 8).map(i =>
+      (i.toLong, if (i % 2 == 0) prose + " " + prose else soup + " " + soup))
+      .toDF("doc_id", "text")
+
+    val stats = new graft.text.TextQualityScorer()
+      .setInputCol("text").transform(docs).head
+    val labeled = new graft.text.GopherFilter()
+      .setInputCol("text").setMinWords(10).setMinStopwordHits(1)
+      .transform(stats).head
+      .withColumn("label", org.apache.spark.sql.functions.col("gopher_keep").cast("double"))
+    val feat = new graft.feature.VectorAssembler()
+      .setInputCols("stopword_ratio", "alpha_ratio").setOutputCol("features")
+      .setInputSizes(1, 1).transform(labeled).head
+    val model = new graft.classification.LogisticRegression()
+      .setMaxIter(3).setGlobalBatchSize(1 << 22).fit(feat)
+    model.transform(feat).head
+      .select(col("doc_id"), col("label"), col("prediction"),
+        round(org.apache.spark.sql.functions.element_at(
+          org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2), 4)
+          .as("score"))
+      .orderBy("doc_id")
+      // prose docs score above the word-soup docs after 3 GD rounds
+      .show(false)
+    spark.stop()
+  }
+}
