@@ -3129,6 +3129,25 @@ object SparkEntry {
           col("n_ws_tokens").as("tokens"), col("n_emails").as("pii_hits"))
     }),
 
+    // --- per-domain corpus capping (round-16): CrawlScheduler
+    // repurposed on the LLM-data side — the C4/RefinedWeb guard that
+    // bounds any one domain's contribution to the training mix: top
+    // 20 docs per source by TextQualityScorer's quality score,
+    // deterministic doc_id tie-breaks. The oracle replays the exact
+    // quality formula (all exact integer divisions) and the window. ---
+    "q_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = new graft.text.TextQualityScorer()
+        .setInputCol("text").transform(docs).head
+      new graft.text.CrawlScheduler()
+        .setUrlCol("doc_id").setHostCol("source").setPriorityCol("quality_score")
+        .setBudgetPerHost(20).setOutputCol("cap")
+        .transform(stats).head
+        .select(col("doc_id"), col("source"),
+          round(col("quality_score"), 6).as("quality"),
+          col("cap_rank").as("rank"))
+    }),
+
     // --- model-based quality filtering (round-16): the DCLM /
     // FineWeb-Edu shape — train a logistic classifier on HEURISTIC
     // labels (GopherFilter's rule bundle), featurize with
@@ -3918,6 +3937,38 @@ object SparkEntry {
 
     "q_logreg_train" -> logregTrainOracleSql,
     "q_quality_classifier" -> qualityClassifierOracleSql,
+
+    // the per-source cap replayed as a window over the exact quality
+    // formula (every component an exact integer division, so the
+    // ordering — and therefore the selected set — replays bit-for-bit)
+    "q_domain_cap" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+                  length(text) AS n_chars,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS non_space,
+                  CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                  'that','for','on','with','as','was','at','by','be','this')))
+                       AS DOUBLE) AS stop_hits
+           FROM documents),
+         q AS (
+           SELECT doc_id, source,
+                  (CASE WHEN n_tokens BETWEEN 5 AND 2000 THEN 1.0 ELSE 0.0 END
+                   + CASE WHEN non_space / n_tokens >= 2.0 AND non_space / n_tokens <= 12.0
+                          THEN 1.0 ELSE 0.0 END
+                   + (1.0 - LEAST(punct / n_chars * 4.0, 1.0))
+                   + LEAST(stop_hits / n_tokens * 5.0, 1.0)) / 4.0 AS quality
+           FROM s),
+         r AS (
+           SELECT doc_id, source, quality,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id ASC) AS rank
+           FROM q)
+         SELECT doc_id, source, ROUND(quality, 6) AS quality,
+                CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 20""",
 
     "q_embedding_dedup" -> embeddingDedupOracleSql,
 

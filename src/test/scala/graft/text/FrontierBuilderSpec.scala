@@ -69,6 +69,33 @@ class FrontierBuilderSpec extends SparkSpec {
       ("https://ex.com/p41", 1L, "0")))
   }
 
+  test("streaming wiring: StreamingTrainer micro-batches never re-enqueue") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val urls = stream.toDF().select(org.apache.spark.sql.functions.col("value").as("url"))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val init = new FrontierBuilder().setUrlCol("url").setOutputCol("f")
+      .fit(Seq("https://ex.com/old").toDF("url"))
+    val handle = graft.streaming.StreamingTrainer.attach[FrontierModel](
+      urls, init, (m, b) => {
+        val out = m.transform(b).head
+          .select(org.apache.spark.sql.functions.col("f_url"))
+        val batch = out.as[String].collect()
+        emitted.synchronized { emitted ++= batch }
+        m.addCrawled(out.withColumnRenamed("f_url", "url"))
+      })
+    // batch 1: a messy respelling collapses, history is excluded
+    stream.addData("https://ex.com/a", "HTTPS://EX.COM:443/a?utm_source=x",
+      "https://ex.com/old")
+    handle.query.processAllAvailable()
+    // batch 2: /a was crawled by batch 1 — only /b is new
+    stream.addData("https://ex.com/a", "https://ex.com/b")
+    handle.query.processAllAvailable()
+    handle.query.stop()
+    assert(emitted.sorted == Seq("https://ex.com/a", "https://ex.com/b"))
+  }
+
   test("guards and single-feed degenerate cases") {
     import spark.implicits._
     val model = new FrontierBuilder().setUrlCol("url").setOutputCol("f")
