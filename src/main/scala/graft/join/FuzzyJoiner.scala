@@ -71,6 +71,18 @@ class FuzzyJoiner extends AlgoOperator[FuzzyJoiner]
     val q = getGramLength
     val shortBound = q - 1 + k * q
 
+    // SELF-join detection (both query-path callers pass the same
+    // DataFrame object): the gram explode, the frequency table and the
+    // per-string prefix window are identical on both sides, so compute
+    // them ONCE and join the shared prefix table with itself — halves
+    // the gram/window work and (with the persist) the upstream scans.
+    // Frequencies come from ONE side instead of the two-sided union:
+    // for identical inputs the union doubles every (gram, occ) count,
+    // and c -> 2c is strictly monotone, so the (cnt, gram, occ) prefix
+    // ordering — and therefore the selected prefix elements and the
+    // candidate set — is unchanged (ties still break on (gram, occ)).
+    if (inputs(0) eq inputs(1)) return Array(selfTransform(inputs(0)))
+
     def prep(df: DataFrame, side: String): DataFrame =
       df.select(col(getIdCol).as(s"${side}_id"),
         col(getInputCol).cast("string").as(s"${side}_s"))
@@ -138,6 +150,74 @@ class FuzzyJoiner extends AlgoOperator[FuzzyJoiner]
       .where(col("distance") <= k)
       .select("left_id", "right_id", "distance")
     Array(out)
+  }
+
+  /** Self-join fast path: one prep, one gram explode, one frequency
+    * aggregation, one prefix window — the shared tables persist and
+    * both sides of the candidate join read them. Candidate set and
+    * output are IDENTICAL to the two-sided path on (df, df) (see the
+    * ordering argument at the dispatch site); FuzzyJoinerSpec pins the
+    * equivalence. */
+  private def selfTransform(df: DataFrame): DataFrame = {
+    val k = getMaxDistance
+    val q = getGramLength
+    val shortBound = q - 1 + k * q
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // slim (id, s, len) — feeds the gram path, both short-path sides
+    // and both verify join-backs; persisted so the caller's upstream
+    // lineage is evaluated once
+    val base = df.select(col(getIdCol).as("id"),
+        col(getInputCol).cast("string").as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .persist(lvl)
+
+    // (gram, occ) multiset elements, as in grams() above — consumed by
+    // the frequency aggregate AND the prefix join, so persisted
+    val gs = expr(
+      s"transform(sequence(0, len - $q), i -> substring(s, i + 1, $q))")
+    val gramTable = base.where(col("len") >= q)
+      .select(col("id"), col("len"), posexplode(gs).as(Seq("pos", "gram")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("id", "gram").orderBy("pos")))
+      .drop("pos")
+      .persist(lvl)
+
+    val freq = gramTable.groupBy("gram", "occ").agg(count(lit(1)).as("cnt"))
+    val prefixes = gramTable
+      .join(freq, Seq("gram", "occ"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("cnt"), col("gram"), col("occ"))))
+      .where(col("rk") <= k * q + 1)
+      .select("id", "len", "gram", "occ")
+      .persist(lvl)
+
+    val gramCandidates = prefixes
+      .select(col("id").as("left_id"), col("len").as("left_len"), col("gram"), col("occ"))
+      .join(prefixes
+        .select(col("id").as("right_id"), col("len").as("right_len"), col("gram"), col("occ")),
+        Seq("gram", "occ"))
+      .where(abs(col("left_len") - col("right_len")) <= k &&
+        greatest(col("left_len"), col("right_len")) > shortBound)
+      .select("left_id", "right_id").distinct()
+
+    val shortLeft = base.where(col("len") <= shortBound)
+      .select(col("id").as("left_id"), col("len").as("left_len"))
+      .withColumn("band", col("left_len"))
+    val shortRight = base.where(col("len") <= shortBound)
+      .select(col("id").as("right_id"), col("len").as("right_len"),
+        explode(sequence(col("len") - k, col("len") + k)).as("band"))
+    val shortCandidates = shortLeft.join(shortRight, "band")
+      .where(greatest(col("left_len"), col("right_len")) <= shortBound)
+      .select("left_id", "right_id")
+
+    gramCandidates.union(shortCandidates)
+      .join(base.select(col("id").as("left_id"), col("s").as("left_s")), "left_id")
+      .join(base.select(col("id").as("right_id"), col("s").as("right_s")), "right_id")
+      .withColumn("distance", levenshtein(col("left_s"), col("right_s")))
+      .where(col("distance") <= k)
+      .select("left_id", "right_id", "distance")
   }
 }
 

@@ -66,6 +66,26 @@ class FuzzyJoinerSpec extends SparkSpec {
     assert(out == Map(10L -> 0, 11L -> 2))
   }
 
+  test("self-join fast path equals the two-sided path on identical inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def word(): String = {
+      val n = 1 + rnd.nextInt(12) // spans the short AND gram zones
+      Array.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    val rows = (0 until 80).map(i => (i.toLong, word()))
+    val df = rows.toDF("id", "s")
+    val j = joiner.setMaxDistance(2).setGramLength(2)
+    // same object -> shared-table fast path
+    val self = j.transform(df, df).head
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // equal-but-distinct objects -> the general two-sided path
+    val twoSided = j.transform(df, rows.toDF("id", "s")).head
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(self == twoSided,
+      s"missing=${(twoSided -- self).take(5)} extra=${(self -- twoSided).take(5)}")
+  }
+
   test("param save/load round-trip") {
     val dir = tmpDir()
     joiner.setMaxDistance(3).setGramLength(4).save(dir)
