@@ -15,6 +15,27 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** t() + scale-adaptive scan parallelization (round-16, guide §2.5
+    * "one huge unsplittable file ... repartition immediately after the
+    * read"): the testdata ships each table as ONE parquet row group,
+    * so a scan yields one non-empty split and every map-side chain
+    * over it (tokenize/shingle/hash/synthesize UDFs, vector math) runs
+    * in a single task regardless of cores. When the scan has fewer
+    * partitions than the session's parallelism, redistribute by a
+    * high-cardinality key column — hash placement, deterministic row
+    * routing, and none of keyless repartition's sort-before-repartition
+    * cost. At scale a table arrives as many splits and this is a
+    * no-op. Used ONLY by order-INSENSITIVE queries (set-semantic
+    * transforms): hash placement scrambles scan order, so consumers
+    * whose results depend on row order (the online mini-batch family's
+    * zipWithIndex batching) and partition-sensitive sketches
+    * (percentile_approx fits) keep the raw t() scan. */
+  private def tp(spark: SparkSession, dir: String, name: String, key: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+  }
+
   /** events with a `tsm` epoch-milliseconds column. The generated
     * events.ts has shipped as TIMESTAMP(NANOS) in some testdata rounds
     * (readable only as a raw long via the legacy conf — nanos exceed
@@ -115,7 +136,7 @@ object SparkEntry {
 
     // --- StandardScaler ---
     "q_standard_scaler" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_quantity").setOutputCol("features").setInputSizes(1)
         .transform(li).head
@@ -129,7 +150,7 @@ object SparkEntry {
 
     // --- MinMaxScaler ---
     "q_minmax_scaler" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_extendedprice").setOutputCol("features").setInputSizes(1)
         .transform(li).head
@@ -238,7 +259,7 @@ object SparkEntry {
 
     // --- KBinsDiscretizer (uniform) ---
     "q_kbins_uniform" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_extendedprice").setOutputCol("features").setInputSizes(1)
         .transform(li).head
@@ -266,6 +287,10 @@ object SparkEntry {
 
     // --- KBinsDiscretizer (kmeans; subSamples ≥ n ⇒ the "sample" is the
     // full column, making the seeded 1-D Lloyd fully deterministic) ---
+    // NOTE: stays on the raw t() scan — the kmeans strategy fits on a
+    // bounded SUBSAMPLE whose membership follows partition layout, so
+    // parallelizing the scan changes the fitted boundaries (measured:
+    // sf0.1 bin counts moved by ~11k rows under tp)
     "q_kbins_kmeans" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val assembled = new graft.feature.VectorAssembler()
@@ -350,7 +375,7 @@ object SparkEntry {
 
     // --- PolynomialExpansion (degree 2 on a vector with zero elements) ---
     "q_polynomial" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_discount", "l_tax").setOutputCol("features")
         .setInputSizes(1, 1)
@@ -400,7 +425,7 @@ object SparkEntry {
       val out = new graft.text.DocumentFingerprinter()
         .setK(5).setWindowSize(4)
         .setInputCol("text").setOutputCol("fingerprints")
-        .transform(t(s, dir, "documents")).head
+        .transform(tp(s, dir, "documents", "doc_id")).head
       out.select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
     }),
 
@@ -440,7 +465,7 @@ object SparkEntry {
 
     // --- Bigram-LM perplexity quality scoring (CCNet-style) ---
     "q_ngram_lm" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val model = new graft.text.NgramLm()
         .setInputCol("text").setOutputCol("ppl").setSmoothing(0.1)
         .fit(docs)
@@ -514,7 +539,7 @@ object SparkEntry {
     // matters on a near-dup graph with weak bridges. Oracle replays
     // the brute-force top-k (the q_ann_cosine CTE) and 3 LPA rounds. ---
     "q_semantic_communities" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tp(s, dir, "embeddings", "vec_id")
         .select(col("vec_id"), org.apache.spark.ml.functions.array_to_vector(
           col("embedding").cast("array<double>")).as("vec"))
       val knn = new graft.ann.BruteForceCosineKnn()
@@ -580,7 +605,7 @@ object SparkEntry {
     // at 1e-10 absorbs sum-order ulps) ---
     "q_keywords" -> ((s, dir) => {
       new graft.text.KeywordExtractor().setInputCol("text").setNumIter(3)
-        .transform(t(s, dir, "documents")).head
+        .transform(tp(s, dir, "documents", "doc_id")).head
         .select(col("word"), round(col("rank"), 10).as("rank"))
     }),
 
@@ -594,7 +619,7 @@ object SparkEntry {
     // stopwords (the q_stopwords finding); caseSensitive pins the
     // oracle's exact IN-list semantics ---
     "q_keywords_filtered" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
         .withColumn("toks", when(length(trim(col("text"))) === 0,
             array().cast("array<string>"))
           .otherwise(split(trim(col("text")), "\\s+")))
@@ -678,7 +703,7 @@ object SparkEntry {
     // output by integer counts alone (no float-boundary top-k), topK
     // left above the pair count ---
     "q_collocations" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       new graft.text.CollocationScorer().setInputCol("text")
         .setMinCount(5L).setTopK(1000000)
         .transform(docs).head
@@ -749,7 +774,7 @@ object SparkEntry {
     // raw-corpus LM, bits per bigram; the data-selection score a
     // target-domain pretraining mix ranks by ---
     "q_dsir" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val target = docs.where(col("lang") === "en")
       new graft.text.ImportanceScorer()
         .setInputCol("text").setOutputCol("dsir_score").setIdCol("doc_id")
@@ -762,7 +787,7 @@ object SparkEntry {
     // Int.MaxValue buckets the ~46k corpus bigrams hash collision-
     // free, so the bounded tables must reproduce the exact scores ---
     "q_dsir_hashed" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val target = docs.where(col("lang") === "en")
       new graft.text.ImportanceScorer()
         .setInputCol("text").setOutputCol("dsir_score").setIdCol("doc_id")
@@ -812,7 +837,7 @@ object SparkEntry {
     // TextQualityScorer filter → StratifiedSampler → SequencePacker,
     // all four operators chained under one oracle ---
     "q_curate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val deduped = new graft.text.ExactDeduplicator()
         .setIdCol("doc_id").setInputCol("text")
         .transform(docs).head
@@ -846,7 +871,7 @@ object SparkEntry {
     // --- CCNet-style perplexity-bucketed mixing: NgramLm → Bucketizer →
     // WeightedMixer composed (head kept, middle halved, tail decimated) ---
     "q_ccnet" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val lm = new graft.text.NgramLm()
         .setInputCol("text").setOutputCol("ppl").setSmoothing(0.1).fit(docs)
       val scored = lm.setIdCol("doc_id").transform(docs).head
@@ -1087,7 +1112,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
-        .transform(t(s, dir, "documents")).head
+        .transform(tp(s, dir, "documents", "doc_id")).head
       val grams = new graft.feature.NGram()
         .setInputCol("tokens").setOutputCol("shingles").setN(3)
         .transform(toks).head
@@ -1107,7 +1132,7 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
-        .transform(t(s, dir, "documents")).head
+        .transform(tp(s, dir, "documents", "doc_id")).head
       val grams = new graft.feature.NGram()
         .setInputCol("tokens").setOutputCol("shingles").setN(3)
         .transform(toks).head
@@ -1509,7 +1534,7 @@ object SparkEntry {
           case _ => graft.multimodal.ImageDHasher.syntheticCellImage(g, flip = true)
         }
       }
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tp(s, dir, "documents", "doc_id").select(col("doc_id"))
         .withColumn("img", mkImg(col("doc_id")))
       val hashed = new graft.multimodal.ImageDHasher()
         .setInputCol("img").setOutputCol("dhash")
@@ -1538,7 +1563,7 @@ object SparkEntry {
             brightness = 40)
         }
       }
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tp(s, dir, "documents", "doc_id").select(col("doc_id"))
         .withColumn("img", mkImg(col("doc_id")))
       val hashed = new graft.multimodal.ImageDHasher()
         .setInputCol("img").setOutputCol("dhash")
@@ -1591,7 +1616,7 @@ object SparkEntry {
           case _ => graft.multimodal.VideoDHasher.syntheticCellVideo(g, flipMask = 1)
         }
       }
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tp(s, dir, "documents", "doc_id").select(col("doc_id"))
         .withColumn("video", mkVid(col("doc_id")))
       val hasher = new graft.multimodal.VideoDHasher()
         .setInputCol("video").setOutputCol("sig")
@@ -1618,7 +1643,7 @@ object SparkEntry {
             brightness = 40)
         }
       }
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tp(s, dir, "documents", "doc_id").select(col("doc_id"))
         .withColumn("video", mkVid(col("doc_id")))
       val hasher = new graft.multimodal.VideoDHasher()
         .setInputCol("video").setOutputCol("sig")
@@ -1646,7 +1671,7 @@ object SparkEntry {
           case _ => graft.multimodal.VideoShotHasher.syntheticShotVideo(g, Seq(4, 5, 6, 7))
         }
       }
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tp(s, dir, "documents", "doc_id").select(col("doc_id"))
         .withColumn("video", mkVid(col("doc_id")))
       val hasher = new graft.multimodal.VideoShotHasher()
         .setInputCol("video").setOutputCol("shots").setMinOverlap(0.45)
@@ -1687,7 +1712,7 @@ object SparkEntry {
       val prefix = when(col("doc_id") % 4 === 0, concat(lit("t"), g))
         .when(col("doc_id") % 4 <= 2, concat(lit("u"), g))
         .otherwise(concat(lit("v"), g))
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = tp(s, dir, "documents", "doc_id").select(col("doc_id"))
         .withColumn("tokens", transform(sequence(lit(0), lit(15)),
           i => concat(prefix, lit("_"), i)))
         .withColumn("img", mkImg(col("doc_id")))
@@ -1811,7 +1836,7 @@ object SparkEntry {
 
     // --- UnivariateFeatureSelector (continuous/continuous → FValue ranking) ---
     "q_univariate_selector" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
         .withColumn("label", col("l_extendedprice"))
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_quantity", "l_discount", "l_tax", "l_linenumber")
@@ -2079,7 +2104,7 @@ object SparkEntry {
     // sit at distance ≤0.1 → miss ≤ 1e-10), so the approximate join
     // recovers exactly the exact-Jaccard pair set the oracle computes.
     "q_minhash_join" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
         .transform(docs).head
@@ -2106,7 +2131,7 @@ object SparkEntry {
     // corpus-growth workflow; same banded-join recall argument as
     // q_minhash_join) ---
     "q_incremental_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
         .transform(docs).head
@@ -2129,7 +2154,7 @@ object SparkEntry {
 
     // --- Normalizer (L2) ---
     "q_normalizer" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_quantity", "l_discount", "l_tax").setOutputCol("features")
         .setInputSizes(1, 1, 1)
@@ -2146,7 +2171,7 @@ object SparkEntry {
 
     // --- DCT (orthogonal DCT-II over 3 dims) ---
     "q_dct" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_quantity", "l_discount", "l_tax").setOutputCol("features")
         .setInputSizes(1, 1, 1)
@@ -2163,7 +2188,7 @@ object SparkEntry {
 
     // --- ElementwiseProduct ---
     "q_elementwise" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_quantity", "l_extendedprice").setOutputCol("features")
         .setInputSizes(1, 1)
@@ -2180,7 +2205,7 @@ object SparkEntry {
 
     // --- Interaction ((q, d) × (t) → (q·t, d·t)) ---
     "q_interaction" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val a1 = new graft.feature.VectorAssembler()
         .setInputCols("l_quantity", "l_discount").setOutputCol("v1")
         .setInputSizes(1, 1).transform(li).head
@@ -2214,7 +2239,7 @@ object SparkEntry {
 
     // --- VectorIndexer (categorical dims → ascending value indices, 0.0 first) ---
     "q_vector_indexer" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_linenumber", "l_tax").setOutputCol("features")
         .setInputSizes(1, 1)
@@ -2285,7 +2310,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
-        .transform(t(s, dir, "documents")).head
+        .transform(tp(s, dir, "documents", "doc_id")).head
       val grams = new graft.feature.NGram()
         .setInputCol("tokens").setOutputCol("shingles").setN(8)
         .transform(toks).head
@@ -2307,7 +2332,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> ((s, dir) => {
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
-        .transform(t(s, dir, "documents")).head
+        .transform(tp(s, dir, "documents", "doc_id")).head
       val grams = new graft.feature.NGram()
         .setInputCol("tokens").setOutputCol("shingles").setN(8)
         .transform(toks).head
@@ -2448,7 +2473,7 @@ object SparkEntry {
 
     // --- MinHash near-dup dedup: LSH join → connected components → canonical doc ---
     "q_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val toks = new graft.feature.RegexTokenizer()
         .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
         .transform(docs).head
@@ -2562,7 +2587,7 @@ object SparkEntry {
 
     // --- NaiveBayes train+predict (rows-only smoke) ---
     "q_naive_bayes" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tp(s, dir, "lineitem", "l_orderkey")
         .withColumn("label", (col("l_returnflag") === "R").cast("double"))
       val assembled = new graft.feature.VectorAssembler()
         .setInputCols("l_linenumber", "l_tax").setOutputCol("features")
@@ -2898,7 +2923,7 @@ object SparkEntry {
     // closed-form and replays the power iteration as CTEs. ---
     "q_crawl_pipeline" -> ((s, dir) => {
       val crlf = "\r\n"
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val warc = concat(
         lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
           "WARC-Target-URI: <https://www."),
@@ -2971,7 +2996,7 @@ object SparkEntry {
         .when(m === 1, concat(nav, h1, p1, teaser, p2, footer))
         .when(m === 2, concat(nav, crumb, footer))
         .otherwise(concat(h1, p1, p2))
-      val docs = t(s, dir, "documents").select(col("doc_id")).withColumn("html", html)
+      val docs = tp(s, dir, "documents", "doc_id").select(col("doc_id")).withColumn("html", html)
       new graft.text.MainContentExtractor().setIdCol("doc_id")
         .setInputCol("html").setOutputCol("mc")
         .transform(docs).head
@@ -3103,7 +3128,7 @@ object SparkEntry {
         lit(">" + crlf + crlf + "HTTP/1.1 "), status,
         lit(crlf + "Content-Type: text/html; charset=utf-8" + crlf + crlf),
         html, lit(crlf + crlf))
-      val files = t(s, dir, "documents").select(col("doc_id")).withColumn("warc", warc)
+      val files = tp(s, dir, "documents", "doc_id").select(col("doc_id")).withColumn("warc", warc)
       val fetched = new graft.text.WarcParser()
         .setInputCol("warc").setOutputCol("w").transform(files).head
         .where(col("w_status") === 200 && col("w_mime") === "text/html")
@@ -3156,7 +3181,7 @@ object SparkEntry {
     // the q_logreg_train CTE chain over the same features/labels and
     // scores each row with the trained weights. ---
     "q_quality_classifier" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val stats = new graft.text.TextQualityScorer()
         .setInputCol("text").transform(docs).head
       // minWords 30 / stopword-hits 1 — the q_gopher calibration for
@@ -3280,7 +3305,7 @@ object SparkEntry {
     // oracle rebuilds the edge list closed-form and replays the
     // q_pagerank CTE chain over string vertex ids. ---
     "q_host_rank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val pages = docs.select(col("doc_id"),
         concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
           col("doc_id"), lit("/page.html")).as("url"),
@@ -3306,7 +3331,7 @@ object SparkEntry {
     // normalizations hold. 3 iterations, q_pagerank CTE chain over
     // string ids. ---
     "q_url_rank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val pages = docs.select(col("doc_id"),
         concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
           col("doc_id"), lit("/page.html")).as("url"),
@@ -3479,7 +3504,7 @@ object SparkEntry {
     // closure must resolve 0-3 to the group minimum and leave 4 its
     // own entity, which the oracle states in closed form. ---
     "q_entity_resolution" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents", "doc_id")
       val named = docs.select(col("doc_id"),
         concat(lit("u"),
           regexp_replace((col("doc_id") - col("doc_id") % 5).cast("string"),
