@@ -101,12 +101,18 @@ object Hits {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val bySrc = agg.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val byDst = agg.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // derived from the CACHED src-keyed table, not from agg: the merge
+    // aggregation scans the edge input once instead of twice (bySrc is
+    // always materialized first — the authority half-step runs before
+    // the hub half-step in round 1)
+    val byDst = bySrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
 
+    // distinct() already leaves the table hash-partitioned on id — an
+    // explicit repartition(id) on top would be a second identical
+    // exchange of the same O(V) rows
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
-      .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "HITS on an empty edge list is undefined")
