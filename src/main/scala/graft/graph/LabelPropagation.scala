@@ -107,10 +107,12 @@ object LabelPropagation {
     // only the O(V) label table shuffles per round
     val adj = sym.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
 
+    // distinct() already leaves the table hash-partitioned on id — an
+    // explicit repartition(id) on top would be a second identical
+    // exchange of the same O(V) rows
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
-      .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     require(nodes.count() > 0, "LabelPropagation on an empty edge list is undefined")
 
