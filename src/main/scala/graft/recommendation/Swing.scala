@@ -153,7 +153,15 @@ class Swing extends AlgoOperator[Swing]
 
     val notNull = (c: String) => when(col(c).isNull,
       raise_error(lit("Data of user and item column must not be null."))).otherwise(col(c))
+    // persisted: the distinct behavior table feeds the hot-item probe
+    // JOB below (a separate action at transform time), the main plan's
+    // userCnt + flagged join, and — on the arrays path — both
+    // broadcast builds of the per-user item table; uncached, each of
+    // those re-runs the input scan + distinct (ReusedExchange only
+    // dedupes within ONE physical plan, never across jobs). ~40 B/row
+    // of ids; the probe job materializes it before any consumer.
     val pairs = df.select(notNull(getUserCol).as("u"), notNull(getItemCol).as("i")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one shuffle: per-user distinct-item count, filtered to
     // [minUserBehavior, maxUserBehavior] — no item arrays anywhere
@@ -302,8 +310,12 @@ class Swing extends AlgoOperator[Swing]
     // capped-out purchasers still matter to intersection sizes. Here
     // they enter only through the item arrays.
     def arrayScores(): DataFrame = {
+      // persisted: broadcast to BOTH pair sides below means TWO
+      // BroadcastExchange subtrees — uncached, each would re-run the
+      // join + collect_list aggregation from scratch
       val userItems = pairs.join(userCnt, "u")
         .groupBy("u").agg(sort_array(collect_list("i")).as("items"), first("cnt").as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Adaptive attach (round-16): the pair relation joins userItems
       // TWICE (once per side), and each sort-merge join re-shuffles and
       // re-sorts the big anchors-by-pair stream — measured 11.1 s warm
