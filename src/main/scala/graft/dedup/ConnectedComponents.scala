@@ -88,6 +88,12 @@ object ConnectedComponents {
     }
     if (algorithm == "star") return runStar(sym, maxIter)
 
+    // edge table persisted HASH-PARTITIONED ON v, the per-round join
+    // key (the PageRank/LabelPropagation discipline): each round then
+    // joins the O(V) label table against it without re-exchanging the
+    // O(E) edges — one setup exchange instead of one per round
+    val adj = sym.repartition(col("v")).persist(StorageLevel.MEMORY_AND_DISK)
+
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -96,7 +102,7 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxIter) {
       // min neighbor label per vertex (partial aggregation map-side)
-      val nbrMin = sym.join(labels.withColumnRenamed("id", "v"), "v")
+      val nbrMin = adj.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min("component").as("nbrMin"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
@@ -119,6 +125,7 @@ object ConnectedComponents {
       labels = mat.select("id", "component")
       iter += 1
     }
+    adj.unpersist()
     sym.unpersist()
     lastRounds = iter
     if (!converged)
