@@ -185,16 +185,26 @@ object Bench {
     val flat = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r
     val detail = """"([A-Za-z0-9_]+)":\{"cold":([0-9.]+),"warm":([0-9.]+)""".r
     val sfOf = """"sf"\s*:\s*"([^"]*)"""".r
+    // cpus stamp (round-17): the driver also publishes an 8-cpu
+    // scaling run, and its artifact refreshing the seed/overlay made
+    // 32-cpu runs compare against 8-cpu warms — absolute priors are
+    // only comparable at the SAME core count (same trap as cross-sf).
+    // An unstamped artifact is assumed comparable (pre-stamp files).
+    val cpusNow = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpusOf = """"cpus"\s*:\s*"([0-9]+)"""".r
     def warms(path: String): Map[String, Double] = {
       val body = readFile(path)
-      if (sfOf.findFirstMatchIn(body).exists(_.group(1) != sfDir)) Map.empty
+      if (sfOf.findFirstMatchIn(body).exists(_.group(1) != sfDir) ||
+          cpusOf.findFirstMatchIn(body).exists(_.group(1) != cpusNow)) Map.empty
       else detail.findAllMatchIn(body).map(m => m.group(1) -> m.group(3).toDouble).toMap
     }
     val seedBody = readFile(CostsPath)
     val seed =
       if (sfOf.findFirstMatchIn(seedBody).map(_.group(1))
             .orElse(""""__sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(seedBody).map(_.group(1)))
-            .exists(_ != sfDir)) Map.empty[String, Double]
+            .exists(_ != sfDir) ||
+          """"__cpus"\s*:\s*"([0-9]+)"""".r.findFirstMatchIn(seedBody)
+            .exists(_.group(1) != cpusNow)) Map.empty[String, Double]
       else flat.findAllMatchIn(seedBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
     seed ++ warms("bench_out.json") ++ warms("bench_out_partial.json")
   }
@@ -215,7 +225,13 @@ object Bench {
         java.nio.file.Paths.get(CostsPath)), "UTF-8")
       catch { case _: Exception => "" }
     val seedSf = """"__sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
-    if (seedSf.exists(_ != sfDir)) Map.empty
+    val seedCpus = """"__cpus"\s*:\s*"([0-9]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+    // same-scale AND same-core-count only: the driver's 8-cpu scaling
+    // publish refreshing this file must not become the 32-cpu run's
+    // drift reference (round-16: two spurious drift flags from exactly
+    // this; a stampless seed is assumed comparable)
+    if (seedSf.exists(_ != sfDir) ||
+        seedCpus.exists(_ != sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))) Map.empty
     else """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
@@ -414,7 +430,7 @@ object Bench {
     if (only.isEmpty && timings.nonEmpty) {
       val body = timings.toSeq.sortBy(-_._2._2)
         .map { case (k, (_, w)) => s""" "$k": ${fmt(w)}""" }
-        .mkString(s"""{\n "__sf": "$sfDir",\n""", ",\n", "\n}\n")
+        .mkString(s"""{\n "__sf": "$sfDir",\n "__cpus": "${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}",\n""", ",\n", "\n}\n")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(CostsPath), body)
       catch { case _: Exception => () } // read-only checkout: grouping just stays seeded
     }
@@ -476,11 +492,18 @@ object Bench {
 
   private def child(sfDir: String, outPath: String, names: Seq[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // extra session confs for A/B config studies, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false;..."
+    // — empty by default so the published methodology is unchanged
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").toSeq.map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extra.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: absorb one-off JVM/codegen/parquet-footer/shuffle
     // setup (~5 s) that would otherwise land on the first query

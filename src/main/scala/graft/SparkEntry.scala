@@ -20,8 +20,8 @@ object SparkEntry {
     * read"): the testdata ships each table as ONE parquet row group,
     * so a scan yields one non-empty split and every map-side chain
     * over it (tokenize/shingle/hash/synthesize UDFs, vector math) runs
-    * in a single task regardless of cores. When the scan has fewer
-    * partitions than the session's parallelism, redistribute by a
+    * in a single task regardless of cores. When the table is too small
+    * for the scan to fill the session's parallelism, redistribute by a
     * high-cardinality key column — hash placement, deterministic row
     * routing, and none of keyless repartition's sort-before-repartition
     * cost. At scale a table arrives as many splits and this is a
@@ -29,11 +29,24 @@ object SparkEntry {
     * transforms): hash placement scrambles scan order, so consumers
     * whose results depend on row order (the online mini-batch family's
     * zipWithIndex batching) and partition-sensitive sketches
-    * (percentile_approx fits) keep the raw t() scan. */
+    * (percentile_approx fits) keep the raw t() scan.
+    *
+    * The gate is a driver-side file-size stat (round-17 ADVICE): the
+    * old `df.rdd.getNumPartitions` probe counted total scan SPLITS —
+    * a single-row-group file bigger than maxPartitionBytes reports
+    * many mostly-empty partitions, silently no-opping the fix — and
+    * forced a non-AQE physical plan per call. A table under one
+    * maxPartitionBytes-sized split per core cannot fill the session's
+    * parallelism, so `bytes < cores × maxPartitionBytes` decides; the
+    * stat is a filesystem call, no Spark job, no plan forcing. */
   private def tp(spark: SparkSession, dir: String, name: String, key: String): DataFrame = {
     val df = t(spark, dir, name)
     val par = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes < par.toLong * maxSplit) df.repartition(par, col(key)) else df
   }
 
   /** events with a `tsm` epoch-milliseconds column. The generated

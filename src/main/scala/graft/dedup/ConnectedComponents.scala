@@ -73,18 +73,29 @@ object ConnectedComponents {
       algorithm: String = "star"): DataFrame = {
     require(algorithm == "star" || algorithm == "minlabel",
       s"unknown algorithm '$algorithm' (expected star or minlabel)")
-    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val symRaw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val edgeCount = sym.count()
-    if (edgeCount <= driverEdgeLimit) {
-      lastRounds = 0
-      val out = runOnDriver(sym, edges.schema(edges.columns.indexOf(srcCol)).dataType)
-      sym.unpersist(blocking = false)
-      return out
+    // persist + count only where they pay: the driver-path decision
+    // needs the count (and the count doubles as the materializing
+    // action), and minlabel reads sym twice (adj + labels). The star
+    // path with the driver check disabled reads sym exactly ONCE
+    // (into the first localCheckpoint), so persisting and counting it
+    // there was a wasted cache build plus a wasted O(E) job per call.
+    val checkDriver = driverEdgeLimit > 0
+    val sym =
+      if (checkDriver || algorithm == "minlabel")
+        symRaw.persist(StorageLevel.MEMORY_AND_DISK)
+      else symRaw
+    if (checkDriver) {
+      val edgeCount = sym.count()
+      if (edgeCount <= driverEdgeLimit) {
+        lastRounds = 0
+        val out = runOnDriver(sym, edges.schema(edges.columns.indexOf(srcCol)).dataType)
+        sym.unpersist(blocking = false)
+        return out
+      }
     }
     if (algorithm == "star") return runStar(sym, maxIter)
 
@@ -104,10 +115,18 @@ object ConnectedComponents {
       // min neighbor label per vertex (partial aggregation map-side)
       val nbrMin = adj.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min("component").as("nbrMin"))
+      // the cached frame stays EXACTLY (id, component) — round 16
+      // carried a third `changed` column and unpersisted a 2-column
+      // PROJECTION of it each round, which does not sameResult-match
+      // the 3-column cache entry and silently released nothing
+      // (probed on Spark 4.1.2): one leaked O(V) cache per round.
+      // The changed probe is now a co-partitioned join against the
+      // previous labels (both sides hash(id)-cached, no exchange —
+      // the LabelPropagation shape), and `labels` always holds the
+      // persisted handle itself, so unpersist genuinely releases.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"),
-          (coalesce(col("nbrMin"), col("component")) < col("component")).as("changed"))
+          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"))
       val mat =
         if ((iter + 1) % 5 == 0) next.localCheckpoint(true)
         else next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -119,10 +138,12 @@ object ConnectedComponents {
       // ADVICE bug, same class). The aggregate is O(V) — the price the
       // convergence check pays anyway — and doubles as the action that
       // fills the cache while its parent is still alive.
-      val changed = mat.agg(sum(when(col("changed"), 1L).otherwise(0L))).head
-      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
+      val changed = mat
+        .join(labels.withColumnRenamed("component", "c0"), "id")
+        .where(col("component") =!= col("c0")).count()
+      converged = changed == 0L
       labels.unpersist()
-      labels = mat.select("id", "component")
+      labels = mat
       iter += 1
     }
     adj.unpersist()

@@ -135,8 +135,12 @@ object PageRank {
     // (the (src,dst) merge, then src) instead of four (merge, the
     // outW groupBy, re-exchange of the merged table for the join, and
     // the explicit repartition) — round-16 measurement, setup-bound
-    // queries (numIter=3 graph rows) drop ~15-20%. Same doubles: the
-    // window sums the identical merged per-(src,dst) weights.
+    // queries (numIter=3 graph rows) drop ~15-20%. The window sums the
+    // identical merged per-(src,dst) weights, but its accumulation
+    // ORDER differs from the old groupBy+join (row order after the
+    // hash exchange vs partial-agg merge order), so shares agree only
+    // within FP tolerance — do not rely on bit identity here; the
+    // declared queries round at 1e-10, far above ulp drift.
     val agg = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))

@@ -157,7 +157,17 @@ class FuzzyJoiner extends AlgoOperator[FuzzyJoiner]
     * both sides of the candidate join read them. Candidate set and
     * output are IDENTICAL to the two-sided path on (df, df) (see the
     * ordering argument at the dispatch site); FuzzyJoinerSpec pins the
-    * equivalence. */
+    * equivalence.
+    *
+    * Cache lifetime (round-17 ADVICE): the result is eagerly
+    * localCheckpointed INSIDE the method and the three internal
+    * persists released before returning — a lazily returned plan would
+    * otherwise pin base/gramTable/prefixes for the session on every
+    * self-join transform() (unbounded cache growth for a library
+    * operator called repeatedly). The checkpoint also means downstream
+    * consumers (EntityResolver reads the pair table more than once)
+    * re-scan a materialized table instead of re-running the
+    * gram/window/verify chain. */
   private def selfTransform(df: DataFrame): DataFrame = {
     val k = getMaxDistance
     val q = getGramLength
@@ -212,12 +222,17 @@ class FuzzyJoiner extends AlgoOperator[FuzzyJoiner]
       .where(greatest(col("left_len"), col("right_len")) <= shortBound)
       .select("left_id", "right_id")
 
-    gramCandidates.union(shortCandidates)
+    val out = gramCandidates.union(shortCandidates)
       .join(base.select(col("id").as("left_id"), col("s").as("left_s")), "left_id")
       .join(base.select(col("id").as("right_id"), col("s").as("right_s")), "right_id")
       .withColumn("distance", levenshtein(col("left_s"), col("right_s")))
       .where(col("distance") <= k)
       .select("left_id", "right_id", "distance")
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    gramTable.unpersist(blocking = false)
+    prefixes.unpersist(blocking = false)
+    out
   }
 }
 

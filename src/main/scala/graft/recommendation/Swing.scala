@@ -160,8 +160,15 @@ class Swing extends AlgoOperator[Swing]
     // those re-runs the input scan + distinct (ReusedExchange only
     // dedupes within ONE physical plan, never across jobs). ~40 B/row
     // of ids; the probe job materializes it before any consumer.
+    // Released before transform() returns: the result is eagerly
+    // localCheckpointed at the end, so nothing downstream still needs
+    // this cache (round-17 ADVICE — a lazily returned plan would pin
+    // it for the session on every call).
     val pairs = df.select(notNull(getUserCol).as("u"), notNull(getItemCol).as("i")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // strategy-local persists (arrays-path userItems) register here so
+    // the single release point at the end of transform() sees them
+    val internalCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     // one shuffle: per-user distinct-item count, filtered to
     // [minUserBehavior, maxUserBehavior] — no item arrays anywhere
@@ -312,10 +319,12 @@ class Swing extends AlgoOperator[Swing]
     def arrayScores(): DataFrame = {
       // persisted: broadcast to BOTH pair sides below means TWO
       // BroadcastExchange subtrees — uncached, each would re-run the
-      // join + collect_list aggregation from scratch
+      // join + collect_list aggregation from scratch. Registered for
+      // release at the end of transform() (round-17 ADVICE).
       val userItems = pairs.join(userCnt, "u")
         .groupBy("u").agg(sort_array(collect_list("i")).as("items"), first("cnt").as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      internalCaches += userItems
       // Adaptive attach (round-16): the pair relation joins userItems
       // TWICE (once per side), and each sort-merge join re-shuffles and
       // re-sorts the big anchors-by-pair stream — measured 11.1 s warm
@@ -323,12 +332,18 @@ class Swing extends AlgoOperator[Swing]
       // cold; AQE's runtime SMJ->BHJ conversion at a raised threshold
       // still paid the pair stream's shuffle write, 15.4 s warm). The
       // broadcast is gated on ONE cheap aggregate over the qualifying
-      // per-user counts: Σcnt is exactly the broadcast payload's item
-      // cardinality, so ~8 bytes/item estimates the build size; at web
-      // scale Σcnt is billions, the gate fails and the shuffled shape
-      // stands — no constant tuned to local mode, the data decides.
-      val totalItems = userCnt.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-      val broadcastUserItems = totalItems * 8L <= Swing.ArraysBroadcastMaxBytes
+      // per-user counts: Σcnt is the broadcast payload's item
+      // cardinality and count(*) its row count. The estimate charges
+      // 8 B per item id PLUS ~64 B per row (UnsafeRow fields + array
+      // header + the hash-relation entry) AND doubles for the TWO
+      // independent builds (it1/it2) — the raw 8·Σcnt figure
+      // understated the real executor footprint by a small multiple
+      // (round-17 ADVICE). At web scale Σcnt is billions, the gate
+      // fails and the shuffled shape stands — no constant tuned to
+      // local mode, the data decides.
+      val bcStats = userCnt.agg(coalesce(sum("cnt"), lit(0L)), count(lit(1))).head
+      val estBroadcastBytes = 2L * (bcStats.getLong(0) * 8L + bcStats.getLong(1) * 64L)
+      val broadcastUserItems = estBroadcastBytes <= Swing.ArraysBroadcastMaxBytes
       val capped = dropSingles(flagged.where(col("inCap")))
       val l = capped.select(col("i").as("anchor"), col("u").as("u1"))
       val r = capped.select(col("i").as("anchor"), col("u").as("u2"))
@@ -369,6 +384,14 @@ class Swing extends AlgoOperator[Swing]
     }
     val out = topk.groupBy(col("i").as(getItemCol))
       .agg(pack(collect_list(struct(col("rk"), col("sim"), col("score")))).as(getOutputCol))
+      // eager checkpoint, then release every internal cache: the packed
+      // top-k table is O(items) — tiny next to the pair stream — and a
+      // lazily returned plan would otherwise pin `pairs` (and the
+      // arrays-path userItems) for the lifetime of the SparkContext on
+      // every transform() call (round-17 ADVICE)
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    internalCaches.foreach(_.unpersist(blocking = false))
     Array(out)
   }
 }
